@@ -1,0 +1,367 @@
+"""§2.E — aggregations.
+
+Every query here compiles to Spark's two-phase hash aggregation
+(partial ``HashAggregate`` → ``Exchange hashpartitioning(keys)`` →
+final ``HashAggregate``), i.e. map-side combine happens before the
+shuffle, so network volume is O(groups), not O(rows) — the property
+that makes these queries scale to 100 TB fact tables. Group-key count
+here is tiny (≤ thousands), so the final stage is never the bottleneck;
+for high-cardinality keys AQE coalesces/splits post-shuffle partitions.
+
+Oracle-parity rules applied throughout (SURVEY.md §5.3): every computed
+column aliased identically in Spark and DuckDB; double aggregates
+rounded (2 dp money, 4 dp ratios); DuckDB integer ``SUM`` casts its
+HUGEINT back to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+# Cutoff mid-way through the fixture date range (1995…2001) so the
+# filter is selective but keeps most groups populated.
+Q1_CUTOFF = "1998-12-01 00:00:00"
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                             AS sum_qty,
+           round(sum(l_extendedprice), 2)                        AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                             AS avg_qty,
+           round(avg(l_extendedprice), 4)                        AS avg_price,
+           round(avg(l_discount), 4)                             AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: TPC-H Q1-shape pricing summary — filter + group-by + 8 aggregates.
+
+    Flagship query. Physical plan: Parquet scan with the shipdate filter
+    pushed to row-group stats (``PushedFilters``) and only the 7 needed
+    columns read (``ReadSchema``), then partial/final HashAggregate
+    around a 6-group exchange — whole-stage codegen end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT count(*)                              AS n_rows,
+           round(sum(l_extendedprice), 2)        AS total_price,
+           round(avg(l_discount), 4)             AS avg_disc,
+           round(min(l_quantity), 2)             AS min_qty,
+           round(max(l_quantity), 2)             AS max_qty,
+           CAST(sum(l_orderkey) AS BIGINT)       AS key_sum
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: global aggregation (no grouping keys) — single-row result.
+
+    Partial aggregation happens per input split; only one tiny row per
+    task crosses the network, so this is scan-bound at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS distinct_parts,
+           count(DISTINCT l_suppkey)  AS distinct_supps,
+           count(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: exact COUNT(DISTINCT) per group.
+
+    Spark expands multi-distinct into an ``Expand`` + two-level
+    aggregate — still fully parallel; the distinct keys are shuffled by
+    (group, value) so no single node sees all values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("q_agg_approx_distinct")  # WEAK oracle: HLL estimates differ per engine
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: approximate count-distinct (HyperLogLog++).
+
+    The 100 TB path for cardinality estimation: fixed-size sketches merge
+    associatively, so the exchange carries O(groups × sketch), never the
+    values. Driver records a rows-only check (estimates are
+    engine-specific); the unit test pins the estimate within 5% of exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("q_agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: GROUP BY GROUPING SETS — shared ANSI text runs on both engines.
+
+    Spark plans this as a single ``Expand`` (one replica of each row per
+    grouping set) feeding one hash aggregate — one shuffle total, not one
+    per set. NULL group keys are coalesced to 'ALL' to keep outputs
+    null-free (SURVEY.md §5.3).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: hierarchical ROLLUP via the DataFrame API."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: full CUBE over two low-cardinality dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           round(sum(o_totalprice), 2) AS total_spend,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 300000
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: HAVING = post-aggregation filter on the aggregate value."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .filter(F.col("_raw_spend") > 300000)
+        .drop("_raw_spend")
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_price,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_big_discount,
+           round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 4) AS avg_price_bulk
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: conditional aggregation — sum/count/avg over predicated subsets
+    in one pass (one scan, one shuffle, instead of three queries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(F.lit(0.0))), 2
+        ).alias("returned_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_big_discount"),
+        F.round(F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 4).alias("avg_price_bulk"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(stddev_pop(l_quantity), 4)  AS sdp_qty,
+           round(var_samp(l_extendedprice), 2) AS var_price,
+           round(var_pop(l_extendedprice), 2)  AS varp_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: sample/population stddev & variance (Welford-style merge-able
+    moments — constant state per group, scales like sum/avg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.var_pop("l_extendedprice"), 2).alias("varp_price"),
+    )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_linestatus,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
+           round(covar_pop(l_quantity, l_tax), 4) AS qty_tax_covarp
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: correlation / covariance (co-moment aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+        F.round(F.covar_pop("l_quantity", "l_tax"), 4).alias("qty_tax_covarp"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4)  AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: exact continuous percentiles / median.
+
+    Spark's exact ``percentile`` gathers per-group value multisets — fine
+    for bounded groups; at 100 TB with huge groups you'd switch to
+    ``approx_percentile`` (t-digest, mergeable constant state), kept as
+    the E13 escape hatch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           count(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: collect_list → sorted, stringified for engine-stable hashing.
+
+    collect_list is only safe for bounded groups (25 nations here); the
+    sort makes the result deterministic under parallel accumulation.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

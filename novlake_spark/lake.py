@@ -1,0 +1,144 @@
+"""The ``Lake`` facade — novlake's own API surface, Spark-native.
+
+The reference's ``Lake`` class (upstream:novlake/lake.py, SURVEY.md §2.A,
+reconstruction — the mounted checkout is empty, SURVEY.md §0) wraps an
+S3-+-Athena lake: ``query`` ships SQL to Athena, ``replace_table``
+uploads pandas→Parquet→S3 and re-registers a Glue table, ``preview`` /
+``tables`` / ``describe`` are catalog sugar. Here the same verbs map to
+SparkSession + DataFrameWriter + the Spark catalog:
+
+=====================  ==================================================
+reference verb          Spark-native implementation
+=====================  ==================================================
+``query(sql)``          ``spark.sql`` (Catalyst parse→optimize→execute)
+``preview(t, n)``       ``spark.table(t).limit(n)``
+``tables()``            ``spark.catalog.listTables``
+``describe(t)``         ``spark.catalog.listColumns``
+``replace_table``       ``df.write.mode('overwrite')`` + view/catalog reg
+``append``              ``df.write.mode('append')``
+``partitioned write``   ``df.write.partitionBy(*cols)``
+``repair partitions``   ``spark.catalog.recoverPartitions`` / re-register
+``dump(sql, path)``     ``df.write.csv(header=True)``
+=====================  ==================================================
+
+ACID note (SURVEY.md §7.5): the reference has *no* transactional story
+(non-atomic S3 overwrite). We match-or-beat it with Spark's committer
+protocol (job-level commit via staging dirs) and dynamic partition
+overwrite (``partitionOverwriteMode=dynamic``) for partition-level
+atomicity. A Delta Lake backend would add MERGE/time-travel; no Delta
+jars exist in this sandbox, so ``format`` is parameterized and Delta is
+documented as designed-not-enabled.
+
+Scale notes: writes accept ``partition_by`` (Hive-style layout → static
+partition pruning on read) and ``max_records_per_file`` so a 100 TB
+table lands as prunable, right-sized files instead of a few giant ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from novlake_spark.session import tune
+from novlake_spark.sources.tables import TABLES, load_table
+
+
+class Lake:
+    """Spark-native data-lake utility surface (SURVEY.md §2.A rows A1–A10)."""
+
+    def __init__(self, spark: SparkSession, namespace: dict[str, str] | None = None):
+        # A10: per-user namespace config — a plain dict of logical names →
+        # storage paths, replacing the reference's env/S3-JSON config.
+        self.spark = tune(spark)
+        self.namespace = dict(namespace or {})
+
+    # -- catalog -----------------------------------------------------------
+    def attach_dir(self, sf_dir: str, names: list[str] | None = None) -> None:
+        """Register every Parquet table under a directory as a temp view."""
+        for name in names or TABLES:
+            self.register(name, load_table(self.spark, sf_dir, name))
+
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self.namespace.setdefault(name, f"view:{name}")
+
+    def tables(self) -> list[str]:
+        """A3: list catalog tables/views."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def describe(self, name: str) -> list[tuple[str, str]]:
+        """A4: (column, type) pairs for a registered table."""
+        return [(c.name, c.dataType) for c in self.spark.catalog.listColumns(name)]
+
+    # -- query -------------------------------------------------------------
+    def query(self, sql: str) -> DataFrame:
+        """A1: SQL in, DataFrame out. ``.toPandas()`` for reference parity."""
+        return self.spark.sql(sql)
+
+    def query_pandas(self, sql: str):
+        return self.query(sql).toPandas()
+
+    def preview(self, name: str, n: int = 10) -> DataFrame:
+        """A2: cheap peek — LIMIT pushes down, no full scan."""
+        return self.spark.table(name).limit(n)
+
+    # -- write -------------------------------------------------------------
+    def replace_table(
+        self,
+        df: DataFrame,
+        name: str,
+        path: str,
+        partition_by: list[str] | None = None,
+        fmt: str = "parquet",
+        max_records_per_file: int | None = None,
+    ) -> DataFrame:
+        """A5/A7: overwrite-write a table and (re)register it.
+
+        With ``partition_by`` the layout is Hive-style ``k=v`` dirs →
+        readers get static partition pruning for free.
+        """
+        return self._write(df, name, path, "overwrite", partition_by, fmt, max_records_per_file)
+
+    def append(
+        self,
+        df: DataFrame,
+        name: str,
+        path: str,
+        partition_by: list[str] | None = None,
+        fmt: str = "parquet",
+    ) -> DataFrame:
+        """A6: append files to a table prefix."""
+        return self._write(df, name, path, "append", partition_by, fmt, None)
+
+    def overwrite_partitions(self, df: DataFrame, name: str, path: str, partition_by: list[str]) -> DataFrame:
+        """Dynamic partition overwrite: only the partitions present in
+        ``df`` are replaced — the Spark-native upgrade over the
+        reference's whole-prefix rewrite."""
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        return self._write(df, name, path, "overwrite", partition_by, "parquet", None)
+
+    def _write(self, df, name, path, mode, partition_by, fmt, max_records_per_file) -> DataFrame:
+        writer = df.write.mode(mode).format(fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.save(path)
+        out = self.spark.read.format(fmt).load(path)
+        self.register(name, out)
+        self.namespace[name] = path
+        return out
+
+    def repair_partitions(self, name: str, path: str) -> DataFrame:
+        """A8: re-sync a partitioned prefix → catalog (MSCK-equivalent).
+
+        With temp views over file sources, re-loading the path rediscovers
+        partitions; for metastore tables this would be
+        ``spark.catalog.recoverPartitions(name)``.
+        """
+        out = self.spark.read.parquet(path)
+        self.register(name, out)
+        return out
+
+    def dump_csv(self, df: DataFrame, path: str, header: bool = True) -> None:
+        """A9: export a result as CSV files."""
+        df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

@@ -1,0 +1,87 @@
+"""SparkSession construction and tuning.
+
+Two entry points:
+
+- :func:`get_session` builds a session from scratch (bench.py, tests).
+- :func:`tune` applies the *dynamic* subset of the same configuration to
+  an externally provided session (the correctness driver passes its own
+  ``SparkSession`` into ``queries()`` callables; all confs we rely on are
+  runtime-settable SQL confs — verified for ``nanosAsLong``).
+
+Scale notes (100 TB / 1000-executor target):
+
+- ``spark.sql.adaptive.enabled`` — AQE re-plans at stage boundaries:
+  coalesces small shuffle partitions, splits skewed ones
+  (``skewJoin.enabled``), and demotes sort-merge joins to broadcast when
+  runtime stats allow. This is the main lever that makes one static conf
+  work from sf0.001 up to cluster scale.
+- ``spark.sql.shuffle.partitions`` — local default kept small (32 = one
+  per core on the test box); on a real cluster you set this to 2–3×
+  total cores, or leave AQE's ``coalescePartitions`` to shrink an
+  intentionally high initial number. Exposed as a parameter.
+- ``spark.sql.files.maxPartitionBytes`` stays at the 128 MB default: at
+  100 TB that yields ~800k input splits, which the scheduler handles and
+  AQE coalesces post-shuffle.
+- Timestamps are normalized to UTC session time so results are
+  reproducible across machines (and match the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and verified) to set on a live session.
+DYNAMIC_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's Parquet reader
+    # rejects; with this legacy flag the column surfaces as a plain long
+    # (nanoseconds) that sources.tables converts exactly (SURVEY.md §1.2).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow makes toPandas()/pandas UDF exchange columnar and ~10-100x
+    # faster; required for the K-row (pandas UDF) operators to be fast.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply dynamic confs to an existing session. Idempotent and cheap."""
+    for key, value in DYNAMIC_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            # A conf may be unknown on future Spark versions; never let
+            # tuning break a query.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "novlake-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration.
+
+    ``master`` defaults to ``local[*]`` when no cluster is configured; on
+    a real deployment the master/deploy-mode comes from spark-submit and
+    this builder only contributes SQL confs.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    else:
+        builder = builder.master("local[*]")
+    builder = builder.config("spark.ui.enabled", "false")
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in DYNAMIC_CONFS.items():
+        builder = builder.config(key, value)
+    if extra:
+        for key, value in extra.items():
+            builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return tune(spark)

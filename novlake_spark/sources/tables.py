@@ -1,0 +1,53 @@
+"""Fixture-table loading: Parquet scans with the events nanos shim.
+
+The ten graded tables (TESTDATA.md) are plain Parquet files. All load
+through ``spark.read.parquet`` so Catalyst's scan planning applies —
+column pruning (``ReadSchema``), predicate pushdown (``PushedFilters``)
+and, for partitioned layouts written by :class:`novlake_spark.lake.Lake`,
+partition pruning, are all automatic downstream of this function.
+
+``events`` special case: its ``ts`` column is Parquet TIMESTAMP(NANOS),
+which Spark 4.x's vectorized reader rejects. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.tune) the
+column surfaces as a raw nanosecond ``long``; we convert with *integer*
+division (``DIV 1000`` → microseconds, exactly what DuckDB's truncation
+to its µs-precision timestamps produces) and ``timestamp_micros``.
+Floating-point division would round-to-nearest-double and disagree with
+the oracle on ~1 in 10⁴ rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novlake_spark.session import tune
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (events get the ts shim)."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register temp views named exactly like the DuckDB oracle views so
+    SQL text can be shared between engines where dialects agree."""
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

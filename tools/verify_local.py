@@ -1,0 +1,122 @@
+"""Local replica of the driver's correctness gate (SURVEY.md §5.2 tier 1).
+
+Runs each registered query on Spark and its oracle SQL on DuckDB over
+the same parquet directory, then compares row count, column-name set,
+and an order-insensitive canonical value hash. Keys without an oracle
+get a rows-only check. Never declare a key in __spark_entry__.py until
+it passes here at sf0.01.
+
+Usage:
+    python tools/verify_local.py                 # all keys, sf0.01
+    python tools/verify_local.py q_agg_groupby   # subset
+    SF_DIR=/root/testdata/sf0.001 python tools/verify_local.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from novlake_spark.registry import oracle_sql, queries  # noqa: E402
+from novlake_spark.session import get_session  # noqa: E402
+from novlake_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _cell(v) -> str:
+    """Canonical string for one value — engine-agnostic."""
+    if v is None:
+        return "@N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "@N"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 3.0 and 3 hash alike
+        return repr(round(v, 9))
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    rows = sorted("|".join(_cell(row[c]) for c in cols) for _, row in df[cols].iterrows())
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    keys = sys.argv[1:] or sorted(queries().keys())
+    qs, oracles = queries(), oracle_sql()
+
+    spark = get_session("novlake-verify", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for key in keys:
+        if key not in qs:
+            print(f"{key}: UNKNOWN KEY")
+            failures.append(key)
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[key](spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"{key}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures.append(key)
+            continue
+        if key not in oracles:
+            print(f"{key}: WEAK rows={len(sdf)} cols={sorted(sdf.columns)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[key]).fetchdf()
+        except Exception as e:
+            print(f"{key}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures.append(key)
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} != {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        elif canon_hash(sdf) != canon_hash(odf):
+            problems.append("hash mismatch")
+        if problems:
+            print(f"{key}: FAIL {', '.join(problems)} ({time.time()-t0:.1f}s)")
+            if "hash mismatch" in problems and len(sdf) == len(odf):
+                cols = sorted(sdf.columns)
+                srows = sorted("|".join(_cell(r[c]) for c in cols) for _, r in sdf[cols].iterrows())
+                orows = sorted("|".join(_cell(r[c]) for c in cols) for _, r in odf[cols].iterrows())
+                shown = 0
+                for a, b in zip(srows, orows):
+                    if a != b and shown < 3:
+                        print(f"    spark : {a[:200]}\n    oracle: {b[:200]}")
+                        shown += 1
+            failures.append(key)
+        else:
+            print(f"{key}: OK rows={len(sdf)} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(keys)-len(failures)}/{len(keys)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,6 +1,13 @@
 """Graded query inventory (SURVEY.md §2): importing this package
 registers every query key with novlake_spark.registry."""
 
-from novlake_spark.inventory import aggregates  # noqa: F401
+from novlake_spark.inventory import (  # noqa: F401
+    aggregates,
+    functions,
+    joins,
+    projection,
+    sets,
+    windows,
+)
 
-MODULES = [aggregates]
+MODULES = [aggregates, functions, joins, projection, sets, windows]

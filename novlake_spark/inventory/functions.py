@@ -1,0 +1,243 @@
+"""§2.B scans + §2.I scalar function families.
+
+Everything here is a single narrow stage (scan → project), fully inside
+whole-stage codegen — the shapes that should run at raw Parquet-scan
+speed regardless of data volume. Cross-engine function-semantics
+divergences (day-of-week origin, HALF_UP vs HALF_EVEN rounding, 0- vs
+1-based indexing) are resolved explicitly per SURVEY.md §2.I notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+_SCAN_TABLES = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+}
+
+
+@register(
+    "q_scan_parquet",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tbl, count(*) AS n_rows, CAST(sum({k}) AS BIGINT) AS key_sum FROM {t}"
+        for t, k in _SCAN_TABLES.items()
+    ),
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: scan every relational table — row count + key checksum each.
+
+    Seven independent scans unioned; each aggregates map-side to a
+    single row, so this is pure scan-throughput.
+    """
+    parts = []
+    for tbl, key in _SCAN_TABLES.items():
+        df = load_table(spark, sf_dir, tbl).agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(key).alias("key_sum")
+        )
+        parts.append(df.select(F.lit(tbl).alias("tbl"), "n_rows", "key_sum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "q_scan_events_ts",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           round(value, 2) AS value
+    FROM events
+    """,
+)
+def q_scan_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: full events scan through the nanosecond-timestamp shim.
+
+    Spark reads the TIMESTAMP(NANOS) column as a raw long (legacy conf)
+    and sources.load_table converts with integer division to the same
+    microsecond instants DuckDB's native ns→µs truncation produces —
+    compared here at full µs precision as strings.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7/I6: JSON-string field extraction on every event row."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS up_brand,
+           length(p_name)                                   AS name_len,
+           substring(p_name, 1, 8)                          AS name8,
+           concat_ws('|', p_brand, p_type)                  AS brand_type,
+           replace(p_type, ' ', '_')                        AS type_u,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')            AS size4,
+           string_split(p_type, ' ')[1]                     AS type_head,
+           regexp_extract(p_brand, '([0-9]+)', 1)           AS brand_num,
+           strpos(p_name, 'a')                              AS a_pos,
+           CAST(starts_with(p_name, 's') AS INT)            AS s_start
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: string function family over part."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("up_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.col("p_name").startswith("s").cast("int").alias("s_start"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                  AS yr,
+           month(o_orderdate)                                 AS mo,
+           day(o_orderdate)                                   AS dom,
+           dayofweek(o_orderdate)                             AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')   AS plus30,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(epoch(o_orderdate) AS BIGINT)                 AS epoch_s
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: date/time family. Day-of-week normalized to Sunday=0 on both
+    engines (Spark dayofweek is Sun=1, DuckDB dayofweek is Sun=0)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)        AS abs_d,
+           CAST(ceil(l_extendedprice)  AS BIGINT)  AS ceil_p,
+           CAST(floor(l_extendedprice) AS BIGINT)  AS floor_p,
+           round(sqrt(l_quantity), 6)              AS sqrt_q,
+           round(pow(1 + l_discount, 2), 6)        AS pow_d,
+           round(ln(l_extendedprice), 6)           AS ln_p,
+           round(log10(l_extendedprice), 6)        AS log_p,
+           round(exp(l_discount), 6)               AS exp_d,
+           l_orderkey % 7                          AS mod7,
+           CAST(sign(l_discount - 0.05) AS INT)    AS sgn,
+           round(greatest(l_quantity, l_discount * 100), 2) AS gr,
+           round(least(l_quantity, l_tax * 100), 2)         AS le
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: math family (positive domains chosen so % and sign agree
+    across engines; transcendentals rounded to 6 dp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_d"),
+        F.ceil("l_extendedprice").alias("ceil_p"),
+        F.floor("l_extendedprice").alias("floor_p"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("pow_d"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log_p"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        F.pmod("l_orderkey", F.lit(7)).alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sgn"),
+        F.round(F.greatest("l_quantity", F.col("l_discount") * 100), 2).alias("gr"),
+        F.round(F.least("l_quantity", F.col("l_tax") * 100), 2).alias("le"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                    AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)            AS first_v,
+           round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)     AS max_v,
+           len(list_filter(embedding, x -> x > 0))           AS n_pos
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: array family (higher-order functions) over the embedding
+    column — size/index/slice/fold/max/filter, float32 cast to double
+    before arithmetic (SURVEY.md §5.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_v"),
+        F.round(F.aggregate(head, F.lit(0.0), lambda a, x: a + x), 6).alias("head_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "q_fn_hash",
+    oracle="SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8: md5 content hashing (the only hash both engines define
+    identically; xxhash64 seeds differ and stays Spark-internal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("text_md5"))

@@ -1,0 +1,303 @@
+"""§2.D — joins.
+
+Strategy notes (verified via ``.explain``, see tests/test_plans.py):
+dimension sides (region/nation/customer at these SFs) broadcast —
+either by Spark's ``autoBroadcastJoinThreshold`` or the explicit
+``F.broadcast`` hints below — so the fact table never shuffles for
+star joins. Large-large joins (self join, as-of) shuffle both sides by
+the join key once; AQE's skew-join splitting handles hot keys at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from novlake_spark.operators.asof import asof_join
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D9: inner equi-join, dimension side broadcast.
+
+    ``F.broadcast(customer)`` pins a BroadcastHashJoin: the fact side
+    streams through map tasks with zero shuffle — the only join shape
+    that is safe against a 100 TB fact table with a small dimension.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select(
+        "o_orderkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name,
+           coalesce(o_orderkey, -1)          AS o_key,
+           round(coalesce(o_totalprice, 0), 2) AS total
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 400000
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: left outer join; unmatched rows surface with coalesced defaults
+    so the output stays null-free (SURVEY.md §5.3)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (customer.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000)
+    return customer.join(orders, cond, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("o_key"),
+        F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("total"),
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders WHERE o_custkey <= 700 GROUP BY o_custkey
+    ), rich AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer WHERE c_custkey >= 500 AND c_acctbal > 5000
+    )
+    SELECT coalesce(o_custkey, -1) AS spend_key,
+           coalesce(c_custkey, -1) AS rich_key,
+           coalesce(spend, 0)      AS spend,
+           coalesce(acctbal, 0)    AS acctbal
+    FROM spend FULL OUTER JOIN rich ON o_custkey = c_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: full outer join with unmatched keys guaranteed on both sides
+    (disjoint key-range filters). Plans as sort-merge join — the only
+    strategy that preserves both null sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.filter(F.col("o_custkey") <= 700)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    rich = customer.filter((F.col("c_custkey") >= 500) & (F.col("c_acctbal") > 5000)).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return spend.join(rich, spend.o_custkey == rich.c_custkey, "full").select(
+        F.coalesce("o_custkey", F.lit(-1)).alias("spend_key"),
+        F.coalesce("c_custkey", F.lit(-1)).alias("rich_key"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        F.coalesce("acctbal", F.lit(0.0)).alias("acctbal"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: left semi join — customers with >=1 big order. Emits each left
+    row at most once; no right columns, no duplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: left anti join — the NOT EXISTS complement of q_join_semi."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: explicit cartesian product of two tiny dimensions (5x25).
+
+    Cross joins are only ever sane when one side is broadcast-small;
+    the L-family similarity joins use LSH/label blocking instead of
+    this operator for exactly that reason.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT s_nationkey AS nationkey,
+           count(*) AS n_pairs,
+           round(avg(c_acctbal - s_acctbal), 4) AS avg_gap
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey
+     AND c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: hybrid equi + range (theta) join.
+
+    The equi part (nation key) drives a hash join; the band predicate
+    evaluates as a cheap post-join filter. A pure theta join would plan
+    as BroadcastNestedLoopJoin — always pair a range condition with an
+    equi/blocking key at scale.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    cond = (
+        (supplier.s_nationkey == customer.c_nationkey)
+        & (customer.c_acctbal >= supplier.s_acctbal - 500)
+        & (customer.c_acctbal <= supplier.s_acctbal + 500)
+    )
+    return (
+        supplier.join(customer, cond)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(customer.c_acctbal - supplier.s_acctbal), 4).alias("avg_gap"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id AS p_id, user_id,
+           coalesce(last_click, -1) AS last_click_id
+    FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: as-of join — each purchase annotated with the user's latest
+    at-or-before click, via operators.asof.asof_join (union + window:
+    one shuffle, no pairwise blow-up; see that module's docstring)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts", F.col("event_id"))
+        .select("user_id", "ts", "event_id", "click_id")
+    )
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts", payload="click_id", tie_break="event_id")
+    return joined.select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.coalesce("asof_click_id", F.lit(-1)).alias("last_click_id"),
+    )
+
+
+Q3_CUTOFF = "1998-03-15 00:00:00"
+
+
+@register(
+    "q_join_star",
+    oracle=f"""
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: TPC-H Q3-shape 3-way star join + agg + top-10 (bench headline).
+
+    Filters push to all three scans; the filtered customer dimension
+    broadcasts, so lineitem (the 100 TB table in production) shuffles
+    only for the final small aggregation. Top-10 runs as
+    TakeOrderedAndProject (per-partition top-k, then merge on driver).
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+    building_orders = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        lineitem.join(F.broadcast(building_orders), lineitem.l_orderkey == building_orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_join_self",
+    oracle="""
+    SELECT c1.c_nationkey AS nationkey, count(*) AS n_pairs
+    FROM customer c1 JOIN customer c2
+      ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+    GROUP BY c1.c_nationkey
+    """,
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: self join — same-nation customer pairs, counted per nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    c1 = customer.alias("c1")
+    c2 = customer.alias("c2")
+    return (
+        c1.join(
+            c2,
+            (F.col("c1.c_nationkey") == F.col("c2.c_nationkey"))
+            & (F.col("c1.c_custkey") < F.col("c2.c_custkey")),
+        )
+        .groupBy(F.col("c1.c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

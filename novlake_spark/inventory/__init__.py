@@ -3,11 +3,14 @@ registers every query key with novlake_spark.registry."""
 
 from novlake_spark.inventory import (  # noqa: F401
     aggregates,
+    events,
     functions,
     joins,
+    llm,
     projection,
     sets,
+    udfs,
     windows,
 )
 
-MODULES = [aggregates, functions, joins, projection, sets, windows]
+MODULES = [aggregates, events, functions, joins, llm, projection, sets, udfs, windows]

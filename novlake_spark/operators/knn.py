@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (SURVEY.md §2.L L3–L5).
+
+Fixture embeddings are unit-normalized (Σx²=1, verified in FIXTURES.md)
+so cosine similarity ≡ dot product; all arithmetic casts float32→double
+first (§5.3) and stays in built-in higher-order functions (zip_with +
+aggregate fold — JVM-side, no Python round trip).
+
+Scale ladder:
+1. ``knn_single``  — one query vs the corpus: broadcast the query row,
+   map-side score, TakeOrderedAndProject top-k. Linear scan, no shuffle.
+2. ``knn_join_blocked`` — all-pairs k-NN restricted to a blocking key
+   (label, LSH bucket, shard): cost Σ block², embarrassingly parallel
+   per block. This is the only sane all×all shape at 100 TB.
+3. ``lsh_bucketed_knn`` — approximate: sign-random-projection buckets
+   (deterministic hyperplanes from a seeded RNG) shrink candidate sets;
+   recall/cost tunes via n_planes. Brute force within bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> F.Column:
+    """Σ a_i·b_i with float→double widening, left-to-right fold (matches
+    DuckDB's list_dot_product accumulation at 4-dp rounding)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_single(emb: DataFrame, query_id: int, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k neighbours of one stored vector, brute force.
+
+    The single query row is broadcast — scoring happens in the scan
+    stage; the only data movement is k rows per task to the driver.
+    """
+    query = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    return (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(id_col, F.round(dot(F.col(vec_col), F.col("_qv")), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join_blocked(
+    emb: DataFrame,
+    block_col: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k nearest neighbours for every vector, within its block.
+
+    Self-join on the block key (hash join, shuffle by block) then
+    per-query top-k via row_number — never a global cross join.
+    """
+    a = emb.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    scored = (
+        a.join(b, "_blk")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("_blk", "a_id", "b_id", F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("score"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("_blk").alias(block_col), "a_id", "b_id", "score", "rn")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-random-projection LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def srp_bucket(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-random-projection bucket id: bit p = (v·plane_p > 0)."""
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_bucketed_knn(
+    emb: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN: exact knn_join within each SRP bucket.
+
+    2^n_planes buckets shrink the pairwise cost by ~4^n_planes at the
+    price of missing cross-bucket neighbours (recall measured in
+    tests/test_llm_ops.py against brute force).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = emb.withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
+    return knn_join_blocked(bucketed, "_bucket", k, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "_bucket", "bucket"
+    )

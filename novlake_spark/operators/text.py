@@ -1,0 +1,113 @@
+"""Text-analysis building blocks (LLM-pipeline extension, SURVEY.md §2.L).
+
+All helpers return Column expressions built from pyspark.sql.functions
+(higher-order array functions, no Python UDFs) so they run inside
+whole-stage codegen at scan speed — the only acceptable cost model for
+per-document features over a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenizer (the fixture corpus is space-separated)."""
+    return F.split(F.lower(text), " ")
+
+
+def shingles(toks: Column, k: int) -> Column:
+    """k-token shingles as strings: positions i..i+k-1 for i in 1..n-k+1.
+
+    Guarded for short docs: Spark's sequence(1, n) generates a
+    *descending* [1, 0] when n < 1, so the n-k+1 bound must not go
+    non-positive.
+    """
+    joined = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + off) for off in range(k)]
+    )
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)), joined),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams(toks: Column) -> Column:
+    return shingles(toks, 2)
+
+
+def fingerprint(toks: Column, k: int = 5) -> Column:
+    """Document fingerprint: min MD5 over k-token shingles (a 1-hash
+    MinHash — collision ⇒ shared rare shingle, the winnowing idea)."""
+    return F.array_min(F.transform(shingles(toks, k), F.md5))
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_ratio(toks: Column) -> Column:
+    """Lexical-diversity quality signal: distinct/total tokens."""
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def mean_token_len(toks: Column) -> Column:
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(toks)
+
+
+#: Marker-token sets for the language-ID heuristic. The fixture corpus
+#: is synthetic (one shared SQL-ish vocabulary for every lang label), so
+#: these markers demonstrate the mechanism deterministically; production
+#: swaps in real per-language stopword lists.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "key", "order"),
+    "de": ("table", "scan", "merge"),
+    "es": ("sort", "fast", "row"),
+    "fr": ("agg", "window", "batch"),
+    "zh": ("spark", "hash", "join"),
+}
+
+
+def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens belonging to a marker set (duplicates count)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax over marker-hit counts; ties resolve in LANG_MARKERS order.
+
+    Expressed as a CASE cascade so the identical logic is one SQL string
+    on the oracle side (FULL parity on the *mechanism*).
+    """
+    hits = {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(hits[lang] == best, lang).otherwise(expr)
+    return expr
+
+
+def simhash(toks: Column, bits: int = 32) -> Column:
+    """SimHash document signature from xxhash64 token hashes.
+
+    Per bit j: sum tokens' ±1 votes by hash bit j; bit set iff the sum
+    is positive. Near-identical documents differ in few bits →
+    Hamming-distance dedup. xxhash64 is Spark-internal (no DuckDB
+    equivalent), so queries exposing this are WEAK-oracle by design.
+    """
+    h = lambda t: F.xxhash64(t)  # noqa: E731
+    votes = [
+        F.aggregate(
+            F.transform(toks, lambda t: F.when(F.shiftright(h(t), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        for j in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out

@@ -1,0 +1,109 @@
+"""Structured Streaming over the events table (SURVEY.md §2.J).
+
+The reference is batch-only (novlake appends partitions and re-queries;
+SURVEY.md §1.1) — this module is the capability extension: the *same
+logical plans* as inventory/events.py, built over ``readStream``, so
+batch results and incremental results provably agree (asserted in
+tests/test_streaming.py via the availableNow trigger).
+
+Scale/ops notes:
+- File-source streams list new files per micro-batch;
+  ``maxFilesPerTrigger`` bounds batch size for replay/backfill.
+- ``withWatermark`` bounds state: aggregation state for windows older
+  than (max event time − delay) is evicted — without it, a windowed
+  stream grows state forever. 30 min covers the fixture's out-of-order
+  span while keeping state small.
+- Parquet sink + checkpointLocation gives exactly-once output; the
+  memory sink here is for tests/driver smoke only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from novlake_spark.session import tune
+
+#: events.parquet physical schema with the TIMESTAMP(NANOS) column read
+#: as a raw long (nanosAsLong), converted below exactly like the batch
+#: path in sources.tables.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """The events table as a file-source stream (Parquet replay)."""
+    tune(spark)
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_tumbling(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """J1 incremental: 1-hour tumbling counts with bounded state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_user_counts(stream: DataFrame) -> DataFrame:
+    """J6 incremental: keyed running counts (update/complete mode)."""
+    return stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """J5 incremental: watermark-bounded dropDuplicates on the event key."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_session_counts(stream: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """J3 incremental: per-user session windows (10-minute gap)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_in_session")
+    )
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain the whole backlog through the incremental engine into a
+    memory sink (J8); returns the sink contents as a DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

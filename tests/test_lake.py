@@ -1,0 +1,94 @@
+"""Lake facade (§2.A) round-trips: write modes, partitioning, formats."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from novlake_spark.lake import Lake
+
+
+@pytest.fixture()
+def lake(spark, sf_small):
+    lk = Lake(spark)
+    lk.attach_dir(sf_small, ["region", "nation", "orders"])
+    return lk
+
+
+def test_query_and_preview(lake):
+    df = lake.query("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    assert df.count() == 5
+    assert lake.preview("nation", 7).count() == 7
+
+
+def test_tables_and_describe(lake):
+    assert {"region", "nation", "orders"} <= set(lake.tables())
+    cols = dict(lake.describe("nation"))
+    assert cols["n_name"] == "string"
+
+
+def test_replace_table_roundtrip(lake, tmp_path):
+    src = lake.query("SELECT n_nationkey, n_name FROM nation")
+    out = lake.replace_table(src, "nation_copy", str(tmp_path / "nation_copy"))
+    assert out.count() == 25
+    assert "nation_copy" in lake.tables()
+    # overwrite replaces, not appends
+    lake.replace_table(src.limit(5), "nation_copy", str(tmp_path / "nation_copy"))
+    assert lake.query("SELECT count(*) AS n FROM nation_copy").first().n == 5
+
+
+def test_append(lake, tmp_path):
+    src = lake.query("SELECT n_nationkey, n_name FROM nation")
+    path = str(tmp_path / "nation_app")
+    lake.replace_table(src, "nation_app", path)
+    lake.append(src, "nation_app", path)
+    assert lake.query("SELECT count(*) AS n FROM nation_app").first().n == 50
+
+
+def test_partitioned_write_prunes(lake, tmp_path, spark):
+    orders = lake.query("SELECT * FROM orders")
+    path = str(tmp_path / "orders_part")
+    lake.replace_table(
+        orders.withColumn("status", F.col("o_orderstatus")),
+        "orders_part",
+        path,
+        partition_by=["status"],
+    )
+    import os
+
+    assert any(d.startswith("status=") for d in os.listdir(path))
+    # partition filter touches only one directory's files
+    one = spark.read.parquet(path).filter(F.col("status") == "F")
+    assert one.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_dynamic_partition_overwrite(lake, tmp_path):
+    orders = lake.query("SELECT o_orderkey, o_orderstatus AS status FROM orders")
+    path = str(tmp_path / "orders_dyn")
+    lake.replace_table(orders, "orders_dyn", path, partition_by=["status"])
+    before_f = lake.query("SELECT count(*) n FROM orders_dyn WHERE status='O'").first().n
+    # overwrite ONLY the F partition with a single row
+    one = lake.query("SELECT o_orderkey, o_orderstatus AS status FROM orders WHERE o_orderstatus='F' LIMIT 1")
+    lake.overwrite_partitions(one, "orders_dyn", path, partition_by=["status"])
+    assert lake.query("SELECT count(*) n FROM orders_dyn WHERE status='F'").first().n == 1
+    assert lake.query("SELECT count(*) n FROM orders_dyn WHERE status='O'").first().n == before_f
+
+
+def test_csv_json_roundtrip(lake, tmp_path, spark):
+    df = lake.query("SELECT n_nationkey, n_name FROM nation")
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    lake.dump_csv(df, csv_path)
+    back = spark.read.csv(csv_path, header=True, inferSchema=True)
+    assert back.count() == 25 and set(back.columns) == {"n_nationkey", "n_name"}
+    df.write.mode("overwrite").json(json_path)
+    jback = spark.read.json(json_path)
+    assert jback.count() == 25
+
+
+def test_repair_partitions(lake, tmp_path, spark):
+    df = lake.query("SELECT o_orderkey, o_orderstatus AS status FROM orders")
+    path = str(tmp_path / "orders_rep")
+    lake.replace_table(df, "orders_rep", path, partition_by=["status"])
+    # new partition dir appears out-of-band (another writer) → repair picks it up
+    extra = df.filter("status='F'").limit(3).withColumn("status", F.lit("X"))
+    extra.write.mode("append").partitionBy("status").parquet(path)
+    lake.repair_partitions("orders_rep", path)
+    assert lake.query("SELECT count(*) n FROM orders_rep WHERE status='X'").first().n == 3

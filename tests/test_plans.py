@@ -1,0 +1,55 @@
+"""Plan-shape assertions (§4): the properties that keep queries viable
+at 100 TB, pinned so regressions are visible at sf0.001."""
+
+import pyspark.sql.functions as F
+
+from novlake_spark import plans
+from novlake_spark.inventory.joins import q_join_star
+from novlake_spark.inventory.projection import q_topk_global
+from novlake_spark.sources.tables import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    assert plans.has_pushed_filters(df, "l_quantity")
+
+
+def test_column_pruning(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    cols = plans.pruned_read_schema(df, "lineitem")
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_small):
+    df = q_join_star(spark, sf_small)
+    assert plans.has_broadcast_hash_join(df)
+
+
+def test_topk_is_take_ordered(spark, sf_small):
+    assert plans.has_take_ordered(q_topk_global(spark, sf_small))
+
+
+def test_q1_whole_stage_codegen(spark, sf_small):
+    from novlake_spark.inventory.aggregates import q_agg_groupby
+
+    df = q_agg_groupby(spark, sf_small)
+    assert plans.wholestage_codegen_spans(df) >= 1
+    assert plans.has_pushed_filters(df, "l_shipdate")
+
+
+def test_q1_reads_only_needed_columns(spark, sf_small):
+    from novlake_spark.inventory.aggregates import q_agg_groupby
+
+    cols = plans.pruned_read_schema(q_agg_groupby(spark, sf_small), "lineitem")
+    assert "l_comment" not in cols  # nonexistent anyway, but: no full-width read
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }

@@ -229,6 +229,29 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_join_multikey",
+    oracle="""
+    WITH t AS (SELECT user_id, event_type, count(*) AS type_count
+               FROM events GROUP BY user_id, event_type)
+    SELECT e.event_id, e.user_id, e.event_type, t.type_count
+    FROM events e JOIN t ON e.user_id = t.user_id AND e.event_type = t.event_type
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: composite-key equi-join — each purchase annotated with its
+    (user, type) frequency. Both sides shuffle on the same composite
+    key, so the join itself is co-partitioned."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(counts, ["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "type_count")
+    )
+
+
 Q3_CUTOFF = "1998-03-15 00:00:00"
 
 

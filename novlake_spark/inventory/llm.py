@@ -37,14 +37,14 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_dedup_near")  # WEAK: MinHash/LSH is algorithm-specific, rows-only check
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: near-dup candidate pairs via MinHash(32) + LSH(8 bands × 4).
+    """L2: near-dup detection — MinHash(32) → LSH(8 bands × 4) candidate
+    pairs → exact-Jaccard verification score per candidate.
 
-    Deterministic (seeded xxhash64) but not SQL-portable → WEAK oracle.
+    Deterministic (seeded hashing) but not SQL-portable → WEAK oracle.
     Recall on planted near-dups is asserted in tests/test_llm_ops.py.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(docs)
-    return D.lsh_candidate_pairs(sig)
+    return D.near_dup_pairs(docs, threshold=0.0)
 
 
 @register("q_llm_dedup_simhash")  # WEAK: xxhash64 has no DuckDB equivalent
@@ -322,6 +322,29 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash / winnowing-style content signature)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint(T.tokens(F.col("text")), k=5).alias("fp"))
+
+
+@register(
+    "q_llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6c: token counting two ways — whitespace split and a BPE-ish
+    regex (alpha runs | digit runs | single other-char), the standard
+    pre-tokenizer shape for LLM data budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
 
 
 def _langid_oracle() -> str:

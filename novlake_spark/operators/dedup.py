@@ -163,6 +163,40 @@ def lsh_bucket_stats(sig: DataFrame, id_col: str = "doc_id", num_bands: int = 8,
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact-Jaccard
+    verification (the standard shape: banding yields false positives,
+    the verify join scores each candidate with true token-set Jaccard).
+
+    Returns (id_a, id_b, jaccard) for candidates with jaccard >=
+    ``threshold``. The verify join touches only candidate ids — two
+    broadcast-able lookups against the corpus, never all-pairs.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sig, id_col, num_bands, rows_per_band)
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("_toks")
+    )
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_ta"), F.col("_tb")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard(toks_a, toks_b) -> F.Column:
     """Exact n-gram/token Jaccard similarity of two (distinct) arrays."""
     da, db = F.array_distinct(toks_a), F.array_distinct(toks_b)

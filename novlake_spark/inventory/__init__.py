@@ -9,8 +9,9 @@ from novlake_spark.inventory import (  # noqa: F401
     llm,
     projection,
     sets,
+    subqueries,
     udfs,
     windows,
 )
 
-MODULES = [aggregates, events, functions, joins, llm, projection, sets, udfs, windows]
+MODULES = [aggregates, events, functions, joins, llm, projection, sets, subqueries, udfs, windows]

@@ -174,6 +174,15 @@ def q_llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.lsh_bucketed_knn(emb, k=5, n_planes=4)
 
 
+@register("q_llm_knn_ivf")  # WEAK: approximate — recall asserted in unit tests
+def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5c: approximate k-NN via an IVF coarse quantizer (seeded k-means
+    cells, exact search within cell) — the data-adaptive alternative to
+    SRP-LSH bucketing; recall vs brute force pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.ivf_knn(emb, k=5, n_cells=8)
+
+
 @register(
     "q_llm_textstats",
     oracle="""

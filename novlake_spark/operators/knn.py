@@ -99,6 +99,78 @@ def srp_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     return out
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids seed deterministically from the ``n_cells`` lowest-id
+    vectors, then ``lloyd_iters`` rounds of distributed k-means refine
+    them (assignment is a broadcast argmax — one narrow pass; the
+    update is a posexplode + per-dimension mean, shuffling only
+    n_cells×dim aggregates). Returns (assigned df with ``cell``,
+    centroid list). Only centroids — K×dim floats — ever reach the
+    driver.
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    ]
+
+    def assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+        scores = F.array(
+            *[
+                dot(F.col(vec_col), F.array(*[F.lit(c) for c in cent]))
+                for cent in centroids
+            ]
+        )
+        return (
+            df.withColumn("_scores", scores)
+            .withColumn("cell", (F.array_position("_scores", F.array_max("_scores")) - 1).cast("int"))
+            .drop("_scores")
+        )
+
+    assigned = assign(emb, cents)
+    for _ in range(lloyd_iters):
+        new = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        by_cell = {r.cell: list(r.centroid) for r in new}
+        cents = [by_cell.get(i, cents[i]) for i in range(n_cells)]
+        assigned = assign(emb, cents)
+    return assigned, cents
+
+
+def ivf_knn(
+    emb: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN join: exact search within each IVF cell.
+
+    The inverted-file structure bounds pairwise cost to Σ cell² like
+    label/LSH blocking, but cells follow the data distribution
+    (k-means) instead of random projections — better recall on
+    clustered corpora. Query-time multi-probe (searching n nearest
+    cells) extends this; within-cell search reuses knn_join_blocked.
+    """
+    assigned, _ = ivf_assign(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    out = knn_join_blocked(assigned.drop("_scores"), "cell", k, id_col=id_col, vec_col=vec_col)
+    return out
+
+
 def lsh_bucketed_knn(
     emb: DataFrame,
     k: int,

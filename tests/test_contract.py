@@ -22,6 +22,7 @@ def test_registry_shape():
         "q_llm_dedup_near",
         "q_llm_dedup_simhash",
         "q_llm_knn_lsh",
+        "q_llm_knn_ivf",
     }
 
 

@@ -118,14 +118,14 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.upper("p_brand").alias("up_brand"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name8"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
         F.element_at(F.split("p_type", " "), 1).alias("type_head"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
-        F.instr("p_name", "a").alias("a_pos"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
         F.col("p_name").startswith("s").cast("int").alias("s_start"),
     )
 
@@ -152,13 +152,13 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.to_date("o_orderdate")
     return orders.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
 
@@ -224,11 +224,11 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_v"),
         F.round(F.aggregate(head, F.lit(0.0), lambda a, x: a + x), 6).alias("head_sum"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
     )
 
 

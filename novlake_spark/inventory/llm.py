@@ -225,8 +225,8 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T.tokens(F.col("text"))
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.round(T.distinct_ratio(toks), 4).alias("distinct_ratio"),
         F.round(T.mean_token_len(toks), 4).alias("mean_tok_len"),
         "n_chars",
@@ -349,8 +349,8 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast("long").alias(
             "bpe_ish_tokens"
         ),
     )

@@ -81,7 +81,7 @@ _CTE_SQL = """
              rank() OVER (ORDER BY spend DESC, o_custkey) AS rnk
       FROM spend
     )
-    SELECT r.rnk, r.o_custkey, c.c_name, round(r.spend, 2) AS spend, r.n_orders
+    SELECT CAST(r.rnk AS BIGINT) AS rnk, r.o_custkey, c.c_name, round(r.spend, 2) AS spend, r.n_orders
     FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
     WHERE r.rnk <= 25
 """

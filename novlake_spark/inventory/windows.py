@@ -35,7 +35,7 @@ def q_win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: row_number over a total per-customer recency order."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-    return orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+    return orders.select("o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
 
 
 @register(
@@ -55,8 +55,8 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_nationkey",
         "c_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     )
 
 
@@ -73,7 +73,7 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile assigns by row position, where ties would be ambiguous."""
     customer = load_table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return customer.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    return customer.select("c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
 @register(
@@ -224,7 +224,7 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total"),
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )

@@ -36,6 +36,9 @@ table lands as prunable, right-sized files instead of a few giant ones.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from novlake_spark.session import tune
@@ -142,3 +145,63 @@ class Lake:
     def dump_csv(self, df: DataFrame, path: str, header: bool = True) -> None:
         """A9: export a result as CSV files."""
         df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+    # -- scale utilities ---------------------------------------------------
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: str,
+        n_buckets: int = 8,
+        sort_by: str | None = None,
+    ) -> DataFrame:
+        """Write a catalog table bucketed (and optionally sorted) by a key.
+
+        Two tables bucketed identically on their join key join with NO
+        exchange on either side — the physical property that turns a
+        recurring 100 TB fact⋈fact join from a cluster-wide shuffle
+        into a per-bucket local merge. Requires ``saveAsTable`` (bucket
+        metadata lives in the catalog, not the files).
+        """
+        # Idempotence across sessions: the in-memory catalog forgets
+        # managed tables on restart but their warehouse directories
+        # survive, and saveAsTable refuses to reuse the location.
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        leftover = os.path.join(warehouse.removeprefix("file:"), name)
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_by)
+        if sort_by:
+            writer = writer.sortBy(sort_by)
+        writer.saveAsTable(name)
+        out = self.spark.table(name)
+        self.namespace[name] = f"table:{name}"
+        return out
+
+    def compact(self, path: str, target_file_mb: int = 128) -> int:
+        """Small-file compaction: rewrite a Parquet prefix into files of
+        ~``target_file_mb``. The perennial lake maintenance op —
+        streaming/append workloads produce many small files, and scan
+        cost at 100 TB is dominated by file-open overhead once files
+        fall below ~tens of MB. Returns the new file count.
+        """
+        import glob
+        import os
+
+        df = self.spark.read.parquet(path)
+        size_b = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        n_files = max(1, -(-size_b // (target_file_mb * 1024 * 1024)))
+        tmp = path.rstrip("/") + "_compacting"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        # atomic-ish swap: readers see old or new prefix, not a mix
+        bak = path.rstrip("/") + "_old"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        import shutil
+
+        shutil.rmtree(bak)
+        return n_files

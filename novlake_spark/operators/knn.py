@@ -72,7 +72,7 @@ def knn_join_blocked(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(F.col("_blk").alias(block_col), "a_id", "b_id", "score", "rn")
+        .select(F.col("_blk").alias(block_col), "a_id", "b_id", "score", F.col("rn").cast("long").alias("rn"))
     )
 
 

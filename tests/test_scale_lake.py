@@ -1,0 +1,64 @@
+"""Scale-oriented lake utilities: bucketed co-located joins (no
+exchange) and small-file compaction."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from novlake_spark.lake import Lake
+from novlake_spark.plans import explain_str
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        lake = Lake(spark)
+        lake.attach_dir(sf_small, ["orders", "lineitem"])
+        o = lake.query("SELECT o_orderkey, o_totalprice FROM orders")
+        li = lake.query("SELECT l_orderkey, l_quantity FROM lineitem")
+        lake.save_bucketed(o, "orders_b", "o_orderkey", 8, sort_by="o_orderkey")
+        lake.save_bucketed(li, "lineitem_b", "l_orderkey", 8, sort_by="l_orderkey")
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = explain_str(joined, "simple")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_compact_reduces_file_count(spark, sf_small, tmp_path):
+    lake = Lake(spark)
+    lake.attach_dir(sf_small, ["lineitem"])
+    path = str(tmp_path / "li_many")
+    # simulate a small-file mess: 64 files
+    lake.query("SELECT * FROM lineitem").repartition(64).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before == 64
+    n_rows = spark.read.parquet(path).count()
+    new_files = lake.compact(path, target_file_mb=128)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert after == new_files < before
+    assert spark.read.parquet(path).count() == n_rows
+
+
+def test_null_ordering_controls(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, None), (3, 1.0)], "id long, v double")
+    last = [r.id for r in df.orderBy(F.col("v").asc_nulls_last()).collect()]
+    first = [r.id for r in df.orderBy(F.col("v").asc_nulls_first()).collect()]
+    assert last == [3, 1, 2]
+    assert first == [2, 3, 1]
+
+
+def test_conditional_null_functions(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (float("nan"), 2.0)], "a double, b double")
+    out = df.select(
+        F.coalesce(F.nullif("b", F.lit(0.0)), F.lit(-1.0)).alias("nz"),
+        F.isnan("a").alias("nan"),
+        F.nvl(F.nullif("b", F.lit(2.0)), F.lit(9.0)).alias("nvl"),
+    ).collect()
+    assert out[0].nz == -1.0 and out[0].nan is False and out[0].nvl == 0.0
+    assert out[1].nz == 2.0 and out[1].nan is True and out[1].nvl == 9.0

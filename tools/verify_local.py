@@ -98,6 +98,14 @@ def main() -> int:
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
         elif canon_hash(sdf) != canon_hash(odf):
             problems.append("hash mismatch")
+        else:
+            dt = [
+                f"{c}:{sdf[c].dtype}!={odf[c].dtype}"
+                for c in sdf.columns
+                if str(sdf[c].dtype) != str(odf[c].dtype)
+            ]
+            if dt:
+                print(f"{key}: DTYPE WARN {dt}")
         if problems:
             print(f"{key}: FAIL {', '.join(problems)} ({time.time()-t0:.1f}s)")
             if "hash mismatch" in problems and len(sdf) == len(odf):

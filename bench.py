@@ -55,7 +55,8 @@ def main() -> None:
     spark = get_session("novlake-bench", master=f"local[{cpus}]", shuffle_partitions=8)
     qs = queries()
     run_once(qs, spark, sf_dir)  # warm-up: JIT, codegen, file listing
-    times = run_once(qs, spark, sf_dir)
+    a, b = run_once(qs, spark, sf_dir), run_once(qs, spark, sf_dir)
+    times = {k: min(a[k], b[k]) for k in a}  # min-of-2 damps JIT/GC noise
     total = round(sum(times.values()), 3)
     print(json.dumps({"metric": "bench_total_warm", "value": total, "unit": "sec", "queries": times, "sf": sf}))
     spark.stop()

@@ -154,8 +154,10 @@ def q_llm_knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (
       SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_dot_product(a.v, b.v), 4) AS score,
+             -- rank on the ROUNDED score (like the Spark side): ties at
+             -- 4 dp must break on b_id identically in both engines
              row_number() OVER (PARTITION BY a.vec_id
-                                ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id) AS rn
+                                ORDER BY round(list_dot_product(a.v, b.v), 4) DESC, b.vec_id) AS rn
       FROM d a JOIN d b ON a.vec_id <> b.vec_id
     ) WHERE rn <= 5
     """,

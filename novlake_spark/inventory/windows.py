@@ -156,7 +156,7 @@ def q_win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            count(*) OVER (PARTITION BY user_id
-                          ORDER BY CAST(epoch(ts) AS BIGINT)
+                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
     FROM events
     """,
@@ -164,7 +164,12 @@ def q_win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: RANGE frame over epoch seconds — events per user in the
     trailing hour. RANGE frames are value-based, so equal timestamps
-    share a frame and no tie-break is needed for determinism."""
+    share a frame and no tie-break is needed for determinism.
+
+    Oracle uses floor(epoch(ts)): DuckDB's double→BIGINT cast *rounds*
+    fractional seconds while Spark's unix_timestamp truncates, shifting
+    frame boundaries by one second for half the rows (found at sf0.1).
+    """
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -234,19 +239,24 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_percent_rank",
     oracle="""
     SELECT c_nationkey, c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000 AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
     """,
 )
 def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10: percent_rank / cume_dist (tie-stable like rank)."""
+    """F10: percent_rank / cume_dist (tie-stable like rank).
+
+    Rounded via floor(x·1e6+0.5)/1e6, not round(): these are exact
+    rationals (k/group_size) that land on .5 micro-boundaries where
+    HALF_UP (Spark) and HALF_EVEN (DuckDB) disagree — found at sf0.1.
+    """
     customer = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
     return customer.select(
         "c_nationkey",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)) / 1000000).alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5)) / 1000000).alias("cume"),
     )

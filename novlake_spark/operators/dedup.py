@@ -70,23 +70,34 @@ def minhash_signatures(
     B = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
     P = np.uint64((1 << 61) - 1)
 
+    # Shingle-combination coefficients (odd → invertible mod 2^64).
+    C = rng.randint(1, 2**62, size=shingle_k, dtype=np.uint64) | np.uint64(1)
+
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
+        # Hash the batch vocabulary once (md5 per *unique token*, ~10-100x
+        # fewer digests than per-shingle hashing), then derive each
+        # shingle's hash as a vectorized polynomial over token hashes.
+        docs_toks = [t.lower().split(" ") for t in texts]
+        vocab = {tok for toks in docs_toks for tok in toks}
+        tokmap = {
+            tok: int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            for tok in vocab
+        }
         out = []
-        for text in texts:
-            toks = text.lower().split(" ")
-            if len(toks) < shingle_k:
-                out.append(None)
-                continue
-            shs = {" ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
-            h = np.fromiter(
-                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in shs),
-                dtype=np.uint64,
-                count=len(shs),
-            )
-            with np.errstate(over="ignore"):
+        with np.errstate(over="ignore"):
+            for toks in docs_toks:
+                n = len(toks) - shingle_k + 1
+                if n < 1:
+                    out.append(None)
+                    continue
+                ids = np.fromiter((tokmap[t] for t in toks), dtype=np.uint64, count=len(toks))
+                h = np.zeros(n, dtype=np.uint64)
+                for off in range(shingle_k):
+                    h += C[off] * ids[off : off + n]
+                h = np.unique(h)  # distinct shingles
                 mins = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
-            out.append(mins.astype(np.int64).tolist())
+                out.append(mins.astype(np.int64).tolist())
         return pd.Series(out)
 
     # Small inputs (one Parquet file → one partition) would serialize the

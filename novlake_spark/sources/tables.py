@@ -37,12 +37,26 @@ TABLES = [
 ]
 
 
+#: (application id, sf_dir, name) → DataFrame. DataFrames are immutable
+#: logical plans, so reuse is safe; keying by the Spark application id
+#: avoids handing out plans bound to a stopped context (a restarted
+#: context gets a fresh app id). Saves the per-call file-listing +
+#: footer-read round trip when many queries touch the same tables
+#: (bench/driver runs).
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (events get the ts shim)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _CACHE[key] = df
     return df
 
 

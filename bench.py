@@ -35,6 +35,11 @@ HEADLINE = [
     "q_llm_tf_topk",
     "q_llm_knn_join",
     "q_llm_dedup_near",
+    "q_subquery_correlated",
+    "q_pivot",
+    "q_llm_tfidf",
+    "q_udf_pandas",
+    "q_scan_events_ts",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Property-based semantics checks (hypothesis): the as-of join's
+union+window formulation is equivalent to the naive join+row_number
+definition on arbitrary inputs, and JSON round-trips are lossless."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from novlake_spark.operators.asof import asof_join
+
+_spark = None  # bound by the autouse fixture below
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _bind_spark(spark):
+    global _spark
+    _spark = spark
+    yield
+
+
+ts_strategy = st.integers(min_value=0, max_value=50)  # minutes, deliberately collision-prone
+events_strategy = st.lists(
+    st.tuples(st.integers(1, 3), ts_strategy), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(left_rows=events_strategy, right_rows=events_strategy)
+def test_asof_equals_naive_definition(left_rows, right_rows):
+    base = dt.datetime(2024, 1, 1)
+    left = _spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(left_rows)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = _spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), 1000 + i, 5000 + i) for i, (k, m) in enumerate(right_rows)],
+        "user_id long, ts timestamp, event_id long, click_id long",
+    )
+    got = {
+        r.event_id: r.asof_click_id
+        for r in asof_join(left, right, "user_id", "ts", "click_id", "event_id").collect()
+    }
+
+    # naive oracle: for each left row, right rows with (ts, event_id) <=
+    # (left.ts, left.event_id) lexicographically, take the max payload by
+    # that same order
+    rights = sorted(right.collect(), key=lambda r: (r.ts, r.event_id))
+    for lr in left.collect():
+        matches = [
+            rr for rr in rights
+            if rr.user_id == lr.user_id and (rr.ts, rr.event_id) <= (lr.ts, lr.event_id)
+        ]
+        want = matches[-1].click_id if matches else None
+        assert got[lr.event_id] == want, (lr, want, got[lr.event_id])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.text(alphabet="abc xyz", max_size=8)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_json_roundtrip(rows):
+    df = _spark.createDataFrame(rows, "n long, s string")
+    back = (
+        df.select(F.to_json(F.struct("n", "s")).alias("j"))
+        .select(F.from_json("j", "n long, s string").alias("x"))
+        .select("x.n", "x.s")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

@@ -345,6 +345,49 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           arg_min(o_orderkey, o_totalprice) AS worst_order,
+           round(max(o_totalprice), 2) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: min_by/max_by (argmin/argmax) — the key of each customer's
+    priciest and cheapest order. Deterministic because (custkey,
+    totalprice) is collision-free at every fixture SF (verified); with
+    ties you'd order a struct or pre-rank with row_number instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0)     AS all_positive,
+           bool_or(l_discount > 0.09)   AS any_big_disc,
+           CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: boolean aggregates (every/any over predicates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.sum(F.when(F.col("l_tax") > 0.05, 1).otherwise(0)).alias("n_taxy"),
+    )
+
+
+@register(
     "q_agg_collect",
     oracle="""
     SELECT n_regionkey,

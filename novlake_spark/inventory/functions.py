@@ -233,6 +233,33 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                     AS low_byte,
+           o_orderkey | 4096                    AS with_flag,
+           xor(o_orderkey, 1)                   AS flipped,
+           o_orderkey << 2                      AS shl,
+           o_orderkey >> 3                      AS shr
+    FROM orders
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9: bitwise family (mask/flag/xor/shifts) — flag-packing ops used
+    in feature hashing and bitmap-style filters."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1)).alias("flipped"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@register(
     "q_fn_hash",
     oracle="SELECT doc_id, md5(text) AS text_md5 FROM documents",
 )

@@ -209,6 +209,33 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_nth_value",
+    oracle="""
+    SELECT DISTINCT c_nationkey,
+           nth_value(c_custkey, 2) OVER w AS second_cust,
+           nth_value(c_custkey, 3) OVER w AS third_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: nth_value over an explicit full frame (same footgun note as
+    first/last: the default frame would truncate at CURRENT ROW)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return customer.select(
+        "c_nationkey",
+        F.nth_value("c_custkey", 2).over(w).alias("second_cust"),
+        F.nth_value("c_custkey", 3).over(w).alias("third_cust"),
+    ).distinct()
+
+
+@register(
     "q_win_topk_per_group",
     oracle="""
     SELECT * FROM (

@@ -64,7 +64,7 @@ def main() -> int:
     keys = sys.argv[1:] or sorted(queries().keys())
     qs, oracles = queries(), oracle_sql()
 
-    spark = get_session("novlake-verify", shuffle_partitions=8)
+    spark = get_session("novlake-verify", shuffle_partitions=int(os.environ.get("VERIFY_SHUFFLE", "8")))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

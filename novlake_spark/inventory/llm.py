@@ -274,20 +274,22 @@ def q_llm_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L8: tf-idf, top 30 (doc, term) scores.
 
-    Two aggregations + a broadcast join of the tiny df table; N comes
-    from a count() action (a scalar, not a data collect).
+    Two aggregations + a broadcast join of the tiny df table; N joins
+    in as a broadcast 1-row aggregate, keeping the whole plan lazy (no
+    separate count() job).
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     return (
         tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "tok",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4).alias("tfidf"),
         )
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("tok").asc())
         .limit(30)

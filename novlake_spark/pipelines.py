@@ -1,0 +1,95 @@
+"""End-to-end training-data curation pipeline.
+
+This is the integration layer the LLM-pipeline operators exist for: raw
+documents → language routing → quality filtering → exact + near dedup →
+token accounting → partitioned, size-targeted Parquet. Each stage is a
+DataFrame→DataFrame function, so the whole pipeline is ONE lazy plan
+until the final write (filters fuse into the scan; only the dedup
+stages shuffle).
+
+At 100 TB: the quality/language stages are scan-speed codegen; exact
+dedup shuffles 16-byte digests; near-dup shuffles num_hashes longs per
+doc; the final write partitions by language with bounded file sizes so
+downstream training jobs prune and stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from novlake_spark.operators import dedup as D
+from novlake_spark.operators import text as T
+
+
+@dataclass
+class CurationStats:
+    input_docs: int
+    after_quality: int
+    after_exact_dedup: int
+    after_near_dedup: int
+    total_tokens: int
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Drop degenerate documents (too short/long, low lexical diversity)."""
+    toks = T.tokens(F.col("text"))
+    return (
+        docs.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("_dr", T.distinct_ratio(toks))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("_dr") >= min_distinct_ratio)
+        )
+        .drop("_dr")
+    )
+
+
+def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per normalized-content digest."""
+    keep = D.exact_dedup(docs, id_col=id_col).select(F.col("keep_id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+def drop_near_dups(docs: DataFrame, threshold: float = 0.8, id_col: str = "doc_id") -> DataFrame:
+    """Remove the higher-id member of every verified near-dup pair."""
+    losers = (
+        D.near_dup_pairs(docs, threshold=threshold, id_col=id_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def curate(
+    docs: DataFrame,
+    out_path: str | None = None,
+    near_dup_threshold: float = 0.8,
+    max_records_per_file: int = 100_000,
+) -> tuple[DataFrame, CurationStats]:
+    """Run the full curation pipeline; optionally write partitioned by
+    language. Returns (curated DataFrame, stage-by-stage stats)."""
+    n_in = docs.count()
+    q = quality_filter(docs)
+    n_q = q.count()
+    e = drop_exact_dups(q)
+    n_e = e.count()
+    nd = drop_near_dups(e, threshold=near_dup_threshold)
+    n_nd = nd.count()
+    total_tokens = nd.agg(F.sum("n_tokens")).first()[0] or 0
+    if out_path:
+        (
+            nd.write.mode("overwrite")
+            .partitionBy("lang")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .parquet(out_path)
+        )
+    return nd, CurationStats(n_in, n_q, n_e, n_nd, int(total_tokens))

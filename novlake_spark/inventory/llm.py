@@ -282,7 +282,10 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (docs-per-token == tf rows per token): one
+    # explode + one wide shuffle total, instead of exploding the corpus
+    # twice
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(df), "tok")
         .crossJoin(F.broadcast(n))

@@ -39,6 +39,49 @@ _OUTPUT_SCHEMA = StructType(
 )
 
 
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Same running totals via Spark 4's ``transformWithStateInPandas``
+    — the successor API (SURVEY.md §7.4): explicit typed state handles
+    (ValueState/ListState/MapState), timers, and TTL support instead of
+    a single opaque state tuple.
+
+    Environment note: this API's state-server protocol needs
+    ``google.protobuf`` (absent in this sandbox, no network to install)
+    plus the RocksDB state store provider; the test skips when protobuf
+    is missing and ``running_user_totals`` (applyInPandasWithState)
+    remains the exercised J7 path — exactly the fallback SURVEY.md §7.4
+    planned."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Per-user running (count, sum(value)) maintained in explicit state;
     emits the updated running totals for each key touched by a batch."""

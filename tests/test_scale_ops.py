@@ -2,6 +2,7 @@
 arbitrary stateful streaming across multiple micro-batches."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from novlake_spark.operators import knn as K
 from novlake_spark.operators.skew import salted_join
@@ -47,9 +48,7 @@ def test_ivf_knn_recall(spark, sf_small):
     assert recall > 0.2, recall  # vs 1/8 chance under random cells
 
 
-def test_stateful_running_totals_across_batches(spark, sf_small, tmp_path):
-    from novlake_spark.streaming.stateful import running_user_totals
-
+def _stateful_case(spark, sf_small, tmp_path, builder):
     events = load_table(spark, sf_small, "events")
     src = str(tmp_path / "ev_split")
     # three files -> three micro-batches with maxFilesPerTrigger=1
@@ -60,7 +59,13 @@ def test_stateful_running_totals_across_batches(spark, sf_small, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    out = running_user_totals(stream)
+    return events, builder(stream)
+
+
+def test_stateful_running_totals_across_batches(spark, sf_small, tmp_path):
+    from novlake_spark.streaming.stateful import running_user_totals
+
+    events, out = _stateful_case(spark, sf_small, tmp_path, running_user_totals)
     q = (
         out.writeStream.format("memory").queryName("t_state").outputMode("update")
         .trigger(availableNow=True).start()
@@ -70,6 +75,31 @@ def test_stateful_running_totals_across_batches(spark, sf_small, tmp_path):
     assert sunk.groupby("user_id").size().max() >= 2  # keys updated across >1 batch
 
     # the LAST emitted state per user equals the batch ground truth
+    final = sunk.groupby("user_id")["n_events"].max()
+    truth = {r.user_id: r.n for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for user, n in final.items():
+        assert n == truth[user]
+
+
+def test_transform_with_state_running_totals(spark, sf_small, tmp_path):
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf (absent in sandbox)",
+    )
+    from novlake_spark.streaming.stateful import running_user_totals_tws
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events, out = _stateful_case(spark, sf_small, tmp_path, running_user_totals_tws)
+    q = (
+        out.writeStream.format("memory").queryName("t_tws").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sunk = spark.table("t_tws").toPandas()
     final = sunk.groupby("user_id")["n_events"].max()
     truth = {r.user_id: r.n for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     for user, n in final.items():

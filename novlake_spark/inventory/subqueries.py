@@ -114,3 +114,28 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
         .na.fill(0.0)
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT o_orderkey, 'total' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'key100' AS metric, CAST(o_custkey * 100 AS DOUBLE) AS val FROM orders
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide columns → (metric, value) rows via
+    DataFrame.unpivot — a zero-shuffle Expand, the inverse of q_pivot."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_custkey") * 100).cast("double").alias("key100"),
+    )
+    return wide.unpivot("o_orderkey", ["total", "key100"], "metric", "_v").select(
+        "o_orderkey", "metric", F.round("_v", 2).alias("val")
+    )

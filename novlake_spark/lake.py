@@ -93,12 +93,20 @@ class Lake:
         partition_by: list[str] | None = None,
         fmt: str = "parquet",
         max_records_per_file: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> DataFrame:
         """A5/A7: overwrite-write a table and (re)register it.
 
         With ``partition_by`` the layout is Hive-style ``k=v`` dirs →
-        readers get static partition pruning for free.
+        readers get static partition pruning for free. ``cluster_by``
+        sorts rows within each output file (sortWithinPartitions — no
+        extra shuffle) so Parquet row-group min/max stats become tight
+        and range predicates on those columns skip row groups at scan
+        time — the poor-man's Z-order, and the single cheapest scan
+        optimization for time-filtered 100 TB tables.
         """
+        if cluster_by:
+            df = df.sortWithinPartitions(*cluster_by)
         return self._write(df, name, path, "overwrite", partition_by, fmt, max_records_per_file)
 
     def append(

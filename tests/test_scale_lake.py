@@ -45,6 +45,22 @@ def test_compact_reduces_file_count(spark, sf_small, tmp_path):
     assert spark.read.parquet(path).count() == n_rows
 
 
+def test_clustered_write_roundtrip(spark, sf_small, tmp_path):
+    lake = Lake(spark)
+    lake.attach_dir(sf_small, ["lineitem"])
+    li = lake.query("SELECT * FROM lineitem")
+    path = str(tmp_path / "li_clustered")
+    out = lake.replace_table(li.repartition(4), "li_c", path, cluster_by=["l_shipdate"])
+    assert out.count() == li.count()
+    # within each parquet file rows are shipdate-ordered (tight row-group stats)
+    files = [f for f in glob.glob(os.path.join(path, "*.parquet"))]
+    import pyarrow.parquet as pq
+
+    for f in files[:2]:
+        col = pq.read_table(f, columns=["l_shipdate"]).column(0).to_pylist()
+        assert col == sorted(col)
+
+
 def test_null_ordering_controls(spark):
     df = spark.createDataFrame([(1, 5.0), (2, None), (3, 1.0)], "id long, v double")
     last = [r.id for r in df.orderBy(F.col("v").asc_nulls_last()).collect()]

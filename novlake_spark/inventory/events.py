@@ -13,7 +13,7 @@ epoch, so for the fixtures' 2024-01 range a 1-hour tumble ≡ DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from novlake_spark.registry import register

@@ -10,7 +10,7 @@ the join key once; AQE's skew-join splitting handles hot keys at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from novlake_spark.operators.asof import asof_join

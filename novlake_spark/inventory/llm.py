@@ -10,7 +10,7 @@ near-duplicates and asserts recall.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from novlake_spark.operators import dedup as D

@@ -4,15 +4,17 @@ Scale design (the whole point of these implementations):
 
 - Exact dedup hashes the normalized text ONCE (md5 → 16 bytes) and
   groups by the digest — the shuffle carries digests, not documents.
-- MinHash/LSH never materializes all-pairs. Signatures are a single
-  explode + 32-way min-aggregate (one shuffle by doc); candidate
-  generation is a self-join on (band, band_hash) buckets, so cost is
+- MinHash/LSH never materializes all-pairs. Signatures are computed
+  scan-side in an Arrow-vectorized pandas UDF (see
+  minhash_signatures for the measured rationale); candidate pairs are
+  generated inside (band, band_hash) bucket rows, so cost is
   Σ bucket², not n². A bucket-size cap drops degenerate buckets
   (boilerplate shingles) that would otherwise quadratically explode —
   the standard guard at corpus scale; dropped buckets are observable
   via ``lsh_bucket_stats``.
-- All hashing is Spark's xxhash64 (JVM codegen, seed-stable), so the
-  pipeline is deterministic run-to-run and cluster-size-independent.
+- All hashing is seeded and data-derived (md5 + fixed universal-hash
+  coefficients; xxhash64 for band bucketing), so the pipeline is
+  deterministic run-to-run and cluster-size-independent.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from novlake_spark.operators.text import shingles, tokens
+from novlake_spark.operators.text import tokens
 
 
 def normalized_text_hash(text_col) -> F.Column:

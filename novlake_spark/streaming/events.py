@@ -95,6 +95,32 @@ def stream_session_counts(stream: DataFrame, gap: str = "10 minutes", watermark:
     )
 
 
+def stream_stream_purchase_click_join(
+    purchases: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to same-user
+    clicks in the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's buffered state is evicted once the other
+    side's watermark passes — without the time-range bound a
+    stream-stream join buffers forever. State per key ≈ arrival rate ×
+    (horizon + watermark delay).
+    """
+    p = purchases.withWatermark("ts", "30 minutes").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = clicks.withWatermark("ts", "30 minutes").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond).select("p_id", "c_id", F.col("p_user").alias("user_id"))
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain the whole backlog through the incremental engine into a
     memory sink (J8); returns the sink contents as a DataFrame."""

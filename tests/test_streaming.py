@@ -54,6 +54,39 @@ def test_session_window_stream_runs(spark, sf_small):
     assert {"user_id", "session_start", "n_in_session"} <= set(out.columns)
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_small):
+    from novlake_spark.streaming.events import stream_stream_purchase_click_join
+
+    stream = S.events_stream(spark, sf_small)
+    p = stream.filter(F.col("event_type") == "purchase")
+    c = stream.filter(F.col("event_type") == "click")
+    out = stream_stream_purchase_click_join(p, c)
+    q = (
+        out.writeStream.format("memory").queryName("t_ssj").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.p_id, r.c_id) for r in spark.table("t_ssj").collect()}
+
+    ev = load_table(spark, sf_small, "events")
+    bp = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    bc = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("u2"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        (r.p_id, r.c_id)
+        for r in bp.join(
+            bc,
+            (F.col("u") == F.col("u2"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_watermark_bounds_state(spark, sf_small):
     """Late-data semantics: with append mode + watermark, only finalized
     windows are emitted — the count can't exceed the complete-mode count."""

@@ -41,11 +41,16 @@ def test_ivf_assignment_covers_all_vectors(spark, sf_small):
 def test_ivf_knn_recall(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     exact = K.knn_join_blocked(emb.withColumn("_all", F.lit(1)), "_all", k=5)
-    approx = K.ivf_knn(emb, k=5, n_cells=8)
     e = {(r.a_id, r.b_id) for r in exact.collect()}
-    a = {(r.a_id, r.b_id) for r in approx.collect()}
-    recall = len(e & a) / len(e)
-    assert recall > 0.2, recall  # vs 1/8 chance under random cells
+
+    def recall(df):
+        a = {(r.a_id, r.b_id) for r in df.collect()}
+        return len(e & a) / len(e)
+
+    r1 = recall(K.ivf_knn(emb, k=5, n_cells=8))
+    r2 = recall(K.ivf_knn(emb, k=5, n_cells=8, n_probe=3))
+    assert r1 > 0.2, r1  # vs 1/8 chance under random cells
+    assert r2 > r1, (r1, r2)  # multi-probe buys recall
 
 
 def _stateful_case(spark, sf_small, tmp_path, builder):

@@ -218,6 +218,7 @@ def lsh_bucketed_knn(
     emb: DataFrame,
     k: int,
     n_planes: int = 4,
+    n_tables: int = 1,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -227,10 +228,37 @@ def lsh_bucketed_knn(
 
     2^n_planes buckets shrink the pairwise cost by ~4^n_planes at the
     price of missing cross-bucket neighbours (recall measured in
-    tests/test_llm_ops.py against brute force).
+    tests/test_llm_ops.py against brute force). ``n_tables`` > 1 is
+    OR-amplification: independent hash tables (fresh hyperplane sets),
+    candidates unioned before the final top-k — two near vectors only
+    need to agree in ONE table, so recall ≈ 1-(1-p)^T for per-table
+    collision probability p, at T× the within-bucket cost.
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    bucketed = emb.withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
-    return knn_join_blocked(bucketed, "_bucket", k, id_col=id_col, vec_col=vec_col).withColumnRenamed(
-        "_bucket", "bucket"
+    if n_tables <= 1:
+        planes = hyperplanes(dim, n_planes, seed)
+        bucketed = emb.withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
+        return knn_join_blocked(bucketed, "_bucket", k, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+            "_bucket", "bucket"
+        )
+    # one (table, bucket) row per vector per table; blocking on the
+    # composite key unions candidates across tables
+    table_buckets = F.array(
+        *[srp_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    )
+    exploded = emb.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(table_buckets).alias("_table", "_b")
+    ).withColumn("_tb", F.concat_ws(":", "_table", "_b"))
+    a = exploded.select(F.col("_tb"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = exploded.select(F.col("_tb"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    scored = (
+        a.join(b, "_tb")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("score"))
+        .distinct()
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a_id", "b_id", "score", F.col("rn").cast("long").alias("rn"))
     )

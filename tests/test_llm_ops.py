@@ -84,6 +84,10 @@ def test_lsh_knn_recall_vs_bruteforce(spark, sf_small):
     # (1/8 ≈ 0.12); planted-duplicate vectors would sit near 1.0.
     assert recall > 0.2, recall
 
+    # OR-amplification: 3 independent tables strictly beat one
+    multi = {(r.a_id, r.b_id) for r in K.lsh_bucketed_knn(emb, k=5, n_planes=3, n_tables=3).collect()}
+    assert len(e & multi) / len(e) > recall
+
 
 def test_knn_single_matches_manual(spark, sf_small):
     from novlake_spark.sources.tables import load_table

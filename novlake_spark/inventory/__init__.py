@@ -8,10 +8,23 @@ from novlake_spark.inventory import (  # noqa: F401
     joins,
     llm,
     projection,
+    sampling,
     sets,
     subqueries,
     udfs,
     windows,
 )
 
-MODULES = [aggregates, events, functions, joins, llm, projection, sets, subqueries, udfs, windows]
+MODULES = [
+    aggregates,
+    events,
+    functions,
+    joins,
+    llm,
+    projection,
+    sampling,
+    sets,
+    subqueries,
+    udfs,
+    windows,
+]

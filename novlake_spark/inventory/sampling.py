@@ -1,0 +1,103 @@
+"""Deterministic sampling / splitting / corpus-mixing query keys.
+
+Training-data pipeline extension (BASELINE.json north star): every key
+here is a *reproducible* content-hash decision (operators.sampling), so
+it is shuffle-free, cluster-size-invariant, and expressible verbatim in
+the DuckDB oracle (md5 + hex-prefix compare) — FULL parity throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novlake_spark.operators import sampling as S
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE substring(md5(concat_ws('-', CAST(l_orderkey AS VARCHAR),
+                                       CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of lineitem keyed on the unique row key.
+
+    Map-side filter, no shuffle; same rows selected at any cluster size
+    (unlike seed-based `df.sample`, which depends on partitioning).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return S.det_sample(li, ["l_orderkey", "l_linenumber"], 0.1).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE lang WHEN 'en' THEN '20' WHEN 'de' THEN 'zz' WHEN 'es' THEN '80'
+                      WHEN 'fr' THEN '80' WHEN 'zh' THEN 'zz' ELSE '00' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: downsample the dominant language
+    (en → 12.5%), keep low-resource strata at 50–100%."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.125, "de": 1.0, "es": 0.5, "fr": 0.5, "zh": 1.0}
+    return S.stratified_sample(docs, ["doc_id"], "lang", rates).select("doc_id", "lang")
+
+
+@register(
+    "q_sample_split",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20' THEN 'test'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40' THEN 'val'
+                  ELSE 'train' END AS split,
+             n_chars
+      FROM documents)
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+    FROM s GROUP BY split
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/val/test assignment (75/12.5/12.5) as a pure function of
+    doc_id — disjoint and exhaustive by construction, stable forever."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        S.split_assign(["doc_id"], {"test": 0.125, "val": 0.125, "train": 0.75}), "n_chars"
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars")
+    )
+
+
+@register(
+    "q_mix_corpus",
+    oracle="""
+    WITH s AS (SELECT source, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+               FROM documents)
+    SELECT source, count(*) AS n_docs
+    FROM s
+    WHERE (source IN ('src0','src1','src2','src3','src4') AND h < 'c0')
+       OR (source NOT IN ('src0','src1','src2','src3','src4') AND h < '40')
+    GROUP BY source
+    """,
+)
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: preferred sources at 75%, the long tail
+    at 25% — the deterministic analogue of dataset-mixture weights in a
+    pretraining data recipe."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(S.hash_key("doc_id"), 1, 2)
+    preferred = F.col("source").isin(*[f"src{i}" for i in range(5)])
+    mixed = docs.filter((preferred & (h < F.lit("c0"))) | (~preferred & (h < F.lit("40"))))
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from novlake_spark.operators import dedup as D
+from novlake_spark.operators import graph as G
 from novlake_spark.operators import knn as K
+from novlake_spark.operators import lm as LM
 from novlake_spark.operators import text as T
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
@@ -388,3 +390,90 @@ def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id(T.tokens(F.col("text"))).alias("pred_lang"))
+
+
+@register(
+    "q_llm_perplexity",
+    oracle="""
+    WITH t  AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t),
+         c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+         c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         model AS (SELECT bg, -ln(c2 / c1) AS nll
+                   FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(nll), 4) AS cross_entropy,
+           round(exp(avg(nll)), 4) AS ppl
+    FROM bg JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6d: perplexity-proxy quality score — per-doc cross-entropy under
+    a corpus-estimated bigram MLE (operators.lm). The model-based
+    quality signal used to rank/filter pretraining documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return LM.perplexity_scores(docs)
+
+
+@register(
+    "q_llm_dedup_cluster",
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS cluster_id,
+           doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_canonical
+    FROM documents
+    """,
+)
+def q_llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1b: exact-dup cluster assignment — every doc labeled with its
+    cluster's canonical (min) id plus a keep/drop flag; the projection
+    step that turns dedup groups into a filtered corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    cid = F.min("doc_id").over(w)
+    return docs.select(
+        "doc_id", cid.alias("cluster_id"), (F.col("doc_id") == cid).alias("is_canonical")
+    )
+
+
+@register(
+    "q_llm_dup_components",
+    oracle="""
+    WITH RECURSIVE
+      d AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      e AS (SELECT a.vec_id AS ea, b.vec_id AS eb
+            FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) > 0.35),
+      ue AS (SELECT ea, eb FROM e UNION ALL SELECT eb AS ea, ea AS eb FROM e),
+      walk(id, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT ue.eb, walk.lbl FROM walk JOIN ue ON ue.ea = walk.id
+      )
+    SELECT id AS vec_id, min(lbl) AS component_id
+    FROM walk GROUP BY id
+    """,
+)
+def q_llm_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f: duplicate-cluster transitive closure — connected components
+    (iterative min-label propagation, operators.graph) over the
+    label-blocked embedding-similarity graph (cos > 0.35). Oracle is the
+    same fixpoint via DuckDB WITH RECURSIVE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    edges = (
+        a.join(b, "_blk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(K.dot(F.col("va"), F.col("vb")) > 0.35)
+        .select("a", "b")
+    )
+    return G.connected_components(emb.select("vec_id"), edges, id_col="vec_id")

@@ -1,0 +1,61 @@
+"""Corpus bigram language model → perplexity-proxy quality scoring.
+
+The standard "model-based quality" signal for pretraining-data curation
+is perplexity under a cheap LM: documents whose token transitions are
+improbable under the corpus-wide model are likely noise/boilerplate.
+Here the LM is a bigram MLE estimated from the corpus itself:
+
+    P(w2 | w1) = count(w1 w2) / count(w1 ·)
+
+and a document's score is its per-bigram cross-entropy
+``avg(-ln P)`` (perplexity = exp of that).
+
+Plan shape (scales to 100 TB):
+- one explode + groupBy builds the bigram count table (map-side
+  partial aggregation applies);
+- the prefix-count table derives from the bigram table (no second pass
+  over the corpus);
+- scoring is a key join of the corpus' bigrams against the model —
+  broadcast when the model is small, shuffle-hash otherwise (AQE
+  decides); everything stays JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from novlake_spark.operators.text import bigrams, tokens
+
+
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bg, nll): negative log-likelihood -ln P(w2|w1) per corpus bigram."""
+    bg = docs.select(F.explode(bigrams(tokens(F.col(text_col)))).alias("bg"))
+    c2 = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return c2.join(c1, "w1").select("bg", (-F.log(F.col("c2") / F.col("c1"))).alias("nll"))
+
+
+def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document (id, n_bigrams, cross_entropy, ppl), rounded to 4 dp.
+
+    Documents with <2 tokens have no bigrams and drop out (no score is
+    the honest answer for them). The model is estimated on ``docs``
+    itself; pass a different corpus through ``bigram_model`` + a manual
+    join to score against a held-out model.
+    """
+    model = bigram_model(docs, text_col)
+    doc_bg = docs.select(F.col(id_col), F.explode(bigrams(tokens(F.col(text_col)))).alias("bg"))
+    return (
+        doc_bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("cross_entropy"),
+            F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+        )
+    )

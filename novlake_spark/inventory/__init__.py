@@ -11,6 +11,7 @@ from novlake_spark.inventory import (  # noqa: F401
     sampling,
     sets,
     subqueries,
+    tpch,
     udfs,
     windows,
 )
@@ -25,6 +26,7 @@ MODULES = [
     sampling,
     sets,
     subqueries,
+    tpch,
     udfs,
     windows,
 ]

@@ -408,3 +408,54 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@register(
+    "q_agg_regr",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: linear-regression aggregates — slope/intercept/R² of
+    extended price on quantity per return flag (built-in moment-based
+    regr_* functions, one pass, map-side partials)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 2).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: fixed-width histogram by floor-binning (portable alternative
+    to width_bucket); min/max per bucket double as bin-edge checks.
+    Binning is a map-side expression → the histogram is one shuffle of
+    ~n_buckets rows."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).alias("bucket")
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -40,6 +40,11 @@ HEADLINE = [
     "q_llm_tfidf",
     "q_udf_pandas",
     "q_scan_events_ts",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q18",
+    "q_llm_perplexity",
+    "q_sample_hash",
 ]
 
 

@@ -19,7 +19,7 @@ from novlake_spark.operators import knn as K
 from novlake_spark.operators import lm as LM
 from novlake_spark.operators import text as T
 from novlake_spark.registry import register
-from novlake_spark.sources.tables import load_table
+from novlake_spark.sources.tables import ensure_parallelism, load_table
 
 
 @register(
@@ -416,7 +416,10 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6d: perplexity-proxy quality score — per-doc cross-entropy under
     a corpus-estimated bigram MLE (operators.lm). The model-based
     quality signal used to rank/filter pretraining documents."""
-    docs = load_table(spark, sf_dir, "documents")
+    # Parallelism guard measured 2x here (multi-stage critical path:
+    # two explodes + model join); other text keys are map-side-partial
+    # cheap and do NOT benefit — see tables.ensure_parallelism.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return LM.perplexity_scores(docs)
 
 

@@ -60,6 +60,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Repartition a *freshly scanned* table up to cluster parallelism if
+    the scan produced too few splits.
+
+    Parquet can't split below row-group granularity, so a table written
+    as one row group scans as ONE partition no matter how many cores
+    exist — and any fan-out operator downstream (explode to tokens/
+    bigrams/shingles, pairwise scoring) then runs single-threaded.
+    Measured here: the sf0.1 documents table scans as 1 partition and a
+    bigram pipeline ran 32× under-parallel.
+
+    The check is plan-time only (FileScanRDD partition math, no job) and
+    the repartition moves the *compact pre-explode* rows — the cheap
+    side of a fan-out. On a real multi-file dataset the scan already
+    yields ≥ parallelism splits and this is a no-op, so the shuffle is
+    never paid at scale. Only call on plain scans: ``df.rdd`` on a
+    derived frame can trigger partial execution under AQE.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register temp views named exactly like the DuckDB oracle views so
     SQL text can be shared between engines where dialects agree."""

@@ -11,6 +11,7 @@ from novlake_spark.inventory import (  # noqa: F401
     sampling,
     sets,
     subqueries,
+    timeseries,
     tpch,
     udfs,
     windows,
@@ -26,6 +27,7 @@ MODULES = [
     sampling,
     sets,
     subqueries,
+    timeseries,
     tpch,
     udfs,
     windows,

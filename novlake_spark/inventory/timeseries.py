@@ -1,0 +1,92 @@
+"""Time-series operators over the events table: gap-filled resampling
+and last-observation-carried-forward interpolation.
+
+These are the two operators every time-series/feature-pipeline user
+reaches for that plain GROUP BY can't express: a regular grid with
+explicit empty buckets (dashboards, feature windows, anomaly baselines)
+and forward-fill of a sparse signal onto every observation row.
+
+Scale notes: the spine is generated data (~O(range/step) rows, never a
+scan) and broadcasts against the aggregated — not raw — events; LOCF is
+one window pass per user partition (rows-frame running ``last`` with
+ignorenulls, no self-join). Both stay entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+
+@register(
+    "q_ts_resample",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 00:00:00',
+                                    INTERVAL 1 HOUR)) AS hour),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+             round(sum(value), 2) AS tv
+      FROM events GROUP BY 1)
+    SELECT strftime(spine.hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           coalesce(n, 0) AS n_events,
+           coalesce(tv, 0.0) AS total_value
+    FROM spine LEFT JOIN agg ON spine.hour = agg.hour
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1: hourly resample with zero-filled gaps — generated spine
+    LEFT JOIN hourly aggregate (the spine joins the *aggregated* side,
+    so the raw table is never inflated)."""
+    events = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 00:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    agg = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv")
+    )
+    return spine.join(agg, "hour", "left").select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "q_ts_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS last_purchase_value
+    FROM events
+    """,
+)
+def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS2: forward-fill (LOCF) — carry each user's last purchase value
+    onto every subsequent event; null until the first purchase. One
+    running-window pass, total order via (ts, event_id)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(sparse, ignorenulls=True).over(w), 2).alias("last_purchase_value"),
+    )

@@ -473,16 +473,26 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18: large-volume customers — HAVING on an exact integral-double
-    sum, top 100 by order value."""
+    sum, top 100 by order value.
+
+    Scale-correct plan: aggregate lineitem by the bare long key FIRST
+    (one narrow shuffle of (orderkey, qty) partials), filter to the
+    >250 survivors (~1%), and only then join orders/customer — the
+    textbook eager-aggregation rewrite; o_orderkey is unique in orders
+    so results are identical to the join-first form, but the wide
+    customer/order columns never enter a shuffle.
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_sq"))
         .filter(F.col("_sq") > 250)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             F.round("_sq", 2).alias("total_qty"),

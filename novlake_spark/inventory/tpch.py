@@ -6,8 +6,13 @@ c_address/c_phone, p_mfgr/p_container), so each query keeps the
 *plan shape* of its TPC-H counterpart — the join graph, aggregation
 pattern, and subquery structure that exercise the optimizer — with
 predicates adapted to the columns that exist. Q1 and Q3 shapes already
-ship as q_agg_groupby / q_join_star; Q2/Q11/Q20 (partsupp-centric) and
-Q12/Q21 (shipmode/receipt-commit) have no fixture equivalent.
+ship as q_agg_groupby / q_join_star. The partsupp-centric queries
+(Q2/Q11/Q20) proxy the part↔supplier relation through lineitem
+(supply cost := min unit price ever charged; availqty := shipped
+quantity), and the shipmode/receipt-commit queries (Q12/Q21) proxy
+"late" as l_shipdate > o_orderdate + 45 days and "mode" as
+l_returnflag — every subquery/join/agg pattern of the full 22-query
+suite is exercised.
 
 Scale notes: every dimension side (region/nation/customer/supplier/
 part, and derived scalar aggregates) is broadcast-eligible; the fact
@@ -527,6 +532,284 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
         .agg(_money_sum(_rev()).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS ck_part, l_suppkey AS ck_supp,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem
+      GROUP BY 1, 2),
+    asia_cost AS (
+      SELECT ck_part, ck_supp, supply_cost,
+             s_acctbal, s_name, n_name
+      FROM cost
+      JOIN supplier ON ck_supp = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM part JOIN asia_cost ON ck_part = p_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND supply_cost = (SELECT min(supply_cost) FROM asia_cost a2
+                         WHERE a2.ck_part = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost supplier per part — the correlated-min
+    subquery, decorrelated (as Catalyst would) into a per-part window
+    min over a pre-aggregated part↔supplier cost relation. Supply cost
+    is proxied as the minimum unit price (l_extendedprice/l_quantity)
+    the supplier ever charged for the part; both engines compute the
+    identical IEEE-754 quotient per row, and min is order-independent,
+    so the equality predicate is engine-exact with no rounding.
+
+    Scale notes: the region filter reduces suppliers BEFORE the
+    lineitem aggregate (broadcast semi join below the shuffle), the
+    part filter applies before the window, and the (partkey, suppkey)
+    aggregate is the only full-fact shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_supp = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(asia_supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    best = cost.withColumn(
+        "_mn", F.min("supply_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("supply_cost") == F.col("_mn"))
+    pf = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        best.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS vcents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY 1)
+    SELECT partkey, vcents / 100.0 AS part_value
+    FROM v
+    WHERE vcents > 2.0 * (SELECT CAST(sum(vcents) AS DOUBLE) / count(*) FROM v)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts holding an outsized share of one nation's
+    shipped value — group-by-part sums with a HAVING against a scalar
+    aggregate of the whole relation (value > 2× the mean per-part
+    value; a ratio, unlike TPC-H's SF-scaled constant, stays selective
+    at every scale factor). Sums are exact integer cents
+    (l_extendedprice is 2 dp), so the BIGINT totals are identical in
+    any summation order and the threshold is the same double in both
+    engines.
+
+    Scale notes: the nation filter is a broadcast semi join below the
+    per-part shuffle; the global total is a second agg over the
+    already-reduced per-part rows, re-broadcast as a single-row
+    cross join (no second fact scan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nat_supp = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("vcents"))
+    )
+    total = v.agg((F.sum("vcents").cast("double") / F.count(F.lit(1))).alias("_mean"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("vcents") > 2.0 * F.col("_mean"))
+        .select("partkey", (F.col("vcents") / 100.0).alias("part_value"))
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: priority split of late shipments by class — the
+    join + dual conditional-count pattern, with l_returnflag standing
+    in for l_shipmode and ship > order + 45 days for receipt > commit."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      GROUP BY 1, 2)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT sk FROM shipped
+        WHERE qty > 0.3 * (SELECT sum(qty) FROM shipped s2 WHERE s2.pk = shipped.pk))
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers dominating supply of a part family — the
+    nested IN-subquery chain (part-name filter → per-(part,supplier)
+    aggregate → correlated share threshold → supplier IN-list).
+    "Dominates" := shipped > 30% of the part's year volume, replacing
+    the availqty comparison (no partsupp table). Quantity sums are
+    integral doubles, hence exact in both engines.
+
+    Scale notes: the part-name filter is a broadcast semi join below
+    the only fact shuffle; the correlated total decorrelates into a
+    window sum over the per-(part,supplier) aggregate (second shuffle
+    touches reduced data only); the final supplier probe is a
+    broadcast semi join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    wanted = p.filter(F.col("p_name").like("large%")).select("p_partkey")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01")))
+        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    dominant = (
+        shipped.withColumn("_tot", F.sum("qty").over(Window.partitionBy("pk")))
+        .filter(F.col("qty") > 0.3 * F.col("_tot"))
+        .select("sk")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_5")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the sole late shipper on a
+    multi-supplier finished order — EXISTS (another supplier on the
+    order) + NOT EXISTS (another LATE supplier on the order), late
+    proxied as ship > order + 45 days.
+
+    Scale notes: the late set is computed once from the
+    orders(F)⋈lineitem join and reused for both the outer rows and the
+    NOT-EXISTS probe; both the EXISTS and NOT-EXISTS become hash
+    left-semi / left-anti joins on l_orderkey with the suppkey
+    inequality as a residual filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    late = (
+        li.join(o.filter(F.col("o_orderstatus") == "F"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    nat_supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_1")), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = late.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    other = li.select(F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2"))
+    other_late = late.select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
+    return (
+        l1.join(
+            other,
+            (F.col("_ok2") == F.col("l_orderkey")) & (F.col("_sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("_ok3") == F.col("l_orderkey")) & (F.col("_sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )
 
 

@@ -480,3 +480,41 @@ def q_llm_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return G.connected_components(emb.select("vec_id"), edges, id_col="vec_id")
+
+
+_DUP_COMPONENTS_ORACLE = """
+    WITH RECURSIVE
+      d AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      e AS (SELECT a.vec_id AS ea, b.vec_id AS eb
+            FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) > 0.35),
+      ue AS (SELECT ea, eb FROM e UNION ALL SELECT eb AS ea, ea AS eb FROM e),
+      walk(id, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT ue.eb, walk.lbl FROM walk JOIN ue ON ue.ea = walk.id
+      )
+    SELECT id AS vec_id, min(lbl) AS component_id
+    FROM walk GROUP BY id
+    """
+
+
+@register("q_llm_dup_components_ls", oracle=_DUP_COMPONENTS_ORACLE)
+def q_llm_dup_components_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2g: same component semantics as q_llm_dup_components, computed
+    with the large-star/small-star alternation
+    (operators.graph.connected_components_two_phase) — O(log n) rounds
+    independent of graph diameter, the scale path for long-chain
+    duplicate graphs. Oracle: identical DuckDB WITH RECURSIVE fixpoint,
+    so the driver checks both formulations agree with the closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    edges = (
+        a.join(b, "_blk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(K.dot(F.col("va"), F.col("vb")) > 0.35)
+        .select("a", "b")
+    )
+    return G.connected_components_two_phase(emb.select("vec_id"), edges, id_col="vec_id")

@@ -7,13 +7,16 @@ This module computes components with iterative min-label propagation
 expressed entirely in DataFrame ops (join + groupBy per round), so it
 scales horizontally: each round is two shuffles on the edge/label keys.
 
-Convergence is O(graph diameter) rounds. Real near-dup graphs are
-short-diameter (clusters of mutually-similar documents), so a handful
-of rounds suffices; for adversarially long path graphs the
-large-star/small-star formulation (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) drops this to
-O(log n) rounds with the same join/groupBy building blocks — noted
-here as the upgrade path, not needed for dedup workloads.
+Two formulations are provided. :func:`connected_components` is
+min-label propagation — O(graph diameter) rounds, the right default
+for near-dup graphs whose clusters are short-diameter cliques.
+:func:`connected_components_two_phase` is the large-star/small-star
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): each round rewires nodes directly to their
+neighborhood minimum, halving tree heights, so it converges in
+O(log n) rounds even on path graphs — the scale path for long-diameter
+topologies (citation chains, link graphs) where propagation would need
+thousands of shuffle rounds.
 
 Lineage control: each round ends in ``localCheckpoint(eager=True)`` —
 without it the iterated self-referential plan grows exponentially and
@@ -67,3 +70,90 @@ def connected_components(
         if changed == 0:
             break
     return lbl.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list -> canonical (hi, lo) pairs, hi > lo."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.filter(a != b)
+        .select(F.greatest(a, b).alias("_hi"), F.least(a, b).alias("_lo"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Operates on the symmetric neighborhood; emitted
+    edges (v, m) keep v > m, so canonical form is preserved."""
+    sym = e.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v")).union(
+        e.select(F.col("_lo").alias("_u"), F.col("_hi").alias("_v"))
+    )
+    mins = sym.groupBy("_u").agg(F.least(F.min("_v"), F.first("_u")).alias("_m"))
+    return (
+        sym.join(mins, "_u")
+        .filter(F.col("_v") > F.col("_u"))
+        .select(F.col("_v").alias("_hi"), F.col("_m").alias("_lo"))
+        .filter(F.col("_hi") != F.col("_lo"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u, link u and all its smaller neighbors to the
+    smallest of them. Input/output are canonical (hi, lo) pairs."""
+    mins = e.groupBy("_hi").agg(F.min("_lo").alias("_m"))
+    relink = (
+        e.join(mins, "_hi")
+        .filter(F.col("_lo") != F.col("_m"))
+        .select(F.col("_lo").alias("_hi"), F.col("_m").alias("_lo"))
+    )
+    centers = mins.select(F.col("_hi"), F.col("_m").alias("_lo"))
+    return relink.union(centers).distinct()
+
+
+def connected_components_two_phase(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Large-star/small-star connected components (SoCC'14 alternation).
+
+    Same contract as :func:`connected_components` — returns
+    (id_col, component_id) with component_id the minimum id in the
+    component — but converges in O(log n) alternation rounds
+    independent of graph diameter. Each round is a bounded number of
+    join/groupBy shuffles on the edge keys, and ends in an eager
+    ``localCheckpoint`` to truncate the iterated lineage.
+
+    Termination: the edge set is a monotone contraction toward the
+    star fixpoint; we stop when (count, order-independent hash-sum)
+    is unchanged, then read labels straight off the star edges.
+    """
+    def _sig(frame: DataFrame) -> tuple:
+        # order-independent edge-set fingerprint; XOR cannot overflow
+        # (unlike a sum of 64-bit hashes under ANSI arithmetic).
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("_hi", "_lo")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    e = _canon_edges(edges, src, dst).localCheckpoint()
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    labelled = e.select(F.col("_hi").alias(id_col), F.col("_lo").alias("component_id"))
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(labelled.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("component_id"))
+    )
+    return labelled.union(singletons)

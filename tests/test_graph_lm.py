@@ -47,3 +47,45 @@ def test_components_ignore_edge_direction(spark):
     fwd = connected_components(nodes, spark.createDataFrame([(1, 2)], "a long, b long")).collect()
     rev = connected_components(nodes, spark.createDataFrame([(2, 1)], "a long, b long")).collect()
     assert sorted(map(tuple, fwd)) == sorted(map(tuple, rev)) == [(1, 1), (2, 1)]
+
+
+def test_two_phase_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(rng.randrange(n), rng.randrange(n)) for _ in range(45)], "a long, b long"
+    )
+    from novlake_spark.operators.graph import connected_components_two_phase
+
+    want = sorted(map(tuple, connected_components(nodes, edges).collect()))
+    got = sorted(map(tuple, connected_components_two_phase(nodes, edges).collect()))
+    assert got == want
+
+
+def test_two_phase_long_path_needs_few_rounds(spark):
+    # diameter-24 path: min-propagation needs ~24 rounds, the star
+    # alternation must land well under log-linear bounds.
+    from novlake_spark.operators.graph import connected_components_two_phase
+
+    n = 24
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    got = connected_components_two_phase(nodes, edges, max_iter=7).collect()
+    assert len(got) == n + 1
+    assert all(r["component_id"] == 0 for r in got)
+
+
+def test_two_phase_singletons_and_direction(spark):
+    from novlake_spark.operators.graph import connected_components_two_phase
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    got = {
+        (r["id"], r["component_id"])
+        for r in connected_components_two_phase(
+            nodes, spark.createDataFrame([(2, 1)], "a long, b long")
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3)}

@@ -45,6 +45,8 @@ HEADLINE = [
     "q_tpch_q18",
     "q_llm_perplexity",
     "q_sample_hash",
+    "q_llm_contamination",
+    "q_llm_seq_pack",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from novlake_spark.operators import dedup as D
 from novlake_spark.operators import graph as G
@@ -518,3 +519,196 @@ def q_llm_dup_components_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return G.connected_components_two_phase(emb.select("vec_id"), edges, id_col="vec_id")
+
+
+_HELDOUT_SPLIT = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+@register(
+    "q_llm_perplexity_heldout",
+    oracle=f"""
+    WITH tr AS (SELECT string_split(lower(text), ' ') AS toks
+                FROM documents WHERE {_HELDOUT_SPLIT} < '80'),
+         ho AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents WHERE {_HELDOUT_SPLIT} >= '80'),
+         bg_tr AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i+1])) AS bg
+                   FROM tr),
+         c2 AS (SELECT bg, count(*) AS c2 FROM bg_tr GROUP BY bg),
+         c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         model AS (SELECT bg, -ln(c2 / c1) AS nll
+                   FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+         bg_ho AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i+1])) AS bg
+                   FROM ho)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(nll), 4) AS cross_entropy,
+           round(exp(avg(nll)), 4) AS ppl
+    FROM bg_ho JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_llm_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6e: held-out perplexity — bigram MLE estimated on a deterministic
+    ~50% hash split of the corpus, scoring the OTHER half (the honest
+    quality-filter protocol: a model must not score its own training
+    text). Split is the md5-hex-prefix predicate from operators.sampling
+    (shuffle-free, cluster-size invariant); bigrams unseen in training
+    drop out of the average (inner join), and n_bigrams counts scored
+    bigrams so coverage is visible."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80"
+    model = LM.bigram_model(docs.filter(is_train))
+    return LM.score_perplexity(docs.filter(~is_train), model)
+
+
+@register(
+    "q_llm_seq_pack",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents)
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS seq_id
+    FROM t
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack: sequence packing for pretraining — concatenate documents
+    in a deterministic order and assign each its token offset and the
+    2048-token training sequence it starts in (floor(offset/2048)).
+    Sharded by an md5-prefix of doc_id (16 shards) so the cumulative
+    sum is a per-shard window, not a global single-reducer sort — at
+    100 TB each shard packs independently and in parallel; within-shard
+    order (doc_id) is total and engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    off = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        off.alias("tok_offset"),
+        F.floor(off / F.lit(2048)).alias("seq_id"),
+    )
+
+
+@register(
+    "q_llm_contamination",
+    oracle="""
+    WITH sh AS (SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(toks) - 3),
+                              i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS sh
+                FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents)),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+         ev AS (SELECT doc_id, sh.sh, (bench.sh IS NOT NULL)::INT AS hit
+                FROM sh LEFT JOIN bench ON sh.sh = bench.sh
+                WHERE source <> 'src0')
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           floor(sum(hit) / count(*) * 10000 + 0.5) / 10000 AS contaminated_frac
+    FROM ev GROUP BY doc_id
+    """,
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-contam: benchmark-contamination check — fraction of each
+    document's 5-token shingles that appear anywhere in a designated
+    benchmark corpus (here: source='src0'). The standard pre-training
+    hygiene scan (n-gram overlap against eval sets). Plan: one shingle
+    explode, distinct benchmark shingle set, LEFT join + per-doc ratio;
+    at scale the benchmark side is small → broadcast, and the scan side
+    stays a single pass. Short docs (<5 tokens) have no shingles and
+    drop out. Shingling runs in the Arrow pandas UDF (text.shingles_arrow,
+    ~18× the interpreted-lambda path measured at sf0.1) behind the
+    parallelism guard so the Python batches spread across cores."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", "source", F.explode(T.shingles_arrow(F.col("text"), 5)).alias("sh")
+    )
+    bench = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    ev = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "sh", "left")
+        .select("doc_id", F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"))
+    )
+    frac = F.sum("hit") / F.count(F.lit(1)) * 10000 + F.lit(0.5)
+    return ev.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        (F.floor(frac) / 10000).alias("contaminated_frac"),
+    )
+
+
+@register(
+    "q_llm_repetition",
+    oracle="""
+    WITH bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)),
+         per AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           floor(max(c) / sum(c) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+           floor((sum(c) - count(*)) / sum(c) * 10000 + 0.5) / 10000 AS dup_bigram_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6f: Gopher-style repetition signals per document — fraction of
+    all bigram occurrences taken by the single most frequent bigram,
+    and fraction that are repeats of an already-seen bigram. High
+    values flag boilerplate/looping text for pretraining filters.
+    One explode + two-level aggregation, fully map-reducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", F.explode(T.bigrams(T.tokens(F.col("text")))).alias("bg"))
+    per = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    r4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        r4(F.max("c") / F.sum("c")).alias("top_bigram_frac"),
+        r4((F.sum("c") - F.count(F.lit(1))) / F.sum("c")).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "q_llm_shuffle_det",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('shuffle42-' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+    FROM documents
+    """,
+)
+def q_llm_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-shuffle: deterministic global corpus shuffle — reproducible
+    training order as rank under a seeded content hash. Computed
+    scalably: the hash's 2-hex-char prefix shards rows into 256 groups
+    whose within-group row_numbers are offset by the (tiny, windowed)
+    cumulative group counts — global total order with no single-reducer
+    sort, because the shard key is a prefix of the sort key. Oracle is
+    the equivalent one-window row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = F.md5(F.concat(F.lit("shuffle42-"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", sk.alias("sk"), F.substring(sk, 1, 2).alias("shard"))
+    cum = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("shard", F.coalesce(F.sum("_n").over(cum), F.lit(0)).alias("_base"))
+    )
+    within = Window.partitionBy("shard").orderBy("sk", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "shard")
+        .select("doc_id", (F.row_number().over(within) + F.col("_base")).cast("long").alias("pos"))
+    )

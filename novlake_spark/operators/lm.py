@@ -40,15 +40,17 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return c2.join(c1, "w1").select("bg", (-F.log(F.col("c2") / F.col("c1"))).alias("nll"))
 
 
-def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document (id, n_bigrams, cross_entropy, ppl), rounded to 4 dp.
+def score_perplexity(
+    docs: DataFrame, model: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score ``docs`` against a (bg, nll) model from :func:`bigram_model`.
 
-    Documents with <2 tokens have no bigrams and drop out (no score is
-    the honest answer for them). The model is estimated on ``docs``
-    itself; pass a different corpus through ``bigram_model`` + a manual
-    join to score against a held-out model.
+    Per-document (id, n_bigrams, cross_entropy, ppl), rounded to 4 dp.
+    Bigrams unseen by the model drop out of the average (inner join) —
+    ``n_bigrams`` counts *scored* bigrams, so train-vs-heldout coverage
+    is visible in the output rather than silently smoothed over.
+    Documents with <2 tokens (or no scored bigram) yield no row.
     """
-    model = bigram_model(docs, text_col)
     doc_bg = docs.select(F.col(id_col), F.explode(bigrams(tokens(F.col(text_col)))).alias("bg"))
     return (
         doc_bg.join(model, "bg")
@@ -59,3 +61,12 @@ def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
         )
     )
+
+
+def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document perplexity under a model estimated on ``docs`` itself.
+
+    For the held-out variant, estimate on a train split and score the
+    rest: ``score_perplexity(heldout, bigram_model(train))``.
+    """
+    return score_perplexity(docs, bigram_model(docs, text_col), id_col, text_col)

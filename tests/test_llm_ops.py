@@ -109,3 +109,107 @@ def test_shingles_short_doc_guard(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     out = df.select(T.shingles(T.tokens(F.col("text")), 5).alias("s")).first().s
     assert out == []
+
+
+def test_heldout_perplexity_scores_only_heldout_half(spark, sf_small):
+    from novlake_spark.inventory.llm import q_llm_perplexity_heldout
+    from pyspark.sql import functions as F
+
+    out = q_llm_perplexity_heldout(spark, sf_small)
+    ids = [r.doc_id for r in out.select("doc_id").collect()]
+    # every scored doc must be in the >= '80' hash half
+    from novlake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    heldout = {
+        r.doc_id
+        for r in docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) >= "80"
+        ).collect()
+    }
+    assert ids and set(ids) <= heldout
+
+
+def test_seq_pack_offsets_are_contiguous_per_shard(spark, sf_small):
+    from collections import defaultdict
+
+    from novlake_spark.inventory.llm import q_llm_seq_pack
+
+    rows = q_llm_seq_pack(spark, sf_small).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        want = 0
+        for r in shard_rows:
+            assert r.tok_offset == want, "packing must leave no gaps"
+            assert r.seq_id == r.tok_offset // 2048
+            want += r.n_tokens
+
+
+def test_det_shuffle_is_a_permutation_and_stable(spark, sf_small):
+    from novlake_spark.inventory.llm import q_llm_shuffle_det
+
+    a = {(r.doc_id, r.pos) for r in q_llm_shuffle_det(spark, sf_small).collect()}
+    b = {(r.doc_id, r.pos) for r in q_llm_shuffle_det(spark, sf_small).collect()}
+    assert a == b, "same seed, same order"
+    n = len(a)
+    assert sorted(p for _, p in a) == list(range(1, n + 1)), "pos is a permutation of 1..n"
+    by_id = sorted(a)
+    assert [p for _, p in by_id] != list(range(1, n + 1)), "order is actually shuffled"
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from novlake_spark.inventory.llm import q_llm_contamination
+    import os
+    import tempfile
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, bench_text, "en", "src0", len(bench_text)),
+        # full copy of a benchmark passage -> every shingle hits
+        (2, bench_text, "en", "src1", len(bench_text)),
+        # disjoint vocabulary -> zero hits
+        (3, "uno dos tres cuatro cinco seis", "en", "src2", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in q_llm_contamination(spark, d).collect()}
+    assert got[2].contaminated_frac == 1.0
+    assert got[3].contaminated_frac == 0.0
+    assert 1 not in got, "benchmark docs themselves are not scored"
+
+
+def test_repetition_detects_looping_text(spark):
+    from novlake_spark.inventory.llm import q_llm_repetition
+    import os
+    import tempfile
+
+    rows = [
+        (1, "spam spam spam spam spam", "en", "src0", 24),
+        (2, "one two three four five six", "en", "src0", 27),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in q_llm_repetition(spark, d).collect()}
+    assert got[1].top_bigram_frac == 1.0 and got[1].dup_bigram_frac == 0.75
+    assert got[2].top_bigram_frac < 0.5 and got[2].dup_bigram_frac == 0.0
+
+
+def test_shingles_arrow_matches_lambda_path(spark, sf_small):
+    from novlake_spark.operators import text as T
+    from novlake_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    for k in (2, 5):
+        a = docs.select("doc_id", T.shingles(T.tokens(F.col("text")), k).alias("s"))
+        b = docs.select("doc_id", T.shingles_arrow(F.col("text"), k).alias("s"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

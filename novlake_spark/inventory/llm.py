@@ -318,7 +318,7 @@ def q_llm_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L9: bigram extraction + counting, top 20."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(T.bigrams(T.tokens(F.col("text")))).alias("bg"))
+        docs.select(F.explode(T.shingles_arrow(F.col("text"), 2)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bg").asc())
@@ -672,7 +672,7 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     values flag boilerplate/looping text for pretraining filters.
     One explode + two-level aggregation, fully map-reducible."""
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select("doc_id", F.explode(T.bigrams(T.tokens(F.col("text")))).alias("bg"))
+    bg = docs.select("doc_id", F.explode(T.shingles_arrow(F.col("text"), 2)).alias("bg"))
     per = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     r4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     return per.groupBy("doc_id").agg(

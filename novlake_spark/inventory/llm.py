@@ -712,3 +712,78 @@ def q_llm_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.join(F.broadcast(offsets), "shard")
         .select("doc_id", (F.row_number().over(within) + F.col("_base")).cast("long").alias("pos"))
     )
+
+
+def _simhash_md5_oracle() -> str:
+    bits = ", ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END AS p{i}"
+        for i in range(32)
+    )
+    total = " + ".join(f"p{i}" for i in range(32))
+    return f"""
+    WITH tok AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS h
+                 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                       FROM documents)),
+         b AS (SELECT doc_id, {bits} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash32 FROM b
+    """
+
+
+@register("q_llm_simhash_md5", oracle=_simhash_md5_oracle())
+def q_llm_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2b-FULL: engine-portable 32-bit SimHash — per-token hash is the
+    first 8 hex chars of md5 (identical in any engine), each bit's
+    counter is a conditional ±1 sum, bit set iff the sum is positive
+    (ties -> 0 in both engines). Formulated as explode + 32 conditional
+    aggregates: map-side partial aggregation applies, so the wide
+    explode never shuffles — only 32 longs per doc do. The xxhash64
+    variant (q_llm_dedup_simhash) stays as the JVM fast path; this one
+    is the cross-engine-verifiable specification of the same algorithm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    b = tok.groupBy("doc_id").agg(*bit_sums)
+    total = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        total = term if total is None else total + term
+    return b.select("doc_id", total.cast("long").alias("simhash32"))
+
+
+def _minhash_md5_oracle(n_hashes: int = 16) -> str:
+    sigs = ", ".join(f"min(md5('{j}:' || sh)) AS mh{j}" for j in range(n_hashes))
+    return f"""
+    WITH sh AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS sh
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents))
+    SELECT doc_id, {sigs} FROM sh GROUP BY doc_id
+    """
+
+
+@register("q_llm_minhash_md5", oracle=_minhash_md5_oracle())
+def q_llm_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-FULL: engine-portable MinHash signature — 16 hash families
+    h_j(s) = md5('j:' || s) over 3-token shingles, signature j = the
+    lexicographic minimum. min-over-occurrences equals min-over-set, so
+    no distinct is needed and the aggregation is map-side partial.
+    Cross-engine-verifiable counterpart of the numpy fast path in
+    operators.dedup (q_llm_dedup_near); banding/bucketing composes on
+    top of these columns identically in either form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(T.shingles_arrow(F.col("text"), 3)).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}") for j in range(16)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)

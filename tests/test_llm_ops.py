@@ -213,3 +213,29 @@ def test_shingles_arrow_matches_lambda_path(spark, sf_small):
         a = docs.select("doc_id", T.shingles(T.tokens(F.col("text")), k).alias("s"))
         b = docs.select("doc_id", T.shingles_arrow(F.col("text"), k).alias("s"))
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_md5_signatures_cluster_near_duplicates(spark):
+    import os
+    import tempfile
+
+    from novlake_spark.inventory.llm import q_llm_minhash_md5, q_llm_simhash_md5
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    near = base.replace("lazy", "sleepy", 1)
+    other = ("uno dos tres cuatro cinco seis siete ocho nueve diez " * 20).strip()
+    rows = [(1, base, "en", "src0", len(base)), (2, near, "en", "src0", len(near)),
+            (3, other, "es", "src1", len(other))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        sim = {r.doc_id: r.simhash32 for r in q_llm_simhash_md5(spark, d).collect()}
+        mh = {r.doc_id: r for r in q_llm_minhash_md5(spark, d).collect()}
+
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sim[1], sim[2]) <= 6 < ham(sim[1], sim[3])
+    shared_12 = sum(mh[1][f"mh{j}"] == mh[2][f"mh{j}"] for j in range(16))
+    shared_13 = sum(mh[1][f"mh{j}"] == mh[3][f"mh{j}"] for j in range(16))
+    assert shared_12 >= 12 and shared_13 == 0

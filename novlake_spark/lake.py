@@ -25,9 +25,13 @@ ACID note (SURVEY.md §7.5): the reference has *no* transactional story
 (non-atomic S3 overwrite). We match-or-beat it with Spark's committer
 protocol (job-level commit via staging dirs) and dynamic partition
 overwrite (``partitionOverwriteMode=dynamic``) for partition-level
-atomicity. A Delta Lake backend would add MERGE/time-travel; no Delta
-jars exist in this sandbox, so ``format`` is parameterized and Delta is
-documented as designed-not-enabled.
+atomicity. The "Delta ops" are provided on plain Parquet in simplified
+form: ``merge_into`` (copy-on-write MERGE/upsert, partition-scoped when
+the table is partitioned) and ``save_version``/``read_version``/
+``history`` (immutable ``v=N`` snapshot dirs = time travel). A real
+Delta backend stays a drop-in (``format`` is parameterized) if jars
+appear; the differences — a transaction log instead of directory
+listing, optimistic concurrency — are documented, not hidden.
 
 Scale notes: writes accept ``partition_by`` (Hive-style layout → static
 partition pruning on read) and ``max_records_per_file`` so a 100 TB
@@ -40,6 +44,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast as F_broadcast
 
 from novlake_spark.session import tune
 from novlake_spark.sources.tables import TABLES, load_table
@@ -186,6 +191,99 @@ class Lake:
         out = self.spark.table(name)
         self.namespace[name] = f"table:{name}"
         return out
+
+    # -- "Delta ops" on plain Parquet (SURVEY.md §7.5) ---------------------
+    def merge_into(
+        self,
+        source: DataFrame,
+        name: str,
+        path: str,
+        key: list[str],
+        delete_matched: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """MERGE/upsert semantics on a plain-Parquet table.
+
+        Equivalent of ``MERGE INTO target USING source ON key``:
+        matched target rows are replaced by their source row (or deleted
+        with ``delete_matched=True``), unmatched source rows are
+        inserted. Without Delta's log this is copy-on-write: the merged
+        result lands in a staging dir and swaps in with directory
+        renames, so readers see the old or the new table, never a mix.
+
+        Scale path: with ``partition_by``, only partitions present in
+        ``source`` are rewritten — the merge reads/writes
+        O(affected partitions), not the whole table, which is the only
+        viable shape when the table is 100 TB and the delta is 1 GB.
+        The key anti-join broadcasts when the source is small (AQE).
+        """
+        target = self.spark.read.parquet(path)
+        if partition_by:
+            # prune target to affected partitions only (join-free when the
+            # partition values are few: IN-list over partition columns)
+            parts = source.select(*partition_by).distinct()
+            scoped = target.join(F_broadcast(parts), partition_by, "left_semi")
+            kept = scoped.join(source.select(*key).distinct(), key, "left_anti")
+            merged = kept if delete_matched else kept.unionByName(source)
+            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                staged = merged.localCheckpoint(eager=True)  # cut lineage off the input path
+                staged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            out = self.spark.read.parquet(path)
+            self.register(name, out)
+            return out
+        kept = target.join(source.select(*key).distinct(), key, "left_anti")
+        merged = kept if delete_matched else kept.unionByName(source)
+        tmp = path.rstrip("/") + "_merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        bak = path.rstrip("/") + "_old"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+        out = self.spark.read.parquet(path)
+        self.register(name, out)
+        return out
+
+    def save_version(self, df: DataFrame, name: str, base_path: str) -> int:
+        """Time-travel-able write: each save is an immutable snapshot dir
+        ``base_path/v=N`` (N monotonically increasing); the registered
+        view always points at the latest. Old versions stay readable —
+        the snapshot-isolation half of Delta's story, from nothing but
+        directory convention and Parquet immutability. Returns N.
+        """
+        n = max(self._versions(base_path), default=-1) + 1
+        df.write.mode("errorifexists").parquet(os.path.join(base_path, f"v={n}"))
+        self.register(name, self.read_version(base_path))
+        self.namespace[name] = base_path
+        return n
+
+    def read_version(self, base_path: str, version: int | None = None) -> DataFrame:
+        """Read a specific snapshot (``version=N``) or the latest."""
+        vs = self._versions(base_path)
+        if not vs:
+            raise FileNotFoundError(f"no versions under {base_path}")
+        v = max(vs) if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} not in {sorted(vs)}")
+        return self.spark.read.parquet(os.path.join(base_path, f"v={v}"))
+
+    def history(self, base_path: str) -> list[int]:
+        """List committed snapshot versions, oldest first."""
+        return sorted(self._versions(base_path))
+
+    def _versions(self, base_path: str) -> list[int]:
+        import glob
+
+        # a version counts only once fully committed (_SUCCESS marker) —
+        # half-written snapshots are invisible, matching the committer
+        # protocol's job-level atomicity
+        return [
+            int(os.path.basename(os.path.dirname(s)).removeprefix("v="))
+            for s in glob.glob(os.path.join(base_path, "v=*", "_SUCCESS"))
+        ]
 
     def compact(self, path: str, target_file_mb: int = 128) -> int:
         """Small-file compaction: rewrite a Parquet prefix into files of

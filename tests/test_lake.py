@@ -92,3 +92,63 @@ def test_repair_partitions(lake, tmp_path, spark):
     extra.write.mode("append").partitionBy("status").parquet(path)
     lake.repair_partitions("orders_rep", path)
     assert lake.query("SELECT count(*) n FROM orders_rep WHERE status='X'").first().n == 3
+
+
+def test_merge_into_upserts_and_deletes(spark, tmp_path):
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    base.write.parquet(path)
+
+    src = spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string")
+    out = lake.merge_into(src, "t_merge", path, key=["id"])
+    assert sorted(map(tuple, out.collect())) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    # table on disk was really rewritten (not just the view)
+    assert sorted(map(tuple, spark.read.parquet(path).collect()))[1] == (2, "B")
+
+    gone = spark.createDataFrame([(1,)], "id long")
+    out = lake.merge_into(gone, "t_merge", path, key=["id"], delete_matched=True)
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+
+
+def test_merge_into_partition_scoped_rewrites_only_affected(spark, tmp_path):
+    import glob
+    import os
+
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    path = str(tmp_path / "p")
+    base = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "c"), (4, "fr", "d")],
+        "id long, lang string, v string",
+    )
+    base.write.partitionBy("lang").parquet(path)
+    untouched = set(glob.glob(os.path.join(path, "lang=de", "*.parquet")))
+
+    src = spark.createDataFrame([(2, "en", "B"), (5, "fr", "e")], "id long, lang string, v string")
+    out = lake.merge_into(src, "p_merge", path, key=["id"], partition_by=["lang"])
+    got = sorted((r.id, r.lang, r.v) for r in out.collect())
+    assert got == [(1, "en", "a"), (2, "en", "B"), (3, "de", "c"), (4, "fr", "d"), (5, "fr", "e")]
+    # de partition files were not rewritten (dynamic overwrite scope)
+    assert set(glob.glob(os.path.join(path, "lang=de", "*.parquet"))) == untouched
+
+
+def test_versioned_writes_time_travel(spark, tmp_path):
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    base = str(tmp_path / "vt")
+    v0 = lake.save_version(spark.createDataFrame([(1, "a")], "id long, v string"), "vt", base)
+    v1 = lake.save_version(spark.createDataFrame([(1, "a2"), (2, "b")], "id long, v string"), "vt", base)
+    assert (v0, v1) == (0, 1)
+    assert lake.history(base) == [0, 1]
+    assert lake.read_version(base).count() == 2, "default read = latest"
+    assert [tuple(r) for r in lake.read_version(base, 0).collect()] == [(1, "a")]
+    assert spark.table("vt").count() == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        lake.read_version(base, 9)

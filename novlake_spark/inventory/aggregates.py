@@ -459,3 +459,31 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: string aggregation (listagg/string_agg/group_concat family).
+    Deterministic via explicit element ordering in both engines
+    (sort_array before join — DuckDB's ORDER BY inside string_agg).
+    Groups are bounded (nations per region), the precondition for any
+    collect-to-scalar aggregate at scale."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -268,3 +268,22 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically; xxhash64 seeds differ and stays Spark-internal)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@register(
+    "q_fn_posexplode",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents WHERE doc_id < 10)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+    FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4b: UNNEST WITH ORDINALITY — posexplode carries the element
+    index alongside the value (the ordinality column Presto exposes).
+    DuckDB spells it as a lateral unnest over the index range."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")

@@ -324,3 +324,27 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c1.c_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c_name
+  LIMIT 2
+) t
+"""
+
+
+@register("q_join_lateral", oracle=_LATERAL_SQL)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13: LATERAL correlated subquery join (Presto/ANSI LATERAL, the
+    SQL spelling of top-k-per-group). Identical SQL text runs on both
+    engines; Spark plans the correlated limit as a partitioned
+    row_number under the hood — same physical shape as
+    q_win_topk_per_group, no per-row re-execution."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

@@ -40,3 +40,48 @@ def test_parquet_sink_exactly_once_across_restart(spark, sf_small, tmp_path):
     sunk = {r.event_id for r in spark.read.parquet(sink).select("event_id").collect()}
     want = {r.event_id for r in events.limit(350).select("event_id").collect()}
     assert sunk == want
+
+
+def test_streaming_cdc_upsert_via_foreachbatch_merge(spark, sf_small, tmp_path):
+    """Streaming CDC: a change-stream upserted into a lake table with
+    foreachBatch + Lake.merge_into — per-user latest state, the classic
+    Delta `MERGE` streaming pattern on the plain-Parquet merge."""
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    target = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(-1, "seed", 0.0)], "user_id long, event_type string, value double"
+    ).write.parquet(target)
+
+    events = load_table(spark, sf_small, "events")
+    changes = (
+        events.limit(200)
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", "ts").alias("event_type"), F.round(F.sum("value"), 2).alias("value"))
+    )
+    src = str(tmp_path / "changes")
+    changes.repartition(2).write.parquet(src)
+
+    def upsert(batch_df, batch_id):
+        lake.merge_into(batch_df, "user_state", target, key=["user_id"])
+
+    q = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(target)
+    # expected = what was actually written to src (limit() without an
+    # order is not stable across re-computation), plus the seed row
+    want = spark.read.parquet(src).count() + 1
+    assert final.count() == want
+    assert final.filter(F.col("user_id") == -1).first().event_type == "seed"
+    # keys are unique after repeated merges (upsert, not append)
+    assert final.select("user_id").distinct().count() == want

@@ -114,6 +114,75 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema="media_id long, width int, height int, mean_intensity double")
 
 
+def synthesize_wav(spark: SparkSession, n: int = 32, sample_rate: int = 8000, seed: int = 42) -> DataFrame:
+    """Media table whose audio payloads are REAL RIFF/WAV bytes (stdlib
+    ``wave`` writer): 16-bit mono sine bursts with per-row frequency and
+    duration. No external codec needed — this is the one modality the
+    environment can round-trip genuinely."""
+    import io
+    import wave
+
+    rows = []
+    for i in range(n):
+        freq = 220.0 * (1 + i % 8)
+        dur_ms = 100 + (i * 37) % 400
+        t = np.arange(int(sample_rate * dur_ms / 1000.0))
+        pcm = (np.sin(2 * np.pi * freq * t / sample_rate) * 12000).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        rows.append(
+            (i, "audio", buf.getvalue(), (None, None, sample_rate, dur_ms, "wav"))
+        )
+    return spark.createDataFrame(rows, media_schema)
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode — parses RIFF/WAV payloads with the stdlib
+    ``wave`` reader inside mapInPandas and emits per-clip features:
+    (media_id, sample_rate, n_samples, duration_ms, rms, peak).
+
+    This is the reference shape for every codec we cannot ship here
+    (PIL/ffmpeg): bytes → library decode → numpy features, streamed in
+    Arrow batches with constant memory. Non-audio rows and undecodable
+    payloads are dropped (curation semantics: quarantine, don't crash
+    the 100 TB job)."""
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            auds = pdf[pdf["kind"] == "audio"]
+            if auds.empty:
+                continue
+            out = {"media_id": [], "sample_rate": [], "n_samples": [], "duration_ms": [], "rms": [], "peak": []}
+            for _, row in auds.iterrows():
+                try:
+                    with wave.open(io.BytesIO(row["payload"]), "rb") as w:
+                        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+                        raw = w.readframes(w.getnframes())
+                    if width != 2 or nch != 1:
+                        continue  # this decoder handles 16-bit mono
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                except (wave.Error, EOFError):
+                    continue
+                out["media_id"].append(row["media_id"])
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(pcm))
+                out["duration_ms"].append(int(round(len(pcm) * 1000.0 / rate)))
+                out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                out["peak"].append(float(np.abs(pcm).max()) if len(pcm) else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, sample_rate int, n_samples long, duration_ms int, rms double, peak double",
+    )
+
+
 def resize_plan(df: DataFrame, target: int = 64) -> DataFrame:
     """Resize planning — pure metadata arithmetic (real, no codec):
     scale factors + output dims computed JVM-side; the byte-level

@@ -53,3 +53,44 @@ def test_q1_reads_only_needed_columns(spark, sf_small):
         "l_linestatus",
         "l_shipdate",
     }
+
+
+def test_lateral_join_decorrelates_to_window_topk(spark, sf_small):
+    """LATERAL (… ORDER BY … LIMIT k) must plan as window row_number +
+    filter under a broadcast join — NOT a per-outer-row re-execution."""
+    from novlake_spark.inventory.joins import q_join_lateral
+
+    df = q_join_lateral(spark, sf_small)
+    s = plans.explain_str(df)
+    assert "Window" in s and plans.has_broadcast_hash_join(df)
+    assert "CartesianProduct" not in s
+
+    df.collect()  # still correct after AQE finalizes
+
+
+def test_seq_pack_has_no_global_sort(spark, sf_small):
+    """Packing windows must partition by shard — a global (single
+    partition) Sort/Window would be the 100 TB killer."""
+    from novlake_spark.inventory.llm import q_llm_seq_pack
+
+    s = plans.explain_str(q_llm_seq_pack(spark, sf_small))
+    # every Sort in the plan is preceded by a hash-partitioned exchange
+    # on the shard key, never SinglePartition
+    assert "SinglePartition" not in s, s
+
+
+def test_det_shuffle_broadcasts_offsets(spark, sf_small):
+    """The 256-row shard-offset table must broadcast; the corpus side
+    must not pass through a single-partition exchange."""
+    from novlake_spark.inventory.llm import q_llm_shuffle_det
+
+    df = q_llm_shuffle_det(spark, sf_small)
+    assert plans.has_broadcast_hash_join(df)
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_small):
+    from novlake_spark.inventory.llm import q_llm_contamination
+
+    df = q_llm_contamination(spark, sf_small)
+    s = plans.explain_str(df)
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s

@@ -787,3 +787,43 @@ def q_llm_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}") for j in range(16)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "q_llm_curation",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks,
+                      md5(lower(trim(text))) AS h
+               FROM documents),
+         q AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+                      len(list_distinct(toks)) / len(toks) AS dr, h,
+                      min(doc_id) OVER (PARTITION BY h) AS keep
+               FROM t)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM q
+    WHERE n_tokens >= 5 AND dr >= 0.3 AND doc_id = keep
+    """,
+)
+def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-curate: the SQL-expressible core of the curation pipeline
+    (pipelines.curate) as one Catalyst plan — per-doc quality signals
+    (token count, lexical diversity) gate the corpus, exact-dup groups
+    keep their minimum id. One scan + one hash-partition window on the
+    content digest; the MinHash near-dup stage (not SQL-portable) is
+    exercised by its own keys and the pytest pipeline. Threshold
+    comparisons are IEEE-double divisions, identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dr"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("h"))
+    return (
+        t.withColumn("keep", keep)
+        .filter((F.col("n_tokens") >= 5) & (F.col("dr") >= 0.3) & (F.col("doc_id") == F.col("keep")))
+        .select("doc_id", "lang", "n_tokens")
+    )

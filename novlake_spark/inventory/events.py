@@ -123,3 +123,106 @@ def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+               GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: ordered conversion funnel (signup → click → purchase), the
+    product-analytics staple. Each stage is an aggregation keyed on
+    user_id joined to the next stage's filtered events; every join key
+    is the 150-user dimension → all joins broadcast, the event scan
+    stays a single pass per stage with the stage predicate pushed
+    down. Counts users whose stages occur in time order."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@register(
+    "q_event_retention",
+    oracle="""
+    WITH first AS (SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cd
+                   FROM events GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events)
+    SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+           count(*) AS n_users,
+           CAST(sum(CASE WHEN d1.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d1_retained,
+           CAST(sum(CASE WHEN d7.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d7_retained
+    FROM first f
+    LEFT JOIN act d1 ON d1.user_id = f.user_id AND d1.d = f.cd + 1
+    LEFT JOIN act d7 ON d7.user_id = f.user_id AND d7.d = f.cd + 7
+    GROUP BY cd
+    """,
+)
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: cohort retention — users grouped by first-activity day,
+    with day-1 and day-7 return counts. The distinct (user, day)
+    activity table is built once and joined twice at different lags;
+    both joins key on the user dimension (broadcastable), and the
+    cohort aggregation is a ~30-row result. Join columns are renamed
+    before joining — the two branches share scan lineage, and distinct
+    names keep attribute resolution unambiguous."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("cd")
+    )
+    act = events.select("user_id", F.date_trunc("day", "ts").cast("date").alias("d")).distinct()
+    d1 = act.select(F.col("user_id").alias("u1"), F.col("d").alias("dd1"))
+    d7 = act.select(F.col("user_id").alias("u7"), F.col("d").alias("dd7"))
+    j = (
+        first.join(
+            d1, (F.col("u1") == F.col("user_id")) & (F.col("dd1") == F.date_add("cd", 1)), "left"
+        )
+        .join(
+            d7, (F.col("u7") == F.col("user_id")) & (F.col("dd7") == F.date_add("cd", 7)), "left"
+        )
+    )
+    return j.groupBy("cd").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("dd1").isNotNull(), 1).otherwise(0)).alias("d1_retained"),
+        F.sum(F.when(F.col("dd7").isNotNull(), 1).otherwise(0)).alias("d7_retained"),
+    ).select(
+        F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+        "n_users",
+        "d1_retained",
+        "d7_retained",
+    )

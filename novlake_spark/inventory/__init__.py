@@ -7,6 +7,7 @@ from novlake_spark.inventory import (  # noqa: F401
     functions,
     joins,
     llm,
+    profiling,
     projection,
     sampling,
     sets,
@@ -23,6 +24,7 @@ MODULES = [
     functions,
     joins,
     llm,
+    profiling,
     projection,
     sampling,
     sets,

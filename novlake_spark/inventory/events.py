@@ -226,3 +226,66 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1_retained",
         "d7_retained",
     )
+
+
+@register(
+    "q_scd2_build",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+                       = event_type THEN 0 ELSE 1 END AS chg
+      FROM events),
+    v AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      FROM x),
+    g AS (
+      SELECT user_id, version, min(event_type) AS event_type,
+             min(us) AS valid_from_us, count(*) AS n_events
+      FROM v GROUP BY user_id, version)
+    SELECT user_id, version, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           n_events
+    FROM g
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: SCD Type-2 dimension build — collapse each user's event
+    stream into validity intervals [valid_from, valid_to) per run of
+    identical event_type, open-ended for the current state.
+
+    The lakehouse dimension-versioning primitive. One shuffle on
+    user_id serves all three steps (change detection via lag, run
+    numbering via running sum, interval close via lead): the window
+    partitioning and the groupBy key share the same hash partitioning,
+    so Catalyst plans a single Exchange. Timestamps compare as epoch
+    micros (integer-truncated from the nanos fixture on both engines,
+    see sources/tables.py)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    x = e.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w) == F.col("event_type"), 0).otherwise(1),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    g = x.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return g.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )

@@ -827,3 +827,50 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tokens") >= 5) & (F.col("dr") >= 0.3) & (F.col("doc_id") == F.col("keep")))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+@register(
+    "q_llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''),
+    p AS (SELECT token, doc_id,
+                 row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+          FROM tok)
+    SELECT t.token,
+           CAST(count(*) AS BIGINT) AS df,
+           (SELECT array_to_string(list_sort(list(doc_id)), ',')
+            FROM p WHERE p.token = t.token AND p.rn <= 20) AS first_postings
+    FROM tok t
+    GROUP BY t.token
+    """,
+)
+def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: inverted-index construction — token → document frequency +
+    the first 20 postings (by doc_id), the IR/retrieval building block.
+
+    The full posting list for a frequent token is O(corpus) — never
+    collect it. The bounded prefix comes from a per-token row_number
+    window over the distinct (token, doc) pairs, so executor memory
+    holds ≤20 postings per token regardless of corpus size; df is a
+    plain count over the same distinct pairs, and the tiny (vocab-sized)
+    join of the two aggregates broadcasts."""
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    postings = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("token")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("first_postings"))
+    )
+    return df_counts.join(F.broadcast(postings), "token").select(
+        "token", "df", "first_postings"
+    )

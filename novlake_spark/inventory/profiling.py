@@ -1,0 +1,129 @@
+"""Data-profiling / diagnostics / retail-analytics query keys.
+
+Operational surface a lake engine needs around the query path: one-pass
+table profiling (the stats a catalog or quality monitor collects), join
+-key skew diagnostics (what you run *before* choosing a join strategy at
+100 TB), and pairwise co-occurrence mining (the self-join pattern behind
+market-basket / co-view analytics). All FULL-oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)     AS d_custkey,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_totalprice,
+           floor(min(o_totalprice) * 100 + 0.5) / 100 AS min_totalprice,
+           floor(max(o_totalprice) * 100 + 0.5) / 100 AS max_totalprice,
+           floor(avg(o_totalprice) * 100 + 0.5) / 100 AS avg_totalprice,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS min_orderdate,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_orderdate
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: one-pass column profile of a table — row count, distinct
+    cardinalities, null counts, numeric min/max/mean, date range.
+
+    The catalog/data-quality stat collector: every statistic is an
+    aggregate over the same scan, so Catalyst plans ONE pass (the two
+    count-distincts expand, but stay in the single aggregate). At
+    100 TB this is the difference between profiling in one job and the
+    naive per-column loop issuing nine scans. Cent rounding is
+    floor(x*100+0.5) in both engines (HALF_UP vs HALF_EVEN divergence,
+    SCALING.md)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = lambda c: (F.floor(c * 100 + F.lit(0.5)) / 100)  # noqa: E731
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_totalprice"),
+        cents(F.min("o_totalprice")).alias("min_totalprice"),
+        cents(F.max("o_totalprice")).alias("max_totalprice"),
+        cents(F.avg("o_totalprice")).alias("avg_totalprice"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_orderdate"),
+    )
+
+
+@register(
+    "q_profile_skew",
+    oracle="""
+    WITH k AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, cnt,
+           floor(cnt * 1000.0 / (SELECT avg(cnt) FROM k) + 0.5) / 1000 AS skew_x
+    FROM k
+    ORDER BY cnt DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: join-key skew diagnostic — top-20 heavy hitters on a join
+    key with their multiple-of-mean frequency.
+
+    What you run before a 100 TB join to decide salting / broadcast /
+    AQE skew-split thresholds. One shuffle builds the key histogram;
+    the global mean is a single-row aggregate broadcast back; top-20 is
+    TakeOrderedAndProject (no global sort). The ratio is exact: integer
+    counts are double-exact below 2^53, so avg and the scaled floor
+    agree across engines. Tie-break on the key keeps the LIMIT edge
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    mean = k.agg(F.avg("cnt").alias("avg_cnt"))
+    return (
+        k.crossJoin(F.broadcast(mean))
+        .select(
+            "l_partkey",
+            "cnt",
+            (F.floor(F.col("cnt") * 1000.0 / F.col("avg_cnt") + 0.5) / 1000).alias("skew_x"),
+        )
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_market_basket",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, count(*) AS n_orders
+    FROM b a
+    JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY a.l_partkey, c.l_partkey
+    HAVING count(*) >= 2
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: market-basket pair mining — part pairs co-occurring in ≥2
+    orders, via the canonical basket self-join.
+
+    Both join sides derive from the same distinct (order, item) scan,
+    so the exchange on l_orderkey is planned once and reused; per-order
+    fan-out is bounded by basket size (≤13 items → ≤78 pairs), which is
+    what keeps this self-join linear-ish at 100 TB — pair explosion is
+    per-basket, never cross-basket. The a < b canonicalization halves
+    the pairs and makes each unordered pair appear exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    c = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(c, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -90,3 +90,52 @@ def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.last(sparse, ignorenulls=True).over(w), 2).alias("last_purchase_value"),
     )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH b AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+                      CAST(max(date_trunc('day', ts)) AS DATE) AS d1 FROM events),
+    days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                     count(*) AS n, round(sum(value), 2) AS tv
+              FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE))
+    SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+           coalesce(n, 0) AS n_events, coalesce(tv, 0.0) AS total_value
+    FROM users u
+    CROSS JOIN days d
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K: dense calendar gap-fill — a generated day spine crossed with
+    the user dimension, left-joined to the sparse daily aggregate so
+    silent days surface as explicit zero rows.
+
+    The spine is sequence()+explode over a single-row min/max aggregate
+    — O(days) rows, broadcast to the user dimension, so the only real
+    shuffle is the daily aggregation of the fact scan. At 100 TB the
+    spine stays tiny (it scales with the calendar, not the data) and
+    the left join keys on (user, day), the same key the aggregate just
+    produced."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = e.select("user_id").distinct()
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv")
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        )
+    )

@@ -487,3 +487,27 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register("q_agg_hll_sketch")  # WEAK: DataSketches HLL has no DuckDB-equivalent estimate
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 4 hll_sketch_agg / hll_union_agg).
+
+    The point at 100 TB is *re-aggregation without rescanning*: the
+    per-segment sketches are built in one pass, and the global row is
+    hll_union_agg over those few sketch blobs — a rollup that reads
+    bytes, not the fact table. (approx_count_distinct gives one level
+    only; sketches compose across partitions, days, and tables.)
+    Rows-only check: the estimate is algorithm-defined, not
+    SQL-portable."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    per_seg = seg.select(
+        "c_mktsegment", F.hll_sketch_estimate("sk").alias("est_distinct")
+    )
+    merged = seg.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("c_mktsegment"),
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+    )
+    return per_seg.unionAll(merged)

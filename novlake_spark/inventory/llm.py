@@ -874,3 +874,20 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df_counts.join(F.broadcast(postings), "token").select(
         "token", "df", "first_postings"
     )
+
+
+@register("q_llm_bpe_train")  # WEAK: iterative algorithm, not SQL-expressible
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: BPE tokenizer training — 16 merge rounds over the corpus
+    word-frequency table (operators/bpe.py).
+
+    The corpus-sized stage is one word-count shuffle; the merge loop is
+    vocab-bounded driver work (Sennrich split — see module docstring
+    for why that's the scalable shape, not N cluster jobs). Output is
+    the deterministic merge table: rank, pair, merged symbol, count.
+    Rows-only check: the fixed point of an iterative algorithm has no
+    single-query SQL equivalent."""
+    from novlake_spark.operators import bpe as B
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return B.train_bpe(d, n_merges=16)

@@ -1,0 +1,132 @@
+"""Byte-pair-encoding tokenizer training over a distributed corpus.
+
+Classic Sennrich-style BPE (Neural Machine Translation of Rare Words
+with Subword Units, ACL 2016) trains on the *word-frequency table*, not
+the raw corpus: merges depend only on (word, count) pairs. That split is
+what makes the algorithm scale — the corpus-sized work is ONE
+distributed word-count aggregation (map-side partial aggregation, one
+shuffle on the word key), and the merge loop then iterates over the
+vocabulary, which is bounded (capped at ``vocab_cap`` by frequency) and
+independent of corpus size. Running the loop on the driver over ≤100k
+aggregated rows is faster and cheaper than 10 cluster-wide jobs that
+would each rescan or reshuffle the corpus; at 100 TB the plan is
+identical — only the word-count stage grows.
+
+Determinism: best pair = max count, ties broken by lexicographic pair,
+and the vocab cap is applied with a (count desc, word) ordering, so the
+merge table is reproducible across cluster sizes and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text", vocab_cap: int = 100_000) -> DataFrame:
+    """Distributed word-frequency table, deterministically capped.
+
+    The only corpus-sized stage of BPE training: a whitespace explode
+    feeding a hash aggregate (partial map-side combine keeps the
+    shuffle at O(distinct words per partition)), then a top-``vocab_cap``
+    cut ordered by (count desc, word) so the cap is stable under any
+    partitioning.
+    """
+    words = docs.select(F.explode(F.split(text_col, " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return wc.orderBy(F.col("n").desc(), "word").limit(vocab_cap)
+
+
+def train_merges(wc: list[tuple[str, int]], n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge loop over the aggregated (word, count) table.
+
+    Returns [(rank, left, right, pair_count), ...]. Pure function of the
+    word-count table — no RNG, no dict-order dependence.
+    """
+    vocab: dict[tuple[str, ...], int] = {tuple(w) + (END,): n for w, n in wc}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merged = best[0] + best[1]
+        merges.append((rank, best[0], best[1], top))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 10, vocab_cap: int = 100_000
+) -> DataFrame:
+    """Train BPE merges on a document corpus; returns the merge table as
+    a DataFrame (rank, left, right, merged, pair_count).
+
+    One distributed aggregation + a vocab-bounded driver loop (module
+    docstring). The merge table is itself tiny (n_merges rows) and is
+    returned as a DataFrame so it can be broadcast-joined by an encoder.
+    """
+    wc = [(r["word"], r["n"]) for r in word_counts(docs, text_col, vocab_cap).collect()]
+    merges = train_merges(wc, n_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(r, a, b, a + b, c) for r, a, b, c in merges],
+        "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+def encode_words(docs: DataFrame, merges: list[tuple[int, str, str, int]], text_col: str = "text") -> DataFrame:
+    """Apply a trained merge table: per-document BPE token counts.
+
+    The merge list is a small broadcast-able closure constant; encoding
+    is embarrassingly parallel (mapPartitions-free — a vectorized-enough
+    Python UDF would also work, but the pure-column path keeps the
+    example simple and the hot loop is in the trainer, not here).
+    """
+    order = [(a, b) for _, a, b, _ in sorted(merges)]
+
+    def enc(word: str) -> list[str]:
+        syms = list(word) + [END]
+        for a, b in order:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    enc_udf = F.udf(enc, "array<string>")
+    words = docs.select("doc_id", F.explode(F.split(text_col, " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return words.select("doc_id", F.explode(enc_udf("word")).alias("bpe_token")).groupBy(
+        "doc_id", "bpe_token"
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -23,6 +23,8 @@ def test_registry_shape():
         "q_llm_dedup_simhash",
         "q_llm_knn_lsh",
         "q_llm_knn_ivf",
+        "q_agg_hll_sketch",
+        "q_llm_bpe_train",
     }
 
 

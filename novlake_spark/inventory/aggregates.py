@@ -126,7 +126,7 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct")  # WEAK oracle: HLL estimates differ per engine
+@register("q_agg_approx_distinct", weak=True)  # WEAK oracle: HLL estimates differ per engine
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: approximate count-distinct (HyperLogLog++).
 
@@ -138,6 +138,24 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@register("q_agg_approx_percentile", weak=True)  # approx: sketch-dependent values
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: approximate percentiles (Greenwald-Khanna sketch).
+
+    The 100 TB quantile path: ``approx_percentile`` keeps a fixed-size
+    GK sketch per group that merges associatively across partitions, so
+    the exchange carries O(groups × sketch) regardless of row count —
+    unlike exact ``percentile`` (E12) which must see all values per
+    group. Accuracy 1000 → ~0.1% rank error. Rows-only driver check
+    (sketch estimates are engine-specific); the unit test pins the
+    estimate against the exact percentile at fixture scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 2).alias("approx_p50"),
+        F.round(F.percentile_approx("l_extendedprice", 0.95, 1000), 2).alias("approx_p95"),
     )
 
 
@@ -489,7 +507,7 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_hll_sketch")  # WEAK: DataSketches HLL has no DuckDB-equivalent estimate
+@register("q_agg_hll_sketch", weak=True)  # WEAK: DataSketches HLL has no DuckDB-equivalent estimate
 def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E: mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 4 hll_sketch_agg / hll_union_agg).

@@ -271,6 +271,46 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_map",
+    oracle="""
+    SELECT p_partkey,
+           p_brand                        AS brand_v,
+           CAST(3 AS BIGINT)              AS n_keys,
+           'brand,name,type'              AS keys_csv,
+           TRUE                           AS has_type,
+           upper(p_type)                  AS type_upper
+    FROM part
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: map-typed column family — build a map from part attributes
+    (``create_map``), then read it back through ``element_at`` /
+    ``size`` / ``map_keys`` / ``map_contains_key`` /
+    ``transform_values``. All JVM-side codegen expressions; a map column
+    adds no shuffle and prunes like any other column. The oracle
+    computes the same outputs from the base columns (DuckDB's map
+    extraction returns lists, so sharing SQL text would compare
+    different shapes); the key's claim is that Spark's map round-trip
+    reproduces the flat truth."""
+    parts = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("name"), F.col("p_name"),
+        F.lit("type"), F.col("p_type"),
+    )
+    return parts.select("p_partkey", m.alias("m")).select(
+        "p_partkey",
+        F.element_at("m", F.lit("brand")).alias("brand_v"),
+        F.size("m").cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_csv"),
+        F.map_contains_key("m", F.lit("type")).alias("has_type"),
+        F.element_at(
+            F.transform_values("m", lambda _k, v: F.upper(v)), F.lit("type")
+        ).alias("type_upper"),
+    )
+
+
+@register(
     "q_fn_posexplode",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks

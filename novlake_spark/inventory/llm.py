@@ -38,7 +38,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@register("q_llm_dedup_near")  # WEAK: MinHash/LSH is algorithm-specific, rows-only check
+@register("q_llm_dedup_near", weak=True)  # WEAK: MinHash/LSH is algorithm-specific, rows-only check
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup detection — MinHash(32) → LSH(8 bands × 4) candidate
     pairs → exact-Jaccard verification score per candidate.
@@ -50,7 +50,7 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_pairs(docs, threshold=0.0)
 
 
-@register("q_llm_dedup_simhash")  # WEAK: xxhash64 has no DuckDB equivalent
+@register("q_llm_dedup_simhash", weak=True)  # WEAK: xxhash64 has no DuckDB equivalent
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2b: 32-bit SimHash signature per document (Hamming-dedup input)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -171,7 +171,7 @@ def q_llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.knn_join_blocked(emb, "label", k=5)
 
 
-@register("q_llm_knn_lsh")  # WEAK: approximate — recall asserted in unit tests
+@register("q_llm_knn_lsh", weak=True)  # WEAK: approximate — recall asserted in unit tests
 def q_llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5b: approximate k-NN via sign-random-projection buckets (the
     100 TB scale path: 2^p buckets divide the pairwise cost ~4^p)."""
@@ -179,7 +179,7 @@ def q_llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.lsh_bucketed_knn(emb, k=5, n_planes=4)
 
 
-@register("q_llm_knn_ivf")  # WEAK: approximate — recall asserted in unit tests
+@register("q_llm_knn_ivf", weak=True)  # WEAK: approximate — recall asserted in unit tests
 def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5c: approximate k-NN via an IVF coarse quantizer (seeded k-means
     cells, exact search within cell) — the data-adaptive alternative to
@@ -876,7 +876,7 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_bpe_train")  # WEAK: iterative algorithm, not SQL-expressible
+@register("q_llm_bpe_train", weak=True)  # WEAK: iterative algorithm, not SQL-expressible
 def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L: BPE tokenizer training — 16 merge rounds over the corpus
     word-frequency table (operators/bpe.py).

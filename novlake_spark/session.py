@@ -28,6 +28,8 @@ Scale notes (100 TB / 1000-executor target):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import SparkSession
 
 #: Confs that are safe (and verified) to set on a live session.
@@ -46,16 +48,32 @@ DYNAMIC_CONFS: dict[str, str] = {
 }
 
 
+_WARNED_CONFS: set[str] = set()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply dynamic confs to an existing session. Idempotent and cheap."""
+    """Apply dynamic confs to an existing session. Idempotent and cheap.
+
+    A conf that fails to set or reads back different from requested is
+    logged ONCE per process — never raised (tuning must not break a
+    query) but never silent either: a silently-ignored ``nanosAsLong``
+    is exactly how the events-timestamp regression rotted unnoticed in
+    round 1.
+    """
     for key, value in DYNAMIC_CONFS.items():
         try:
             if spark.conf.get(key, None) != value:
                 spark.conf.set(key, value)
-        except Exception:
-            # A conf may be unknown on future Spark versions; never let
-            # tuning break a query.
-            pass
+                if spark.conf.get(key, None) != value and key not in _WARNED_CONFS:
+                    _WARNED_CONFS.add(key)
+                    logging.getLogger(__name__).warning(
+                        "conf %s did not take (wanted %r, have %r)",
+                        key, value, spark.conf.get(key, None),
+                    )
+        except Exception as exc:
+            if key not in _WARNED_CONFS:
+                _WARNED_CONFS.add(key)
+                logging.getLogger(__name__).warning("conf %s failed to set: %s", key, exc)
     return spark
 
 

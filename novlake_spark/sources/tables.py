@@ -6,14 +6,29 @@ column pruning (``ReadSchema``), predicate pushdown (``PushedFilters``)
 and, for partitioned layouts written by :class:`novlake_spark.lake.Lake`,
 partition pruning, are all automatic downstream of this function.
 
-``events`` special case: its ``ts`` column is Parquet TIMESTAMP(NANOS),
-which Spark 4.x's vectorized reader rejects. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.tune) the
-column surfaces as a raw nanosecond ``long``; we convert with *integer*
-division (``DIV 1000`` → microseconds, exactly what DuckDB's truncation
-to its µs-precision timestamps produces) and ``timestamp_micros``.
-Floating-point division would round-to-nearest-double and disagree with
-the oracle on ~1 in 10⁴ rows.
+``events`` special case: its ``ts`` column is Parquet TIMESTAMP(NANOS).
+Depending on the Spark build and the
+``spark.sql.legacy.parquet.nanosAsLong`` flag's effectiveness, that
+column arrives as one of THREE dtypes, and each must normalize to a
+session-TZ ``timestamp`` (micros) or downstream consumers
+(``unix_micros``, ``withWatermark``) break:
+
+- ``bigint`` (nanosAsLong honored): *integer* division ``DIV 1000`` →
+  microseconds — exactly the truncation DuckDB applies when reading
+  nanos into its µs-precision timestamps. Floating-point division would
+  round-to-nearest-double and disagree with the oracle on ~1 in 10⁴
+  rows.
+- ``timestamp_ntz`` (Spark 4.1+ reads nanos natively, truncated to
+  micros, as NTZ): cast to ``timestamp``. The session timezone is
+  pinned to UTC (session.DYNAMIC_CONFS), so the wall-clock
+  reinterpretation is epoch-preserving and micros agree with
+  ``epoch_ns(ts) // 1000`` on the oracle side.
+- ``timestamp``: already normalized, pass through.
+
+Anything else raises immediately — a loud failure here beats the silent
+1970-dates / analysis errors that an unnoticed dtype drift causes five
+operators downstream (this exact rot happened when ``nanosAsLong``
+became a no-op; VERDICT.md round 1, "What's wrong" #1).
 """
 
 from __future__ import annotations
@@ -46,6 +61,31 @@ TABLES = [
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-TZ ``timestamp``
+    (micros), whatever dtype the Parquet reader produced (module
+    docstring: bigint-nanos / timestamp_ntz / timestamp).
+
+    Shared by the batch loader and the streaming source so the two paths
+    can never diverge again. Raises on an unrecognized dtype rather than
+    letting a silently-wrong column flow downstream.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        return df
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dtype == "timestamp":
+        return df
+    raise TypeError(
+        f"events.{col} arrived as {dtype!r}; expected bigint (nanosAsLong), "
+        "timestamp_ntz, or timestamp. Update normalize_event_ts for this "
+        "Spark build rather than letting downstream operators mis-read it."
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (events get the ts shim)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -54,8 +94,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
+        assert dict(df.dtypes)["ts"] == "timestamp", dict(df.dtypes)["ts"]
     _CACHE[key] = df
     return df
 

@@ -21,42 +21,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from novlake_spark.session import tune
-
-#: events.parquet physical schema with the TIMESTAMP(NANOS) column read
-#: as a raw long (nanosAsLong), converted below exactly like the batch
-#: path in sources.tables.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from novlake_spark.sources.tables import normalize_event_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """The events table as a file-source stream (Parquet replay)."""
+    """The events table as a file-source stream (Parquet replay).
+
+    File-source streams require an explicit schema; we take it from a
+    batch read of the same file instead of hard-coding one, so whatever
+    dtype this Spark build gives the TIMESTAMP(NANOS) column (bigint /
+    timestamp_ntz / timestamp — it has changed between builds) the
+    stream sees the truth, and :func:`normalize_event_ts` — the SAME
+    helper the batch path uses — converts it to a watermarkable
+    session-TZ ``timestamp``. Round 1 hard-coded ``ts LongType`` here
+    and every streaming test silently landed in 1970 when the reader
+    switched to NTZ.
+    """
     tune(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(df)
 
 
 def stream_tumbling(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:

@@ -1,6 +1,7 @@
 """Driver-contract integrity: entry smoke + registry invariants."""
 
 import __spark_entry__ as contract
+from novlake_spark import registry
 
 
 def test_entry_smoke(spark):
@@ -15,17 +16,26 @@ def test_registry_shape():
     oracles = contract.oracle_sql()
     assert len(qs) >= 70
     assert set(oracles) <= set(qs)
-    # WEAK keys are intentional and enumerated — everything else has an oracle
-    weak = set(qs) - set(oracles)
-    assert weak == {
-        "q_agg_approx_distinct",
-        "q_llm_dedup_near",
-        "q_llm_dedup_simhash",
-        "q_llm_knn_lsh",
-        "q_llm_knn_ivf",
-        "q_agg_hll_sketch",
-        "q_llm_bpe_train",
-    }
+    # Every key either has an oracle or was EXPLICITLY declared weak at
+    # registration (register(..., weak=True) — the single source of
+    # truth); a forgotten oracle can't pose as an intentional WEAK key.
+    assert set(qs) - set(oracles) == registry.weak_keys()
+
+
+def test_priority_order():
+    """The driver grades ~the first 50 keys of queries() — assert the
+    priority list is typo-free (every entry resolves) and that the
+    graded window spans every SURVEY §2 family."""
+    qs = contract.queries()
+    missing = [k for k in registry.PRIORITY if k not in qs]
+    assert not missing, f"PRIORITY names unregistered keys: {missing}"
+    head = list(qs)[:50]
+    for prefix in (
+        "q_project", "q_filter", "q_join", "q_agg", "q_win", "q_set",
+        "q_fn", "q_stream", "q_udf", "q_llm", "q_tpch", "q_subquery",
+    ):
+        assert any(k.startswith(prefix) for k in head), prefix
+    assert "q_scd2_build" in head
 
 
 def test_all_queries_documented():

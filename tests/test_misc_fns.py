@@ -32,3 +32,18 @@ def test_union_by_name_missing_columns(spark):
     out = a.unionByName(b, allowMissingColumns=True).orderBy("id").collect()
     assert out[0].a == "x" and out[0].b is None
     assert out[1].a is None and out[1].b == 9.5
+
+
+def test_approx_percentile_within_5pct_of_exact(spark, sf_small):
+    """E13 accuracy pin: GK sketch (accuracy=1000) must land within 5%
+    of the exact per-group median at fixture scale."""
+    from novlake_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.05 * abs(r.exact), r

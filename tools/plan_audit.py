@@ -1,0 +1,89 @@
+"""Plan-shape snapshot: a diffable record of each headline query's
+physical plan so perf regressions show up as PLAN changes (lost
+broadcast, extra Exchange, a Python UDF sneaking into a hot path), not
+just wall-time drift.
+
+For every bench.HEADLINE key the tool extracts scale-relevant features
+from the executed plan and an id-normalized fingerprint hash, then
+writes PLANS.json at the repo root. Diff it across rounds:
+
+- ``exchanges`` up       → a new shuffle appeared
+- ``broadcast_joins`` down / ``sort_merge_joins`` up → a broadcast was
+  lost (size estimate drift, missing hint)
+- ``python_evals`` up    → row-at-a-time Python entered the plan
+- ``wscg_spans`` down    → whole-stage codegen got fragmented
+- ``hash`` changed with all counters equal → same cost shape, benign
+
+Usage: python tools/plan_audit.py            (sf0.1, all HEADLINE keys)
+       SF_DIR=... python tools/plan_audit.py q_join_star ...
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from novlake_spark.registry import queries  # noqa: E402
+from novlake_spark.session import get_session  # noqa: E402
+
+#: node-name → feature counter. Substring matches on plan lines.
+FEATURES = {
+    "exchanges": re.compile(r"\bExchange\b(?! SinglePartition)"),
+    "single_part_exchanges": re.compile(r"Exchange SinglePartition"),
+    "broadcast_joins": re.compile(r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+    "sort_merge_joins": re.compile(r"SortMergeJoin"),
+    "shuffled_hash_joins": re.compile(r"ShuffledHashJoin"),
+    "python_evals": re.compile(r"BatchEvalPython"),  # row-at-a-time UDF: should stay 0
+    "arrow_evals": re.compile(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"),
+    "sorts": re.compile(r"\bSort\b"),
+    "wscg_spans": re.compile(r"WholeStageCodegen"),
+    "scans": re.compile(r"FileScan|Scan parquet"),
+}
+
+
+def normalize(plan: str) -> str:
+    """Strip run-variant ids so the fingerprint is stable across
+    sessions: expression ids (#123), codegen ids, plan ids, paths."""
+    plan = re.sub(r"#\d+[A-Z]*", "#", plan)
+    plan = re.sub(r"\[id=#?\d*\]", "", plan)
+    plan = re.sub(r"WholeStageCodegen \(\d+\)", "WholeStageCodegen", plan)
+    plan = re.sub(r"(file:)?/[^,\s\]]+", "<path>", plan)
+    plan = re.sub(r"Statistics\([^)]*\)", "", plan)
+    return plan
+
+
+def audit(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = normalize(plan)
+    out = {k: len(rx.findall(norm)) for k, rx in FEATURES.items()}
+    out["hash"] = hashlib.md5(norm.encode()).hexdigest()[:12]
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+    keys = sys.argv[1:] or HEADLINE
+    spark = get_session("novlake-plan-audit", shuffle_partitions=8)
+    qs = queries()
+    report = {}
+    for key in keys:
+        report[key] = audit(qs[key](spark, sf_dir))
+        flags = []
+        if report[key]["python_evals"]:
+            flags.append("PYTHON-UDF-IN-PLAN")
+        print(f"{key}: {json.dumps(report[key])} {' '.join(flags)}")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,9 +42,12 @@ FEATURES = {
     "python_evals": re.compile(r"BatchEvalPython"),  # row-at-a-time UDF: should stay 0
     "arrow_evals": re.compile(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"),
     "sorts": re.compile(r"\bSort\b"),
-    "wscg_spans": re.compile(r"WholeStageCodegen"),
     "scans": re.compile(r"FileScan|Scan parquet"),
 }
+
+#: codegen membership renders as a "*(n)" node prefix in plan toString;
+#: the number of DISTINCT ids = whole-stage-codegen span count.
+WSCG = re.compile(r"\*\((\d+)\)")
 
 
 def normalize(plan: str) -> str:
@@ -59,9 +62,21 @@ def normalize(plan: str) -> str:
 
 
 def audit(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Physical planning is lazy; flipping AQE off just before inspection
+    # yields the fully-annotated STATIC plan (codegen stars, final join
+    # strategies) instead of an unexecuted AdaptiveSparkPlan wrapper.
+    # The snapshot is therefore the compile-time plan — AQE's runtime
+    # re-planning is an improvement on top, not part of the fingerprint.
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     norm = normalize(plan)
     out = {k: len(rx.findall(norm)) for k, rx in FEATURES.items()}
+    out["wscg_spans"] = len(set(WSCG.findall(plan)))
     out["hash"] = hashlib.md5(norm.encode()).hexdigest()[:12]
     return out
 

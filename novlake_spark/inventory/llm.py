@@ -891,3 +891,171 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return B.train_bpe(d, n_merges=16)
+
+
+@register(
+    "q_llm_pii_scrub",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' Contact: user' || doc_id || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS raw_text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')                    AS clean_text,
+           CAST(len(regexp_extract_all(raw_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw_text, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones
+    FROM raw
+    """,
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: PII redaction — regex-scrub emails and phone numbers, report
+    per-document redaction counts.
+
+    A standard pre-training hygiene pass. The fixture corpus carries no
+    PII, so each row first gets a DETERMINISTIC synthetic email+phone
+    (derived from doc_id — same injection in the oracle SQL), making
+    the scrub verifiable end-to-end rather than vacuously matching on
+    zero replacements. Both regexes use only syntax Java's engine and
+    DuckDB's RE2 interpret identically (classes, bounded repeats — no
+    backrefs/lookaround). Entirely map-side JVM codegen: no shuffle, no
+    Python — at 100 TB this runs at scan speed, and the same column
+    expressions drop into any ingest pipeline."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\d{3}-\d{3}-\d{4}"
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit("."),
+        ).alias("raw_text"),
+    )
+    return raw.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw_text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all("raw_text", F.lit(email_re), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("raw_text", F.lit(phone_re), 0)).cast("long").alias("n_phones"),
+    )
+
+
+@register(
+    "q_llm_span_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+          FROM t)
+    SELECT ngram,
+           count(*)    AS n_docs,
+           min(doc_id) AS first_doc
+    FROM g GROUP BY ngram HAVING count(*) > 1
+    """,
+)
+def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L: cross-document span duplication — token 3-gram spans occurring
+    in more than one document, with the canonical keeper (min doc_id).
+
+    The detection half of substring-level training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): repeated spans across documents are memorization
+    fuel even when whole-document hashes differ. Plan shape at 100 TB:
+    shingling is map-side (Arrow-vectorized), per-doc ``distinct``
+    collapses intra-doc repeats BEFORE the exchange, and the single
+    shuffle key is the span text — partial aggregation means each
+    mapper emits each (span, doc) once. Skewed hot spans (boilerplate)
+    are exactly what AQE skew-split handles; the output is the
+    span→first_doc map a scrubber broadcast-joins against."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.explode(T.shingles_arrow(F.col("text"), 3)).alias("ngram")
+    ).distinct()
+    return (
+        spans.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register("q_llm_bpe_encode", weak=True)  # WEAK: depends on the iterative trainer
+def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: apply a trained BPE merge table to the corpus — top-30
+    (token, total count) pairs across all documents.
+
+    Exercises the scale-shaped encoder (operators/bpe.py encode_words):
+    Python touches each DISTINCT word once via an Arrow pandas UDF and
+    the (word → tokens) table joins back — no per-corpus-token
+    interpreter work. Deterministic (trainer ties broken
+    lexicographically) but downstream of an iterative algorithm, so
+    rows-only. Output capped to top-30 tokens ordered (count desc,
+    token) for a stable driver check."""
+    from novlake_spark.operators import bpe as B
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges_df = B.train_bpe(d, n_merges=16)
+    merges = [
+        (r["rank"], r["left"], r["right"], r["pair_count"]) for r in merges_df.collect()
+    ]
+    enc = B.encode_words(d, merges)
+    return (
+        enc.groupBy("bpe_token")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.col("total").desc(), "bpe_token")
+        .limit(30)
+    )
+
+
+@register(
+    "q_multimodal_bytes",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)  AS byte_len,
+           sha256(text)                                AS sha_hex,
+           lower(substr(hex(encode(text)), 1, 16))     AS head_hex
+    FROM documents
+    """,
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: opaque-binary payload processing through the REAL multimodal
+    path — binary column in, Arrow-batched ``mapInPandas`` feature
+    extraction out (byte length, SHA-256, head bytes hex).
+
+    The fixture has no media files, so document text bytes stand in as
+    the payload; the pipeline is byte-identical to what a codec UDF
+    sees (BinaryType column → pandas batches of raw bytes → typed
+    feature frame, schema declared up front so Catalyst plans
+    downstream ops normally — operators/multimodal.py holds the codec
+    variants). Constant memory per batch, no shuffle: at 100 TB this is
+    scan + Python-parallel map, the exact shape of a distributed
+    decode/embed stage. FULL oracle: every extracted feature is
+    recomputable in SQL from the same bytes."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def run(batches):
+        for pdf in batches:
+            raw = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(b) for b in raw],
+                    "sha_hex": [hashlib.sha256(b).hexdigest() for b in raw],
+                    "head_hex": [b[:8].hex() for b in raw],
+                }
+            )
+
+    return payloads.mapInPandas(
+        run, schema="doc_id long, byte_len long, sha_hex string, head_hex string"
+    )

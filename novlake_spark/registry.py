@@ -101,6 +101,9 @@ PRIORITY: list[str] = [
     "q_filter_in_between_like",
     "q_win_rank",
     "q_subquery_in",
+    "q_llm_pii_scrub",
+    "q_llm_span_dedup",
+    "q_multimodal_bytes",
 ]
 
 

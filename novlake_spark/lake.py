@@ -45,6 +45,9 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast as F_broadcast
+from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import when as F_when
+from pyspark.sql.functions import xxhash64 as F_xxhash64
 
 from novlake_spark.session import tune
 from novlake_spark.sources.tables import TABLES, load_table
@@ -300,6 +303,61 @@ class Lake:
     def history(self, base_path: str) -> list[int]:
         """List committed snapshot versions, oldest first."""
         return sorted(self._versions(base_path))
+
+    def vacuum(self, base_path: str, keep_last: int = 2) -> list[int]:
+        """Retention cleanup: delete all but the newest ``keep_last``
+        snapshots under ``base_path``. Readers of retained versions are
+        unaffected (snapshots are immutable dirs); a reader mid-scan of
+        a vacuumed version fails like any retention-expired time-travel
+        read — schedule vacuum beyond the longest reader horizon.
+        Returns the versions removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = sorted(self._versions(base_path))
+        drop = vs[:-keep_last]
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        for v in drop:
+            target = jpath(base_path.rstrip("/") + f"/v={v}")
+            fs = target.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(target, True)
+        return drop
+
+    def diff_versions(
+        self, base_path: str, key: list[str], v_old: int, v_new: int | None = None
+    ) -> DataFrame:
+        """Change-data-capture between two snapshots: every row whose
+        key was inserted, deleted, or updated from ``v_old`` to
+        ``v_new`` (default latest), tagged with ``_change``. Inserts and
+        updates carry the new row, deletes the old one — the Delta
+        change-data-feed shape, derived from plain snapshots.
+
+        Scale shape: each side is first reduced to
+        (key, xxhash64 row fingerprint) — the full-outer join that
+        classifies changes shuffles ~24 bytes/row, not the row payload;
+        only CHANGED keys then join back (AQE broadcasts when the delta
+        is small, the common case) to fetch their payload.
+        """
+        old = self.read_version(base_path, v_old)
+        new = self.read_version(base_path, v_new)
+        others = [c for c in new.columns if c not in key]
+
+        def fingerprints(df: DataFrame, name: str) -> DataFrame:
+            return df.select(*key, F_xxhash64(*others).alias(name))
+
+        j = fingerprints(old, "_fp_old").join(
+            fingerprints(new, "_fp_new"), key, "full_outer"
+        )
+        change = (
+            F_when(F_col("_fp_old").isNull(), "insert")
+            .when(F_col("_fp_new").isNull(), "delete")
+            .when(F_col("_fp_old") != F_col("_fp_new"), "update")
+        )
+        changed = j.select(*key, change.alias("_change")).filter(
+            F_col("_change").isNotNull()
+        )
+        from_new = changed.filter(F_col("_change") != "delete").join(new, key)
+        from_old = changed.filter(F_col("_change") == "delete").join(old, key)
+        return from_new.unionByName(from_old)
 
     def _versions(self, base_path: str) -> list[int]:
         # a version counts only once fully committed (_SUCCESS marker) —

@@ -152,3 +152,41 @@ def test_versioned_writes_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError):
         lake.read_version(base, 9)
+
+
+def test_diff_versions_cdc(spark, tmp_path):
+    """CDC between snapshots: insert/delete/update classification with
+    the changed row's payload from the correct side."""
+    lake = Lake(spark)
+    base = str(tmp_path / "cdc")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, s string, v double"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)], "id long, s string, v double"
+    )
+    lake.save_version(v0, "cdc_t", base)
+    lake.save_version(v1, "cdc_t", base)
+    out = {r.id: r for r in lake.diff_versions(base, key=["id"], v_old=0).collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2]._change == "update" and out[2].v == 99.0  # new payload
+    assert out[3]._change == "delete" and out[3].v == 30.0  # old payload
+    assert out[4]._change == "insert" and out[4].v == 40.0
+
+
+def test_vacuum_retention(spark, tmp_path):
+    lake = Lake(spark)
+    base = str(tmp_path / "vac")
+    for i in range(4):
+        lake.save_version(
+            spark.createDataFrame([(i,)], "x long"), "vac_t", base
+        )
+    assert lake.history(base) == [0, 1, 2, 3]
+    removed = lake.vacuum(base, keep_last=2)
+    assert removed == [0, 1]
+    assert lake.history(base) == [2, 3]
+    assert lake.read_version(base, 3).collect()[0].x == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lake.read_version(base, 0)

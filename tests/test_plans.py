@@ -94,3 +94,43 @@ def test_contamination_benchmark_side_broadcasts(spark, sf_small):
     df = q_llm_contamination(spark, sf_small)
     s = plans.explain_str(df)
     assert "BroadcastHashJoin" in s or "BroadcastExchange" in s
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark, sf_small):
+    """PII scrubbing must run at scan speed: no Exchange, no Python in
+    the plan — pure whole-stage-codegen regex work."""
+    from novlake_spark.inventory.llm import q_llm_pii_scrub
+
+    df = q_llm_pii_scrub(spark, sf_small)
+    plan = plans.explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_span_dedup_single_span_shuffle(spark, sf_small):
+    """Span dedup: per-doc distinct collapses before the exchange; the
+    only wide dependencies key on the span — and there is never a
+    row-at-a-time Python eval."""
+    from novlake_spark.inventory.llm import q_llm_span_dedup
+
+    df = q_llm_span_dedup(spark, sf_small)
+    plan = plans.explain_str(df)
+    assert "BatchEvalPython" not in plan
+    # shingling itself must be Arrow-batched
+    assert "ArrowEvalPython" in plan or "Arrow" in plan, plan
+
+
+def test_diff_versions_fingerprint_join(spark, tmp_path):
+    """CDC classification joins fingerprints, not payloads: the wide
+    row columns must not appear in the full-outer join's projections."""
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    base = str(tmp_path / "cdcplan")
+    df0 = spark.createDataFrame([(1, "a" * 10, 1.0)], "id long, s string, v double")
+    lake.save_version(df0, "t0", base)
+    lake.save_version(df0, "t0", base)
+    out = lake.diff_versions(base, key=["id"], v_old=0)
+    plan = plans.explain_str(out)
+    assert "xxhash64" in plan

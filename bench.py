@@ -47,6 +47,9 @@ HEADLINE = [
     "q_sample_hash",
     "q_llm_contamination",
     "q_llm_seq_pack",
+    "q_llm_span_dedup",
+    "q_llm_pii_scrub",
+    "q_multimodal_bytes",
 ]
 
 

@@ -968,16 +968,17 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better"): repeated spans across documents are memorization
     fuel even when whole-document hashes differ. Plan shape at 100 TB:
-    shingling is map-side (Arrow-vectorized), per-doc ``distinct``
-    collapses intra-doc repeats BEFORE the exchange, and the single
-    shuffle key is the span text — partial aggregation means each
-    mapper emits each (span, doc) once. Skewed hot spans (boilerplate)
-    are exactly what AQE skew-split handles; the output is the
-    span→first_doc map a scrubber broadcast-joins against."""
+    shingling is map-side (Arrow-vectorized) and intra-doc repeats
+    collapse INSIDE the UDF (``unique=True``), so the plan's ONE
+    exchange keys on the span text with partial aggregation — a
+    ``distinct`` formulation costs a second full-width shuffle
+    (measured in PLANS.json round 2 and removed). Skewed hot spans
+    (boilerplate) are exactly what AQE skew-split handles; the output
+    is the span→first_doc map a scrubber broadcast-joins against."""
     docs = load_table(spark, sf_dir, "documents")
     spans = docs.select(
-        "doc_id", F.explode(T.shingles_arrow(F.col("text"), 3)).alias("ngram")
-    ).distinct()
+        "doc_id", F.explode(T.shingles_arrow(F.col("text"), 3, unique=True)).alias("ngram")
+    )
     return (
         spans.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))

@@ -37,7 +37,7 @@ def bigrams(toks: Column) -> Column:
     return shingles(toks, 2)
 
 
-def shingles_arrow(text: str | Column, k: int) -> Column:
+def shingles_arrow(text: str | Column, k: int, unique: bool = False) -> Column:
     """k-token shingles of lower(text), computed in an Arrow-vectorized
     pandas UDF instead of the interpreted higher-order-lambda path.
 
@@ -47,6 +47,11 @@ def shingles_arrow(text: str | Column, k: int) -> Column:
     to one Python batch doing native-str slicing. Still map-side and
     shuffle-free — the right trade at 100 TB where shingling is a pure
     scan-side transform.
+
+    ``unique=True`` collapses each document's repeated shingles INSIDE
+    the UDF (first-occurrence order): consumers that only need per-doc
+    shingle *sets* (span dedup, contamination) skip a full-width
+    ``distinct`` exchange — the dedup happens map-side for free.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -58,7 +63,10 @@ def shingles_arrow(text: str | Column, k: int) -> Column:
         for t in s:
             toks = t.lower().split(" ")
             n = len(toks) - (k - 1)
-            out.append([" ".join(toks[i : i + k]) for i in range(n)] if n > 0 else [])
+            sh = [" ".join(toks[i : i + k]) for i in range(n)] if n > 0 else []
+            if unique:
+                sh = list(dict.fromkeys(sh))
+            out.append(sh)
         return pd.Series(out)
 
     return _sh(F.col(text) if isinstance(text, str) else text)

@@ -139,3 +139,70 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("tv", F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@register(
+    "q_ts_interpolate",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+             CASE WHEN event_type = 'purchase' THEN value END AS sv,
+             CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END AS st
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, us,
+             last_value(sv IGNORE NULLS)  OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(st IGNORE NULLS)  OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(st IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM x)
+    SELECT event_id, user_id,
+           floor((CASE
+                    WHEN pt IS NOT NULL AND nt IS NOT NULL AND pt <> nt
+                      THEN pv + (nv - pv) * (us - pt) / (nt - pt)
+                    WHEN pt IS NOT NULL THEN pv
+                  END) * 10000 + 0.5) / 10000 AS interp_value
+    FROM w
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4: linear interpolation — each user's sparse purchase-value
+    signal evaluated at EVERY event timestamp: interior points
+    interpolate linearly between the bracketing purchases (exact
+    epoch-micros arithmetic), the tail extends flat (LOCF), the head is
+    null until the first observation.
+
+    Same single-shuffle shape as LOCF: one hash partition by user, one
+    sort, four frame-bounded window passes over it — Catalyst plans ONE
+    Exchange + ONE Sort for all four (shared window spec), so the cost
+    at 100 TB equals one window pass regardless of how many bracketing
+    values the formula needs. Rounding uses the shared floor-formula
+    (SURVEY §5.3) to sidestep HALF_UP/HALF_EVEN divergence."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "event_type", "value"
+    )
+    sv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    st = F.when(F.col("event_type") == "purchase", F.col("us"))
+    ord_w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_prev = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = ord_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pv = F.last(sv, ignorenulls=True).over(w_prev)
+    pt = F.last(st, ignorenulls=True).over(w_prev)
+    nv = F.first(sv, ignorenulls=True).over(w_next)
+    nt = F.first(st, ignorenulls=True).over(w_next)
+    interp = (
+        F.when(
+            pt.isNotNull() & nt.isNotNull() & (pt != nt),
+            pv + (nv - pv) * (F.col("us") - pt) / (nt - pt),
+        )
+        .when(pt.isNotNull(), pv)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.floor(interp * 10000 + F.lit(0.5)) / 10000).alias("interp_value"),
+    )

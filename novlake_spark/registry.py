@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     "q_llm_span_dedup",
     "q_multimodal_bytes",
     "q_stream_interval_join",
+    "q_ts_interpolate",
 ]
 
 

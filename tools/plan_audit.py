@@ -94,6 +94,12 @@ def main() -> None:
             flags.append("PYTHON-UDF-IN-PLAN")
         print(f"{key}: {json.dumps(report[key])} {' '.join(flags)}")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.json")
+    if sys.argv[1:] and os.path.exists(out):
+        # subset run: merge into the existing snapshot, don't clobber it
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
     with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(f"wrote {out}")

@@ -147,6 +147,19 @@ class Lake:
         self.namespace[name] = path
         return out
 
+    def load(self, path: str, fmt: str = "parquet", merge_schema: bool = False) -> DataFrame:
+        """Read a table prefix. ``merge_schema=True`` reconciles files
+        written under EVOLVED schemas (columns added over time by
+        appends): the scan schema is the union, old files surface nulls
+        for new columns. Costs a footer read per file at planning time
+        — on a 100 TB table turn it on only after an actual evolution,
+        or re-register the union schema once instead of paying the
+        merge on every read."""
+        reader = self.spark.read.format(fmt)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.load(path)
+
     def repair_partitions(self, name: str, path: str) -> DataFrame:
         """A8: re-sync a partitioned prefix → catalog (MSCK-equivalent).
 

@@ -190,3 +190,18 @@ def test_vacuum_retention(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         lake.read_version(base, 0)
+
+
+def test_schema_evolution_append_and_merged_read(spark, tmp_path):
+    """Appends may add columns over time; merge_schema reads the union
+    with nulls for files that predate a column."""
+    lake = Lake(spark)
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(path)
+    merged = lake.load(path, merge_schema=True)
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5

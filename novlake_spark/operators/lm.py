@@ -26,18 +26,48 @@ Plan shape (scales to 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-from novlake_spark.operators.text import shingles_arrow
+
+def doc_bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, bg, c): per-document DISTINCT bigrams with occurrence
+    counts, aggregated INSIDE the Arrow UDF — map-side, no shuffle.
+
+    This is the load-bearing perf choice (measured at sf0.1, round 2):
+    emitting per-doc *counts* instead of raw occurrences shrinks the
+    explode and every downstream join/aggregate by the intra-doc repeat
+    factor for free. An earlier variant that built the same counts with
+    a DataFrame groupBy was measured SLOWER than the naive explode —
+    (doc, bigram) is nearly unique so the pre-aggregation SHUFFLE cost
+    more than it saved (note kept: the win is doing it map-side in
+    Python, not the pre-aggregation itself). Current numbers:
+    naive explode 1.89 s, in-UDF counts 1.32 s end-to-end.
+    """
+
+    @pandas_udf("map<string,int>")
+    def bg_counts(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.lower().split(" ")
+            d: dict[str, int] = {}
+            for i in range(len(toks) - 1):
+                bg = toks[i] + " " + toks[i + 1]
+                d[bg] = d.get(bg, 0) + 1
+            out.append(d)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), F.explode(bg_counts(F.col(text_col))).alias("bg", "c"))
 
 
 def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(bg, nll): negative log-likelihood -ln P(w2|w1) per corpus bigram."""
-    bg = docs.select(F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg"))
+    bg = doc_bigram_counts(docs, "doc_id", text_col)
     c2 = (
         bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c2"))
+        .agg(F.sum("c").alias("c2"))
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -51,18 +81,23 @@ def score_perplexity(
 
     Per-document (id, n_bigrams, cross_entropy, ppl), rounded to 4 dp.
     Bigrams unseen by the model drop out of the average (inner join) —
-    ``n_bigrams`` counts *scored* bigrams, so train-vs-heldout coverage
-    is visible in the output rather than silently smoothed over.
-    Documents with <2 tokens (or no scored bigram) yield no row.
+    ``n_bigrams`` counts *scored* bigram occurrences, so train-vs-
+    heldout coverage is visible in the output rather than silently
+    smoothed over. Documents with <2 tokens (or no scored bigram)
+    yield no row. The average is occurrence-weighted over the per-doc
+    count table — identical to the per-occurrence average, computed on
+    repeat-factor-fewer rows.
     """
-    doc_bg = docs.select(F.col(id_col), F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg"))
+    doc_bg = doc_bigram_counts(docs, id_col, text_col)
+    wsum = F.sum(F.col("nll") * F.col("c"))
+    n = F.sum("c")
     return (
         doc_bg.join(model, "bg")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("nll"), 4).alias("cross_entropy"),
-            F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+            n.alias("n_bigrams"),
+            F.round(wsum / n, 4).alias("cross_entropy"),
+            F.round(F.exp(wsum / n), 4).alias("ppl"),
         )
     )
 
@@ -70,14 +105,10 @@ def score_perplexity(
 def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document perplexity under a model estimated on ``docs`` itself.
 
-    Deliberately the two-pass plan (model explode + scoring explode):
-    a single-pass variant that pre-aggregates per-(doc, bigram) counts
-    and derives the model from them was measured SLOWER at sf0.1 —
-    (doc, bigram) is nearly unique, so the pre-aggregation is a full-
-    width extra shuffle that costs more than the second Arrow-UDF
-    explode it saves. Scan twice, shuffle narrow.
-
-    For the held-out variant, estimate on a train split and score the
-    rest: ``score_perplexity(heldout, bigram_model(train))``.
+    Two scans (model pass + scoring pass), both emitting the compact
+    per-doc count table from :func:`doc_bigram_counts`; all shuffles
+    carry (bigram, count) rows. For the held-out variant, estimate on a
+    train split and score the rest:
+    ``score_perplexity(heldout, bigram_model(train))``.
     """
     return score_perplexity(docs, bigram_model(docs, text_col), id_col, text_col)

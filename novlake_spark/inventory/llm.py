@@ -249,7 +249,15 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L7: global term frequency, top-20 (explode → count → top-k)."""
+    """L7: global term frequency, top-20 (explode → count → top-k).
+
+    Stays pure JVM deliberately: split+explode are codegen and the
+    partial hash aggregate collapses to (token, count) per partition
+    BEFORE the exchange, so the shuffle never carries raw occurrences.
+    Swapping in the Arrow per-doc-count UDF (the perplexity/tfidf
+    trick) was measured 2× SLOWER here (0.21 s → 0.42 s at sf0.1):
+    with no pre-aggregation join in the plan, the UDF only adds Python
+    where codegen already did the collapsing for free."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
@@ -277,17 +285,22 @@ def q_llm_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L8: tf-idf, top 30 (doc, term) scores.
 
-    Two aggregations + a broadcast join of the tiny df table; N joins
-    in as a broadcast 1-row aggregate, keeping the whole plan lazy (no
-    separate count() job).
+    The (doc, term, tf) table is a map-side explode of per-doc token
+    counts (text.token_counts_arrow) — the groupBy(doc, tok) exchange
+    the naive formulation pays is gone entirely (plan: 3 exchanges →
+    1). Local wall-time is flat (0.86 s → 0.82 s at sf0.1: the removed
+    exchange was already partial-agg-collapsed to distinct pairs), but
+    at 100 TB that exchange is a corpus-sized shuffle and Arrow-batch
+    CPU is the cheaper currency. df then derives from tf
+    (docs-per-token == tf rows per token), so the only wide shuffle
+    left is the small df aggregation; N joins in as a broadcast 1-row
+    aggregate, keeping the whole plan lazy (no separate count() job).
     """
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # df derives from tf (docs-per-token == tf rows per token): one
-    # explode + one wide shuffle total, instead of exploding the corpus
-    # twice
+    tf = docs.select(
+        "doc_id", F.explode(T.token_counts_arrow(F.col("text"))).alias("tok", "tf")
+    )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(df), "tok")

@@ -37,6 +37,33 @@ def bigrams(toks: Column) -> Column:
     return shingles(toks, 2)
 
 
+def token_counts_arrow(text: str | Column) -> Column:
+    """``map<token, count>`` per document, aggregated INSIDE an Arrow
+    UDF — the map-side replacement for ``explode(tokens) →
+    groupBy(doc, tok)``: the (doc, token) term-frequency table becomes
+    a free ``explode`` of this map instead of a full-width shuffle, and
+    corpus-level term counts shuffle (token, per-doc count) rows —
+    smaller by the intra-doc repeat factor. Same technique measured at
+    1.4× on the perplexity pipeline (operators/lm.py round 2); token
+    semantics identical to :func:`tokens` (lowercase, space split).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,int>")
+    def _tc(s):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        out = []
+        for t in s:
+            d: dict[str, int] = {}
+            for tok in t.lower().split(" "):
+                d[tok] = d.get(tok, 0) + 1
+            out.append(d)
+        return pd.Series(out)
+
+    return _tc(F.col(text) if isinstance(text, str) else text)
+
+
 def shingles_arrow(text: str | Column, k: int, unique: bool = False) -> Column:
     """k-token shingles of lower(text), computed in an Arrow-vectorized
     pandas UDF instead of the interpreted higher-order-lambda path.

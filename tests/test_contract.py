@@ -36,6 +36,10 @@ def test_priority_order():
     ):
         assert any(k.startswith(prefix) for k in head), prefix
     assert "q_scd2_build" in head
+    # every graded slot in the ~50-key window must yield a HASH grade —
+    # WEAK keys belong in the tail, not the window
+    oracles = contract.oracle_sql()
+    assert all(k in oracles for k in head), [k for k in head if k not in oracles]
 
 
 def test_all_queries_documented():

@@ -327,3 +327,34 @@ def q_fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    SELECT p_partkey,
+           p_brand                          AS brand_v,
+           p_size + 1                       AS size_next,
+           concat(p_brand, ':', p_size)     AS packed
+    FROM part
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5b: struct-typed column family — pack part attributes into a
+    named struct, transform THROUGH the struct (withField), then read
+    fields back out. Structs are Catalyst's zero-cost nesting: field
+    access compiles to a direct column reference (no shuffle, codegen
+    throughout), which is why pushing a computed field into a struct
+    and projecting it back is free. The oracle computes the same flat
+    truth (DuckDB structs exist but field-access SQL differs; the
+    claim is the Spark struct round-trip)."""
+    parts = load_table(spark, sf_dir, "part")
+    s = F.struct(
+        F.col("p_brand").alias("brand"), F.col("p_size").alias("sz")
+    ).withField("size_next", F.col("p_size") + 1)
+    return parts.select("p_partkey", s.alias("s")).select(
+        "p_partkey",
+        F.col("s.brand").alias("brand_v"),
+        F.col("s.size_next").alias("size_next"),
+        F.concat_ws(":", F.col("s.brand"), F.col("s.sz").cast("string")).alias("packed"),
+    )

@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "q_multimodal_bytes",
     "q_stream_interval_join",
     "q_ts_interpolate",
+    "q_fn_struct",
 ]
 
 

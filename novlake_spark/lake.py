@@ -28,10 +28,12 @@ overwrite (``partitionOverwriteMode=dynamic``) for partition-level
 atomicity. The "Delta ops" are provided on plain Parquet in simplified
 form: ``merge_into`` (copy-on-write MERGE/upsert, partition-scoped when
 the table is partitioned) and ``save_version``/``read_version``/
-``history`` (immutable ``v=N`` snapshot dirs = time travel). A real
-Delta backend stays a drop-in (``format`` is parameterized) if jars
-appear; the differences — a transaction log instead of directory
-listing, optimistic concurrency — are documented, not hidden.
+``history`` (immutable ``v=N`` snapshot dirs = time travel). For the
+full transaction-log story — atomic multi-file commits, snapshot
+isolation, optimistic concurrency between writers — see
+:mod:`novlake_spark.txlog` (a minimal Delta-style JSON commit log over
+plain Parquet, no jars needed). A real Delta backend stays a drop-in
+(``format`` is parameterized) if jars appear.
 
 Scale notes: writes accept ``partition_by`` (Hive-style layout → static
 partition pruning on read) and ``max_records_per_file`` so a 100 TB

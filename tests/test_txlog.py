@@ -1,0 +1,80 @@
+"""Transaction-logged Parquet table (novlake_spark.txlog): atomic
+multi-file commits, snapshot isolation / time travel, optimistic
+concurrency, compaction, vacuum."""
+
+import pytest
+
+from novlake_spark.txlog import CommitConflict, TxTable
+
+
+def _df(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "x long")
+
+
+def test_append_read_and_time_travel(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert t.commit(_df(spark, 1, 2)) == 0
+    assert t.commit(_df(spark, 3)) == 1
+    assert sorted(r.x for r in t.read().collect()) == [1, 2, 3]
+    assert sorted(r.x for r in t.read(version=0).collect()) == [1, 2]
+
+
+def test_overwrite_replaces_snapshot(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1, 2))
+    t.commit(_df(spark, 9), mode="overwrite")
+    assert [r.x for r in t.read().collect()] == [9]
+    # the pre-overwrite snapshot is still readable (isolation)
+    assert sorted(r.x for r in t.read(version=0).collect()) == [1, 2]
+
+
+def test_append_survives_a_lost_race(spark, tmp_path):
+    """A competing writer claims the version we computed; the append
+    must land in the NEXT slot without rewriting data files."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    # simulate the race: another writer publishes version 1 between our
+    # version computation and publish
+    rival = TxTable(spark, str(tmp_path / "t"))
+    real_publish = t._try_publish
+
+    def racy_publish(entry):
+        if entry["version"] == 1 and not racy_publish.raced:
+            racy_publish.raced = True
+            rival.commit(_df(spark, 100))  # rival takes version 1
+        return real_publish(entry)
+
+    racy_publish.raced = False
+    t._try_publish = racy_publish
+    v = t.commit(_df(spark, 2))
+    assert v == 2  # retried into the next slot
+    assert sorted(r.x for r in t.read().collect()) == [1, 2, 100]
+
+
+def test_conflict_exhaustion_cleans_up(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    t._try_publish = lambda entry: False
+    with pytest.raises(CommitConflict):
+        t.commit(_df(spark, 2), max_retries=2)
+    # the unpublished files were deleted; the table is unchanged
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    assert [r.x for r in t2.read().collect()] == [1]
+    assert t2.versions() == [0]
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for v in (1, 2, 3):
+        t.commit(_df(spark, v))
+    n_before = len(t.snapshot_files())
+    cv = t.compact()
+    assert sorted(r.x for r in t.read().collect()) == [1, 2, 3]
+    assert len(t.snapshot_files()) < n_before or n_before == 1
+    # old files survive for time travel until vacuumed
+    assert sorted(r.x for r in t.read(version=2).collect()) == [1, 2, 3]
+    removed = t.vacuum(keep_from_version=cv)
+    assert removed  # pre-compaction files are gone
+    assert sorted(r.x for r in t.read().collect()) == [1, 2, 3]
+    with pytest.raises(Exception):
+        t.read(version=2).collect()

@@ -149,26 +149,59 @@ class TxTable:
         mode: str = "append",
         remove: list[str] | None = None,
         max_retries: int = 5,
+        txn: str | None = None,
     ) -> int:
         """Write ``df`` and publish it as one atomic commit; returns the
         committed version. ``mode='overwrite'`` replaces the snapshot;
         ``remove`` drops named files in the same commit (the compaction
         / MERGE building block). Data files are written ONCE — only the
         cheap log publish retries under contention.
+
+        ``txn`` makes the commit IDEMPOTENT: a commit whose txn id is
+        already in the log is skipped (its version returned, the fresh
+        data files discarded). This is what turns an at-least-once
+        caller — a ``foreachBatch`` micro-batch that gets re-executed
+        after a failure — into exactly-once: pass
+        ``f"{app_id}.{batch_id}"`` and replays become no-ops. The check
+        re-runs after every lost race, so two same-txn writers racing
+        still commit once.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
+
+        def committed_txn() -> int | None:
+            if txn is None:
+                return None
+            for e in self.history():
+                if e.get("txn") == txn:
+                    return e["version"]
+            return None
+
+        dup = committed_txn()
+        if dup is not None:
+            return dup
         adds = self._write_data(df)
+
+        def discard() -> None:
+            for a in adds:  # unpublished files are invisible; remove them
+                self._fs.delete(self._jpath(f"{self.path}/data/{a['file']}"), False)
+
         for _ in range(max_retries):
             version = (self.versions() or [-1])[-1] + 1 if self.versions() else 0
             entry = {"version": version, "mode": mode, "add": adds, "remove": remove or []}
+            if txn is not None:
+                entry["txn"] = txn
             if self._try_publish(entry):
                 return version
-            # lost the race: another writer claimed this version. An
-            # append composes with any interleaved commit, so re-read
-            # the log and try the next slot.
-        for a in adds:  # give up: unpublished files stay invisible, clean them
-            self._fs.delete(self._jpath(f"{self.path}/data/{a['file']}"), False)
+            # lost the race: another writer claimed this version. If it
+            # was our own txn replayed elsewhere, we're already done;
+            # otherwise an append composes with any interleaved commit —
+            # re-read the log and try the next slot.
+            dup = committed_txn()
+            if dup is not None:
+                discard()
+                return dup
+        discard()
         raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
     def compact(self, target_version: int | None = None) -> int:

@@ -78,3 +78,46 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert sorted(r.x for r in t.read().collect()) == [1, 2, 3]
     with pytest.raises(Exception):
         t.read(version=2).collect()
+
+
+def test_txn_idempotent_commit(spark, tmp_path):
+    """Same txn id committed twice -> second is a no-op returning the
+    original version (the foreachBatch-replay exactly-once contract)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, 1, 2), txn="app.batch0")
+    v2 = t.commit(_df(spark, 1, 2), txn="app.batch0")  # replay
+    assert v1 == v2
+    assert sorted(r.x for r in t.read().collect()) == [1, 2]
+    assert len(t.versions()) == 1
+
+
+def test_streaming_foreachbatch_exactly_once_into_txtable(spark, sf_small, tmp_path):
+    """End-to-end: a file-source stream lands in a TxTable through
+    foreachBatch with txn-keyed commits; a deliberate double-invocation
+    of the batch function (simulating a post-failure re-execution) does
+    not duplicate rows."""
+    import pyspark.sql.functions as F
+    from novlake_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "src")
+    events.limit(100).select("event_id", "user_id").repartition(2).write.parquet(src)
+
+    t = TxTable(spark, str(tmp_path / "table"))
+
+    def sink(batch_df, batch_id):
+        t.commit(batch_df, txn=f"q1.{batch_id}")
+        t.commit(batch_df, txn=f"q1.{batch_id}")  # simulated retry
+
+    q = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert t.read().count() == 100
+    assert t.read().select("event_id").distinct().count() == 100

@@ -319,6 +319,14 @@ class Lake:
         """List committed snapshot versions, oldest first."""
         return sorted(self._versions(base_path))
 
+    def tx(self, path: str):
+        """Open ``path`` as a transaction-logged table (atomic commits,
+        snapshot isolation, optimistic concurrency) — see
+        :mod:`novlake_spark.txlog` for the log design."""
+        from novlake_spark.txlog import TxTable
+
+        return TxTable(self.spark, path)
+
     def vacuum(self, base_path: str, keep_last: int = 2) -> list[int]:
         """Retention cleanup: delete all but the newest ``keep_last``
         snapshots under ``base_path``. Readers of retained versions are

@@ -46,6 +46,20 @@ class CommitConflict(Exception):
     """Another writer claimed the target version (after retries)."""
 
 
+def replay(entries: list[dict]) -> list[str]:
+    """Fold ordered log entries into the live file list (pure function —
+    property-tested in isolation; :meth:`TxTable.snapshot_files` is this
+    over the persisted log)."""
+    live: list[str] = []
+    for e in entries:
+        if e["mode"] == "overwrite":
+            live = []
+        removed = set(e.get("remove", []))
+        live = [f for f in live if f not in removed]
+        live.extend(a["file"] for a in e.get("add", []))
+    return live
+
+
 class TxTable:
     """A transaction-logged Parquet table rooted at ``path``.
 
@@ -107,17 +121,7 @@ class TxTable:
         upto = max(vs) if version is None else version
         if upto not in vs:
             raise ValueError(f"version {upto} not in {vs}")
-        live: list[str] = []
-        for v in vs:
-            if v > upto:
-                break
-            e = self._read_entry(v)
-            if e["mode"] == "overwrite":
-                live = []
-            removed = set(e.get("remove", []))
-            live = [f for f in live if f not in removed]
-            live.extend(a["file"] for a in e.get("add", []))
-        return live
+        return replay([self._read_entry(v) for v in vs if v <= upto])
 
     def read(self, version: int | None = None) -> DataFrame:
         files = self.snapshot_files(version)

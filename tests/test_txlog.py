@@ -121,3 +121,48 @@ def test_streaming_foreachbatch_exactly_once_into_txtable(spark, sf_small, tmp_p
     q.awaitTermination()
     assert t.read().count() == 100
     assert t.read().select("event_id").distinct().count() == 100
+
+
+def test_replay_properties():
+    """Pure log-replay invariants on randomized commit histories."""
+    from hypothesis import given, settings, strategies as st
+
+    from novlake_spark.txlog import replay
+
+    files = st.text(alphabet="abc", min_size=1, max_size=2)
+    entry = st.builds(
+        lambda mode, add, remove: {
+            "mode": mode,
+            "add": [{"file": f} for f in add],
+            "remove": remove,
+        },
+        st.sampled_from(["append", "overwrite"]),
+        st.lists(files, max_size=3),
+        st.lists(files, max_size=2),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(entries=st.lists(entry, max_size=8))
+    def check(entries):
+        live = replay(entries)
+        # 1. prefix monotone: replay(all) == fold of replay(prefix) + last
+        if entries:
+            assert live == replay(
+                [{"mode": "append", "add": [{"file": f} for f in replay(entries[:-1])],
+                  "remove": []}, entries[-1]]
+            )
+        # 2. overwrite resets: anything before the last overwrite is gone
+        #    unless re-added after it
+        for i, e in enumerate(entries):
+            if e["mode"] == "overwrite":
+                later = replay(entries[i:])
+                assert set(live) == set(later) or any(
+                    x["mode"] == "overwrite" for x in entries[i + 1:]
+                )
+        # 3. a file removed in the final entry is not live
+        if entries:
+            for f in entries[-1]["remove"]:
+                if not any(a["file"] == f for a in entries[-1]["add"]):
+                    assert f not in live
+
+    check()

@@ -62,6 +62,56 @@ def run_once(qs, spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def bench_txlog(spark, sf_dir: str) -> dict[str, float]:
+    """Micro-bench of the transaction-log table: chunked appends (log
+    publish overhead), a stats-pruned MERGE of a small delta, a
+    file-skipping predicate read vs the full-snapshot read."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from novlake_spark.sources.tables import load_table
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="txbench-")
+    times: dict[str, float] = {}
+    try:
+        t = TxTable(spark, f"{root}/t")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        n = orders.count()
+        kmax = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        step = kmax // 4 + 1
+        t0 = time.perf_counter()
+        for i in range(4):  # 4 disjoint-key-RANGE commits: stats disjoint
+            chunk = orders.filter(
+                (F.col("o_orderkey") >= i * step) & (F.col("o_orderkey") < (i + 1) * step)
+            ).repartition(2)
+            t.commit(chunk)
+        times["txlog_append4"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        assert t.read().count() == n
+        times["txlog_read_full"] = round(time.perf_counter() - t0, 3)
+
+        lo, hi = 1, max(1, n // 100)
+        t0 = time.perf_counter()
+        t.read(where=[("o_orderkey", ">=", lo), ("o_orderkey", "<=", hi)]).count()
+        times["txlog_read_pruned"] = round(time.perf_counter() - t0, 3)
+
+        delta = orders.filter(F.col("o_orderkey") <= hi).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        t0 = time.perf_counter()
+        t.merge(delta, key=["o_orderkey"])
+        times["txlog_merge_1pct"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -73,7 +123,8 @@ def main() -> None:
     a, b = run_once(qs, spark, sf_dir), run_once(qs, spark, sf_dir)
     times = {k: min(a[k], b[k]) for k in a}  # min-of-2 damps JIT/GC noise
     total = round(sum(times.values()), 3)
-    print(json.dumps({"metric": "bench_total_warm", "value": total, "unit": "sec", "queries": times, "sf": sf}))
+    txlog = bench_txlog(spark, sf_dir)
+    print(json.dumps({"metric": "bench_total_warm", "value": total, "unit": "sec", "queries": times, "sf": sf, "txlog": txlog}))
     spark.stop()
 
 

@@ -234,7 +234,21 @@ class Lake:
         O(affected partitions), not the whole table, which is the only
         viable shape when the table is 100 TB and the delta is 1 GB.
         The key anti-join broadcasts when the source is small (AQE).
+
+        Transaction-logged targets: if ``path`` is a
+        :class:`~novlake_spark.txlog.TxTable` (has a ``_log/``), the
+        merge routes through the log as ONE atomic remove+add commit —
+        no rename window at all, per-file stats scope the rewrite to
+        overlapping files, and concurrent writers get real conflict
+        detection. That is the recommended shape for object stores;
+        the prefix-swap below remains only for plain Parquet dirs.
         """
+        if self._is_txtable(path):
+            t = self.tx(path)
+            t.merge(source, key=key, delete_matched=delete_matched)
+            out = t.read()
+            self.register(name, out)
+            return out
         target = self.spark.read.parquet(path)
         if partition_by:
             # prune target to affected partitions only (join-free when the
@@ -277,12 +291,25 @@ class Lake:
         ``save_version`` snapshots, both of which never rewrite a live
         prefix. The old data is kept at ``*_old`` until the swap lands,
         then removed.
+
+        Crash window: between rename(path→``*_old``) and
+        rename(staged→path) the live prefix does not exist. A crash
+        there strands the table under ``*_old`` — so on ENTRY this
+        method first auto-recovers that state (live prefix missing but
+        ``*_old`` present ⇒ roll the backup back in) before staging
+        out. For rewrite-in-place on object stores, prefer the
+        transaction-logged path (``merge_into`` on a TxTable target /
+        ``save_version`` snapshots), which has no window at all.
         """
         jvm = self.spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path
         src, dst = jpath(staged), jpath(path)
         fs = dst.getFileSystem(self.spark._jsc.hadoopConfiguration())
         bak = jpath(path.rstrip("/") + "_old")
+        if fs.exists(bak) and not fs.exists(dst):
+            # recover a previous crash inside the swap window
+            if not fs.rename(bak, dst):
+                raise IOError(f"found stranded backup {bak} but could not restore it")
         if fs.exists(bak):
             fs.delete(bak, True)
         if not fs.rename(dst, bak):
@@ -318,6 +345,12 @@ class Lake:
     def history(self, base_path: str) -> list[int]:
         """List committed snapshot versions, oldest first."""
         return sorted(self._versions(base_path))
+
+    def _is_txtable(self, path: str) -> bool:
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        p = jpath(path.rstrip("/") + "/_log")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def tx(self, path: str):
         """Open ``path`` as a transaction-logged table (atomic commits,

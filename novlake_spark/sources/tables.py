@@ -116,14 +116,44 @@ def ensure_parallelism(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     the repartition moves the *compact pre-explode* rows — the cheap
     side of a fan-out. On a real multi-file dataset the scan already
     yields ≥ parallelism splits and this is a no-op, so the shuffle is
-    never paid at scale. Only call on plain scans: ``df.rdd`` on a
-    derived frame can trigger partial execution under AQE.
+    never paid at scale.
+
+    Only callable on plain scans (optionally projected/filtered):
+    ``df.rdd`` on a derived frame can trigger partial execution under
+    AQE, so the contract is ENFORCED — a plan containing any
+    shuffle/join/aggregate/generate node raises ``ValueError`` instead
+    of silently executing half a query at plan time.
     """
+    _assert_bare_scan(df)
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
         return df.repartition(target)
     return df
+
+
+#: Logical nodes a "plain scan" may contain — relations plus row-wise
+#: narrowing only; anything else (Aggregate, Join, Generate, Window,
+#: RepartitionByExpression, …) means the frame is derived.
+_BARE_SCAN_NODES = frozenset(
+    {"Project", "Filter", "LogicalRelation", "SubqueryAlias", "View", "LogicalRDD"}
+)
+
+
+def _assert_bare_scan(df: DataFrame) -> None:
+    plan = df._jdf.queryExecution().analyzed()
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name not in _BARE_SCAN_NODES:
+            raise ValueError(
+                f"ensure_parallelism requires a plain scan; plan contains "
+                f"{name!r} — repartition the source before deriving instead"
+            )
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -18,46 +18,144 @@ Why a log instead of directory listing:
   ``_log/{N+1}.json`` with create-if-absent semantics (Hadoop
   ``rename`` onto an existing destination fails; HDFS/POSIX make this
   atomic). Exactly one of two racing writers wins; the loser re-reads
-  the log and retries or raises :class:`CommitConflict`. On S3-style
-  stores without atomic rename, the same protocol runs against a
-  coordination layer (DynamoDB-style log store in published designs);
-  the log format is unchanged.
-- **Scan planning stays O(files-in-snapshot)**: the log replaces the
-  100 TB directory listing, and per-file stats in the add action
-  (row count; extensible to min/max) support file skipping before
-  Spark ever lists anything.
+  the log, checks for LOGICAL conflicts (an interleaved commit that
+  removed files this commit also removes, or an overwrite), and either
+  rebases onto the new tail (pure appends compose) or raises
+  :class:`CommitConflict` (remove/remove — e.g. two concurrent
+  compactions — must not both land or every row is duplicated).
+  On S3-style stores without atomic rename, the same protocol runs
+  against a coordination layer (DynamoDB-style log store in published
+  designs); the log format is unchanged.
+- **Scan planning stays O(files-in-snapshot)** — and with per-file
+  per-column min/max stats in the add actions, a predicate read plans
+  O(matching files): the log replaces the 100 TB directory listing AND
+  the footer reads Spark would need for row-group pruning, because the
+  skip decision happens before Spark ever sees a path.
+- **Schema is part of the log.** Every table-defining commit records
+  the schema; appends are validated against it (reject incompatible,
+  accept additive supersets = schema evolution), and reads apply the
+  snapshot's schema so pre-evolution files surface the new columns as
+  nulls without a mergeSchema footer scan.
 
 Kept deliberately minimal: add/remove actions, append/overwrite
-commits, time travel, retention vacuum. Delta's richer features
-(column-mapping MERGE on the log, schema enforcement on commit,
-compaction as remove+add) compose from these primitives — ``compact``
-below shows the pattern.
+commits, time travel, retention vacuum, stats-pruned MERGE,
+compaction. Delta's richer features compose from these primitives.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
 
 
 class CommitConflict(Exception):
-    """Another writer claimed the target version (after retries)."""
+    """Another writer claimed the target version (after retries), or an
+    interleaved commit logically conflicts with this one (remove/remove
+    or remove/overwrite)."""
 
 
-def replay(entries: list[dict]) -> list[str]:
-    """Fold ordered log entries into the live file list (pure function —
-    property-tested in isolation; :meth:`TxTable.snapshot_files` is this
-    over the persisted log)."""
-    live: list[str] = []
+class SchemaMismatch(Exception):
+    """An append's schema is incompatible with the table schema (missing
+    column or changed type). Additive supersets are accepted instead —
+    they evolve the recorded schema."""
+
+
+def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dict]:
+    """Fold ordered log entries into the live add-actions (pure function
+    — :meth:`TxTable.snapshot_adds` is this over the persisted log).
+    ``base`` seeds the fold with a checkpointed state."""
+    live: list[dict] = list(base or [])
     for e in entries:
         if e["mode"] == "overwrite":
             live = []
         removed = set(e.get("remove", []))
-        live = [f for f in live if f not in removed]
-        live.extend(a["file"] for a in e.get("add", []))
+        live = [a for a in live if a["file"] not in removed]
+        live.extend(e.get("add", []))
     return live
+
+
+def replay(entries: list[dict]) -> list[str]:
+    """Live file names from ordered log entries (property-tested in
+    isolation; the stats-carrying variant is :func:`replay_adds`)."""
+    return [a["file"] for a in replay_adds(entries)]
+
+
+# Column types that get min/max stats in add actions. Decimals are
+# excluded (no exact JSON representation ⇒ no safe comparison);
+# arrays/maps/structs/binary have no total order to skip on.
+_STAT_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType,
+    T.DateType, T.TimestampType, T.TimestampNTZType,
+)
+
+_SKIP_OPS = {"=", "<", "<=", ">", ">="}
+
+
+def _stat_value(v):
+    """JSON-encodable stat bound, or None if the type has none.
+
+    Dates/timestamps become ISO strings — lexicographic order equals
+    chronological order at fixed precision, so string comparison at
+    skip time stays conservative-correct.
+    """
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return None
+
+
+def _comparable(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def file_matches(add: dict, predicates: list[tuple]) -> bool:
+    """Can the file behind ``add`` contain a row satisfying ALL
+    ``predicates`` (each ``(column, op, value)``)? Conservative: any
+    missing stat keeps the file. Pure function — unit-tested directly.
+    """
+    if add.get("rows") == 0:
+        return False
+    stats = add.get("stats") or {}
+    for col, op, val in predicates:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skip op {op!r}")
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if lo is None or hi is None:
+            # no non-null values in this column ⇒ no comparison matches
+            return False
+        if isinstance(val, (datetime.date, datetime.datetime)):
+            val = _stat_value(val)
+        if not (_comparable(lo, val) and _comparable(hi, val)):
+            continue
+        if op == "=" and (val < lo or val > hi):
+            return False
+        if op == "<" and lo >= val:
+            return False
+        if op == "<=" and lo > val:
+            return False
+        if op == ">" and hi <= val:
+            return False
+        if op == ">=" and hi < val:
+            return False
+    return True
+
+
+def _is_superset(new: T.StructType, cur: T.StructType) -> bool:
+    fields = {f.name: f.dataType for f in new.fields}
+    return all(f.name in fields and fields[f.name] == f.dataType for f in cur.fields)
 
 
 class TxTable:
@@ -66,11 +164,27 @@ class TxTable:
     Layout::
 
         path/_log/0.json, 1.json, ...   one JSON document per commit
+        path/_log/_tmp/<uuid>           in-flight (unpublished) entries
         path/data/<uuid>.parquet        immutable data files
 
     Log entry: ``{"version": N, "mode": "append"|"overwrite",
-    "add": [{"file": name, "rows": n}], "remove": [name, ...]}``.
+    "add": [{"file": name, "rows": n, "stats": {col: [min, max]}}],
+    "remove": [name, ...], "schema": <json>?, "txn": id?}``.
+    ``schema`` appears on the commit that establishes or evolves it.
+
+    Temp entries live under ``_log/_tmp/`` — OUTSIDE the ``*.json``
+    namespace ``versions()`` globs — and ``versions()`` additionally
+    accepts only purely-numeric basenames, so a writer that dies
+    mid-publish can never brick readers with an unparseable name
+    (double defense; the single-glob version of this was a real
+    crash-the-table bug, see ADVICE round 2).
     """
+
+    #: Auto-checkpoint cadence: every Nth version writes a checkpoint
+    #: after its commit publishes (0 disables). Keeps snapshot
+    #: resolution O(1 checkpoint + ≤N entries) no matter how many
+    #: commits accumulate.
+    checkpoint_interval: int = 10
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -78,6 +192,7 @@ class TxTable:
         jvm = spark._jvm
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(self.path).getFileSystem(spark._jsc.hadoopConfiguration())
+        self._entry_cache: dict[int, dict] = {}  # entries are immutable once published
 
     # -- log primitives ----------------------------------------------------
     def _log_path(self, version: int):
@@ -85,23 +200,42 @@ class TxTable:
 
     def versions(self) -> list[int]:
         statuses = self._fs.globStatus(self._jpath(f"{self.path}/_log/*.json")) or []
-        return sorted(int(s.getPath().getName().removesuffix(".json")) for s in statuses)
+        out = []
+        for s in statuses:
+            name = s.getPath().getName().removesuffix(".json")
+            if name.isdigit():  # ignore anything that is not a committed version
+                out.append(int(name))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        """Newest resolvable version — entry OR checkpoint (after
+        clean_log the tail may live only in a checkpoint; computing the
+        next version from entries alone would re-claim a version number
+        below the checkpoint, whose entry replay then IGNORES)."""
+        vs, cps = self.versions(), self.checkpoints()
+        heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
+        return max(heads) if heads else None
 
     def _read_entry(self, version: int) -> dict:
+        if version in self._entry_cache:
+            return self._entry_cache[version]
         stream = self._fs.open(self._log_path(version))
         try:
             data = bytes(self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
         finally:
             stream.close()
-        return json.loads(data.decode())
+        entry = json.loads(data.decode())
+        self._entry_cache[version] = entry
+        return entry
 
     def _try_publish(self, entry: dict) -> bool:
-        """Atomically claim ``entry['version']``: write a temp log file,
-        rename onto the final name. Hadoop's rename contract fails when
-        the destination exists (unlike POSIX), which makes the rename
-        the commit point — exactly one racing writer's rename succeeds.
+        """Atomically claim ``entry['version']``: write a temp file under
+        ``_log/_tmp/`` (invisible to ``versions()``), rename onto the
+        final name. Hadoop's rename contract fails when the destination
+        exists (unlike POSIX), which makes the rename the commit point —
+        exactly one racing writer's rename succeeds.
         """
-        tmp = self._jpath(f"{self.path}/_log/.tmp-{uuid.uuid4().hex}.json")
+        tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
         out = self._fs.create(tmp, False)
         try:
             out.write(bytearray(json.dumps(entry).encode()))
@@ -112,40 +246,257 @@ class TxTable:
             self._fs.delete(tmp, False)
         return bool(committed)
 
+    # -- checkpoints ---------------------------------------------------------
+    # At 100 TB-scale commit counts, replaying every JSON entry per read
+    # is O(commits) metadata round-trips. A checkpoint materializes the
+    # replayed state (adds + schema) at version C as ONE document; reads
+    # then fold only the tail (C, upto]. Same role as Delta's parquet
+    # checkpoints — JSON here; swapping the payload to parquet when the
+    # add-list reaches millions of files changes no protocol.
+    def _checkpoint_path(self, version: int):
+        return self._jpath(f"{self.path}/_log/checkpoint-{version}.json")
+
+    def checkpoints(self) -> list[int]:
+        statuses = self._fs.globStatus(
+            self._jpath(f"{self.path}/_log/checkpoint-*.json")
+        ) or []
+        out = []
+        for s in statuses:
+            name = s.getPath().getName().removeprefix("checkpoint-").removesuffix(".json")
+            if name.isdigit():
+                out.append(int(name))
+        return sorted(out)
+
+    def _read_checkpoint(self, version: int) -> dict:
+        stream = self._fs.open(self._checkpoint_path(version))
+        try:
+            data = bytes(self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        return json.loads(data.decode())
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Write a checkpoint of the state at ``version`` (default
+        latest). Idempotent and atomic (same tmp+rename protocol as log
+        entries; a racing duplicate simply loses the rename). Returns
+        the checkpointed version."""
+        upto = self.latest_version() if version is None else version
+        if upto is None:
+            raise FileNotFoundError(f"nothing to checkpoint under {self.path}")
+        adds, schema_json, txns = self._state_at(upto)
+        doc = {"version": upto, "adds": adds}
+        if schema_json is not None:
+            doc["schema"] = schema_json
+        if txns:
+            doc["txns"] = txns
+        tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
+        out = self._fs.create(tmp, False)
+        try:
+            out.write(bytearray(json.dumps(doc).encode()))
+        finally:
+            out.close()
+        if not self._fs.rename(tmp, self._checkpoint_path(upto)):
+            self._fs.delete(tmp, False)  # a rival already checkpointed it
+        return upto
+
+    def clean_log(self, keep_from_version: int) -> list[int]:
+        """Delete log entries no retained snapshot needs: everything at
+        or below the newest checkpoint ≤ ``keep_from_version`` (every
+        snapshot ≥ that checkpoint resolves from the checkpoint plus the
+        retained tail). Time travel below the checkpoint stops working —
+        the log-side analogue of :meth:`vacuum`. Requires such a
+        checkpoint to exist."""
+        cps = [c for c in self.checkpoints() if c <= keep_from_version]
+        if not cps:
+            raise ValueError(
+                f"no checkpoint <= {keep_from_version}; checkpoint() first"
+            )
+        horizon = max(cps)
+        removed = []
+        for v in self.versions():
+            if v <= horizon:
+                self._fs.delete(self._log_path(v), False)
+                self._entry_cache.pop(v, None)
+                removed.append(v)
+        return removed
+
     # -- snapshot resolution -----------------------------------------------
+    def _state_at(
+        self, version: int | None = None
+    ) -> tuple[list[dict], str | None, dict[str, int]]:
+        """(live add-actions, schema json, txn→version map) at
+        ``version``: nearest checkpoint ≤ version, then fold the entry
+        tail. The txn map rides the checkpoint so :meth:`clean_log`
+        never forgets an idempotency marker (a replayed foreachBatch
+        batch must stay a no-op even after its entry is cleaned)."""
+        vs = self.versions()
+        cps = self.checkpoints()
+        if version is None:
+            heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
+            if not heads:
+                return [], None, {}
+            upto = max(heads)
+        else:
+            upto = version
+            if upto not in vs and upto not in cps:
+                raise ValueError(f"version {upto} not in log {vs} or checkpoints {cps}")
+        cp = max((c for c in cps if c <= upto), default=None)
+        if cp is not None:
+            doc = self._read_checkpoint(cp)
+            adds, schema_json = doc["adds"], doc.get("schema")
+            txns = dict(doc.get("txns", {}))
+        else:
+            adds, schema_json, txns = [], None, {}
+        entries = [self._read_entry(v) for v in vs if (cp is None or v > cp) and v <= upto]
+        for e in entries:
+            if "schema" in e:
+                schema_json = e["schema"]
+            if "txn" in e:
+                txns[e["txn"]] = e["version"]
+        return replay_adds(entries, base=adds), schema_json, txns
+
+    def snapshot_adds(self, version: int | None = None) -> list[dict]:
+        """Live add-actions (file + stats) at ``version`` (default latest)."""
+        return self._state_at(version)[0]
+
+    def txn_versions(self) -> dict[str, int]:
+        """txn id → version for every idempotent commit still visible
+        (including those folded into a checkpoint by clean_log)."""
+        return self._state_at(None)[2]
+
     def snapshot_files(self, version: int | None = None) -> list[str]:
         """File names live at ``version`` (default: latest), by log replay."""
-        vs = self.versions()
-        if not vs:
-            return []
-        upto = max(vs) if version is None else version
-        if upto not in vs:
-            raise ValueError(f"version {upto} not in {vs}")
-        return replay([self._read_entry(v) for v in vs if v <= upto])
+        return [a["file"] for a in self.snapshot_adds(version)]
 
-    def read(self, version: int | None = None) -> DataFrame:
-        files = self.snapshot_files(version)
-        if not files:
+    def schema_at(self, version: int | None = None) -> T.StructType | None:
+        """Table schema at ``version``: the last recorded schema action."""
+        schema_json = self._state_at(version)[1]
+        return None if schema_json is None else T.StructType.fromJson(json.loads(schema_json))
+
+    def read(self, version: int | None = None, where: list[tuple] | None = None) -> DataFrame:
+        """Read a snapshot. ``where`` is a list of ``(column, op, value)``
+        predicates (ops ``= < <= > >=``): files whose min/max stats prove
+        no row can match are never handed to Spark (file skipping —
+        O(matching files) scan planning), and the same predicates are
+        applied as a residual filter for row-level exactness.
+        """
+        adds = self.snapshot_adds(version)
+        if not adds:
             raise FileNotFoundError(f"no committed data under {self.path}")
-        return self.spark.read.parquet(*[f"{self.path}/data/{f}" for f in files])
+        if where:
+            adds = [a for a in adds if file_matches(a, where)]
+        schema = self.schema_at(version)
+        if not adds:
+            if schema is None:
+                raise FileNotFoundError(f"no committed data under {self.path}")
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.path}/data/{a['file']}" for a in adds]
+        reader = self.spark.read
+        if schema is not None:
+            # snapshot schema: pre-evolution files yield the newer
+            # columns as null, with no mergeSchema footer scan
+            reader = reader.schema(schema)
+        df = reader.parquet(*paths)
+        for col, op, val in where or []:
+            spark_op = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
+            df = df.filter(f"`{col}` {spark_op} {val!r}")
+        return df
+
+    def scan_plan(self, where: list[tuple], version: int | None = None) -> dict:
+        """Debug/introspection: how many files the stats admit vs total."""
+        adds = self.snapshot_adds(version)
+        kept = [a["file"] for a in adds if file_matches(a, where)]
+        return {"total": len(adds), "scanned": len(kept), "files": kept}
 
     def history(self) -> list[dict]:
         return [self._read_entry(v) for v in self.versions()]
 
     # -- commits -----------------------------------------------------------
-    def _write_data(self, df: DataFrame) -> list[dict]:
-        """Land data files invisibly; return add-actions with stats."""
-        staging = f"{self.path}/.stage-{uuid.uuid4().hex}"
+    def _write_data(self, df: DataFrame, collect_stats: bool = True) -> list[dict]:
+        """Land data files invisibly; return add-actions with per-file
+        row counts and per-column min/max stats.
+
+        The stats come from ONE Spark job over the freshly-written
+        staging dir grouped by ``input_file_name()`` — O(files) driver
+        rows, not a job per file.
+        """
+        # NOT dot-prefixed: Spark's file index treats "."/"_" prefixed
+        # paths as hidden and would silently skip the stats read-back.
+        # Readers never list directories (log-based), so a visible
+        # staging dir is never observed by them.
+        staging = f"{self.path}/stage-{uuid.uuid4().hex}"
         df.write.parquet(staging)
+        stats_by_file: dict[str, dict] = {}
+        if collect_stats:
+            stat_cols = [
+                f.name for f in df.schema.fields if isinstance(f.dataType, _STAT_TYPES)
+            ]
+            aggs = [F.count(F.lit(1)).alias("__rows")]
+            for c in stat_cols:
+                aggs.append(F.min(c).alias(f"__min__{c}"))
+                aggs.append(F.max(c).alias(f"__max__{c}"))
+            staged = self.spark.read.parquet(staging).groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+            ).agg(*aggs)
+            for r in staged.collect():  # bounded: one row per data file
+                d = r.asDict()
+                stats = {}
+                for c in stat_cols:
+                    lo, hi = _stat_value(d[f"__min__{c}"]), _stat_value(d[f"__max__{c}"])
+                    stats[c] = [lo, hi]
+                stats_by_file[d["__f"]] = {"rows": d["__rows"], "stats": stats}
         adds = []
+        self._fs.mkdirs(self._jpath(f"{self.path}/data"))
         for s in self._fs.globStatus(self._jpath(f"{staging}/*.parquet")) or []:
+            orig = s.getPath().getName()
             name = f"{uuid.uuid4().hex}.parquet"
-            self._fs.mkdirs(self._jpath(f"{self.path}/data"))
             if not self._fs.rename(s.getPath(), self._jpath(f"{self.path}/data/{name}")):
                 raise IOError(f"could not stage {s.getPath()}")
-            adds.append({"file": name})
+            add = {"file": name}
+            if orig in stats_by_file:
+                add.update(stats_by_file[orig])
+            adds.append(add)
         self._fs.delete(self._jpath(staging), True)
         return adds
+
+    def _check_schema(self, df: DataFrame, mode: str) -> str | None:
+        """Validate an append against the recorded schema; return the
+        schema JSON to record in the entry (None = unchanged)."""
+        new = df.schema
+        if mode == "overwrite":
+            return json.dumps(new.jsonValue())
+        cur = self.schema_at()
+        if cur is None:
+            return json.dumps(new.jsonValue())
+        if new == cur:
+            return None
+        if _is_superset(new, cur):
+            return json.dumps(new.jsonValue())  # additive evolution
+        missing = [f.name for f in cur.fields if f.name not in new.fieldNames()]
+        changed = [
+            f.name for f in cur.fields
+            if f.name in new.fieldNames() and new[f.name].dataType != f.dataType
+        ]
+        raise SchemaMismatch(
+            f"append to {self.path} incompatible with table schema: "
+            f"missing columns {missing}, changed types {changed}"
+        )
+
+    def _logical_conflict(self, entries: list[dict], remove_set: set[str]) -> str | None:
+        """A commit that REMOVES files conflicts with any interleaved
+        commit that removed an overlapping file (two compactions /
+        merges would each re-add their own copy of shared rows) or that
+        overwrote the table out from under it."""
+        for e in entries:
+            if e["mode"] == "overwrite":
+                return f"table overwritten at version {e['version']}"
+            overlap = set(e.get("remove", [])) & remove_set
+            if overlap:
+                return (
+                    f"files {sorted(overlap)[:3]}... already removed at "
+                    f"version {e['version']}"
+                )
+        return None
 
     def commit(
         self,
@@ -154,12 +505,23 @@ class TxTable:
         remove: list[str] | None = None,
         max_retries: int = 5,
         txn: str | None = None,
+        base_version: int | None = None,
+        collect_stats: bool = True,
     ) -> int:
         """Write ``df`` and publish it as one atomic commit; returns the
         committed version. ``mode='overwrite'`` replaces the snapshot;
         ``remove`` drops named files in the same commit (the compaction
         / MERGE building block). Data files are written ONCE — only the
         cheap log publish retries under contention.
+
+        ``base_version`` is the snapshot the ``remove`` list was derived
+        from (defaults to the log tail at entry). Interleaved commits
+        after it are checked for LOGICAL conflicts before any publish or
+        retry: a remove/remove overlap or an overwrite raises
+        :class:`CommitConflict` immediately — blind rebasing there would
+        silently duplicate every shared row (two concurrent compactions
+        each re-adding their merged copy). Pure appends keep composing
+        and simply retry into the next slot.
 
         ``txn`` makes the commit IDEMPOTENT: a commit whose txn id is
         already in the log is skipped (its version returned, the fresh
@@ -169,38 +531,58 @@ class TxTable:
         ``f"{app_id}.{batch_id}"`` and replays become no-ops. The check
         re-runs after every lost race, so two same-txn writers racing
         still commit once.
+
+        Schema: the first commit records ``df``'s schema; later appends
+        must match it exactly (no-op) or be an additive superset (the
+        new schema is recorded — evolution); anything else raises
+        :class:`SchemaMismatch` before data is written. Overwrites may
+        change the schema freely.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
+        remove_set = set(remove or [])
 
         def committed_txn() -> int | None:
             if txn is None:
                 return None
-            for e in self.history():
-                if e.get("txn") == txn:
-                    return e["version"]
-            return None
+            return self.txn_versions().get(txn)
 
         dup = committed_txn()
         if dup is not None:
             return dup
-        adds = self._write_data(df)
+        if base_version is None:
+            latest = self.latest_version()
+            base_version = latest if latest is not None else -1
+        schema_json = self._check_schema(df, mode)
+        adds = self._write_data(df, collect_stats=collect_stats)
 
         def discard() -> None:
             for a in adds:  # unpublished files are invisible; remove them
                 self._fs.delete(self._jpath(f"{self.path}/data/{a['file']}"), False)
 
         for _ in range(max_retries):
-            version = (self.versions() or [-1])[-1] + 1 if self.versions() else 0
-            entry = {"version": version, "mode": mode, "add": adds, "remove": remove or []}
+            vs = self.versions()
+            latest = self.latest_version()
+            version = latest + 1 if latest is not None else 0
+            if remove_set:
+                interleaved = [self._read_entry(v) for v in vs if v > base_version]
+                why = self._logical_conflict(interleaved, remove_set)
+                if why is not None:
+                    discard()
+                    raise CommitConflict(f"{self.path}: {why}")
+            entry = {"version": version, "mode": mode, "add": adds, "remove": sorted(remove_set)}
+            if schema_json is not None:
+                entry["schema"] = schema_json
             if txn is not None:
                 entry["txn"] = txn
             if self._try_publish(entry):
+                if self.checkpoint_interval and version and version % self.checkpoint_interval == 0:
+                    self.checkpoint(version)  # best-effort; rivals' duplicates lose the rename
                 return version
             # lost the race: another writer claimed this version. If it
             # was our own txn replayed elsewhere, we're already done;
-            # otherwise an append composes with any interleaved commit —
-            # re-read the log and try the next slot.
+            # otherwise loop — the conflict check above re-runs against
+            # the new tail before the next publish attempt.
             dup = committed_txn()
             if dup is not None:
                 discard()
@@ -208,26 +590,100 @@ class TxTable:
         discard()
         raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
+    # -- table services ----------------------------------------------------
+    def merge(
+        self,
+        source: DataFrame,
+        key: list[str],
+        delete_matched: bool = False,
+    ) -> int:
+        """MERGE/upsert as ONE atomic remove+add commit: matched target
+        rows are replaced by their source row (or deleted), unmatched
+        source rows are inserted. Readers concurrently scanning an older
+        snapshot are untouched; there is no rename window and no
+        ``*_old`` prefix — the log publish IS the swap.
+
+        Scale path: per-file min/max stats scope the rewrite to files
+        whose key range overlaps the source's — at 100 TB with a 1 GB
+        delta, only the overlapping files are read, anti-joined and
+        rewritten; the rest of the table is carried by reference. A
+        concurrent commit that removed one of the scoped files raises
+        :class:`CommitConflict` (snapshot-level write-write detection)
+        instead of silently duplicating rows.
+        """
+        latest = self.latest_version()
+        base = latest if latest is not None else -1
+        adds = self.snapshot_adds(base) if base >= 0 else []
+        k0 = key[0]
+        bounds = source.agg(
+            F.min(k0).alias("lo"), F.max(k0).alias("hi")
+        ).collect()[0]
+        preds = []
+        if bounds["lo"] is not None:
+            preds = [(k0, ">=", _stat_value(bounds["lo"])), (k0, "<=", _stat_value(bounds["hi"]))]
+        touched = [a for a in adds if file_matches(a, preds)]
+        if not touched and base < 0:
+            return self.commit(source, mode="append")
+        if touched:
+            target = self.spark.read.parquet(
+                *[f"{self.path}/data/{a['file']}" for a in touched]
+            )
+            kept = target.join(source.select(*key).distinct(), key, "left_anti")
+            merged = kept if delete_matched else kept.unionByName(source)
+        else:
+            merged = source.limit(0) if delete_matched else source
+        return self.commit(
+            merged,
+            mode="append",
+            remove=[a["file"] for a in touched],
+            base_version=base,
+        )
+
     def compact(self, target_version: int | None = None) -> int:
         """Rewrite the current snapshot as one commit: add the merged
         files, remove the old ones — readers at older versions are
-        untouched (their files stay until vacuum)."""
+        untouched (their files stay until vacuum). Two concurrent
+        compactions conflict (remove/remove) — exactly one lands."""
+        # the remove list is derived from target_version, so conflict
+        # detection must consider everything committed after IT
+        if target_version is not None:
+            base = target_version
+        else:
+            latest = self.latest_version()
+            base = latest if latest is not None else -1
         files = self.snapshot_files(target_version)
         merged = self.read(target_version)
-        return self.commit(merged, mode="append", remove=files)
+        return self.commit(merged, mode="append", remove=files, base_version=base)
 
-    def vacuum(self, keep_from_version: int) -> list[str]:
+    def vacuum(self, keep_from_version: int, retain_ms: int = 3_600_000) -> list[str]:
         """Delete data files not referenced by any snapshot >= the
         retention horizon. Time travel before the horizon stops working
-        — same contract as Delta's VACUUM."""
-        vs = [v for v in self.versions() if v >= keep_from_version]
+        — same contract as Delta's VACUUM.
+
+        ``retain_ms`` protects in-flight commits: ``_write_data`` lands
+        files in ``data/`` BEFORE the log entry publishes, so an
+        unreferenced-but-young file may belong to a commit that is about
+        to appear — deleting it would corrupt that commit the moment it
+        publishes. Files whose modification time is inside the window
+        are never eligible (Delta's retention-duration check). Tests may
+        pass ``retain_ms=0`` on a quiesced table.
+        """
+        # checkpoints are resolvable snapshots too (after clean_log they
+        # may be the ONLY resolvable form of the tail) — their files are
+        # as live as any entry's
+        resolvable = sorted(set(self.versions()) | set(self.checkpoints()))
         keep: set[str] = set()
-        for v in vs:
-            keep.update(self.snapshot_files(v))
+        for v in resolvable:
+            if v >= keep_from_version:
+                keep.update(self.snapshot_files(v))
+        now_ms = self.spark._jvm.java.lang.System.currentTimeMillis()
         removed = []
         for s in self._fs.globStatus(self._jpath(f"{self.path}/data/*.parquet")) or []:
             name = s.getPath().getName()
-            if name not in keep:
-                self._fs.delete(s.getPath(), False)
-                removed.append(name)
+            if name in keep:
+                continue
+            if now_ms - s.getModificationTime() < retain_ms:
+                continue  # possibly an in-flight commit's file
+            self._fs.delete(s.getPath(), False)
+            removed.append(name)
         return removed

@@ -23,23 +23,27 @@ def test_registry_shape():
 
 
 def test_priority_order():
-    """The driver grades ~the first 50 keys of queries() — assert the
-    priority list is typo-free (every entry resolves) and that the
-    graded window spans every SURVEY §2 family."""
+    """The driver grades ~the first 50 keys of queries(). Round 3
+    rotates the window onto keys never driver-graded in rounds 1–2
+    (VERDICT r2 next-round #1) — assert the list is typo-free, the
+    window is all-FULL (every graded slot yields a hash grade), and no
+    slot is wasted re-grading an already-green key."""
+    import json
+    import os
+
     qs = contract.queries()
     missing = [k for k in registry.PRIORITY if k not in qs]
     assert not missing, f"PRIORITY names unregistered keys: {missing}"
     head = list(qs)[:50]
-    for prefix in (
-        "q_project", "q_filter", "q_join", "q_agg", "q_win", "q_set",
-        "q_fn", "q_stream", "q_udf", "q_llm", "q_tpch", "q_subquery",
-    ):
-        assert any(k.startswith(prefix) for k in head), prefix
-    assert "q_scd2_build" in head
-    # every graded slot in the ~50-key window must yield a HASH grade —
-    # WEAK keys belong in the tail, not the window
     oracles = contract.oracle_sql()
     assert all(k in oracles for k in head), [k for k in head if k not in oracles]
+    already = set()
+    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        p = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), rec)
+        if os.path.exists(p):
+            with open(p) as f:
+                already |= set(json.load(f))
+    assert not (set(head) & already), sorted(set(head) & already)
 
 
 def test_all_queries_documented():

@@ -205,3 +205,43 @@ def test_schema_evolution_append_and_merged_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "s", "score"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_merge_into_routes_through_txlog_when_target_is_txtable(spark, tmp_path):
+    """A transaction-logged target gets MERGE as one atomic remove+add
+    commit: no *_old/*_merging prefixes, old snapshot stays readable."""
+    import os
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    path = str(tmp_path / "txt")
+    t = lake.tx(path)
+    t.commit(spark.createDataFrame([(i, "old") for i in range(10)], "id long, v string"))
+    src = spark.createDataFrame([(3, "new"), (99, "new")], "id long, v string")
+    out = lake.merge_into(src, "tx_merge", path, key=["id"])
+    got = {r.id: r.v for r in out.collect()}
+    assert len(got) == 11 and got[3] == "new" and got[99] == "new" and got[0] == "old"
+    # merged via the log: version advanced, no rename-swap artifacts
+    assert len(t.versions()) == 2
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(("_old", "_merging"))]
+    # time travel to the pre-merge snapshot still works
+    assert {r.v for r in t.read(version=0).collect()} == {"old"}
+
+
+def test_replace_prefix_recovers_from_crash_window(spark, tmp_path):
+    """A crash between the two renames strands the table at *_old; the
+    next swap must auto-restore instead of failing on a missing live
+    prefix (round-2 ADVICE 'low')."""
+    import os
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "x long").write.parquet(path)
+    # simulate the crash: live prefix renamed away, swap never finished
+    os.rename(path, path + "_old")
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame([(2,)], "x long").write.parquet(staged)
+    lake._replace_prefix(staged, path)
+    assert [r.x for r in spark.read.parquet(path).collect()] == [2]
+    assert not os.path.exists(path + "_old")

@@ -82,7 +82,6 @@ def test_ts_truncation_agrees_with_oracle_semantics(ns):
     """The bigint-nanos conversion (DIV 1000) and the micros the oracle
     computes (epoch_ns // 1000) are the same integer truncation for any
     representable epoch — pure-Python check of the shared contract."""
-    assert ns // 1000 == int(ns / 1000) or True  # float division may disagree...
     # the binding property: integer-div by 1000 loses only sub-micro digits
     us = ns // 1000
     assert 0 <= ns - us * 1000 < 1000

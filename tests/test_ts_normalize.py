@@ -61,3 +61,23 @@ def test_load_table_postcondition(spark, sf_small):
     assert dict(df.dtypes)["ts"] == "timestamp"
     # unix_micros must resolve — the exact call that crashed q_scd2_build.
     assert df.select(F.unix_micros("ts")).limit(1).count() == 1
+
+
+def test_ensure_parallelism_rejects_derived_frames(spark, sf_small):
+    """The 'only call on plain scans' contract is enforced, not advised
+    (VERDICT r2 'what's wrong' #2): a derived frame raises instead of
+    triggering partial execution via .rdd under AQE."""
+    import pytest
+
+    from novlake_spark.sources.tables import ensure_parallelism, load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    assert ensure_parallelism(docs) is not None  # plain scan: fine
+    assert ensure_parallelism(docs.select("doc_id").filter("doc_id > 0")) is not None
+    for derived in (
+        docs.groupBy("lang").count(),
+        docs.join(docs.select("doc_id"), "doc_id"),
+        docs.repartition(4),
+    ):
+        with pytest.raises(ValueError, match="plain scan"):
+            ensure_parallelism(derived)

@@ -1,10 +1,11 @@
 """Transaction-logged Parquet table (novlake_spark.txlog): atomic
 multi-file commits, snapshot isolation / time travel, optimistic
-concurrency, compaction, vacuum."""
+concurrency, compaction, vacuum, stats-based file skipping, schema
+enforcement/evolution, MERGE."""
 
 import pytest
 
-from novlake_spark.txlog import CommitConflict, TxTable
+from novlake_spark.txlog import CommitConflict, SchemaMismatch, TxTable, file_matches
 
 
 def _df(spark, *vals):
@@ -73,7 +74,7 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert len(t.snapshot_files()) < n_before or n_before == 1
     # old files survive for time travel until vacuumed
     assert sorted(r.x for r in t.read(version=2).collect()) == [1, 2, 3]
-    removed = t.vacuum(keep_from_version=cv)
+    removed = t.vacuum(keep_from_version=cv, retain_ms=0)  # quiesced table
     assert removed  # pre-compaction files are gone
     assert sorted(r.x for r in t.read().collect()) == [1, 2, 3]
     with pytest.raises(Exception):
@@ -166,3 +167,345 @@ def test_replay_properties():
                     assert f not in live
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# round-3 hardening: temp-file hygiene, vacuum retention, logical conflicts
+# ---------------------------------------------------------------------------
+
+def test_stale_temp_and_junk_log_files_do_not_brick_the_table(spark, tmp_path):
+    """A writer that dies between temp-create and rename (or any junk in
+    _log/) must not break readers or later committers — the round-2
+    ADVICE 'high': _log/.tmp-*.json matched the versions() glob and
+    int() crashed every subsequent operation."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1, 2))
+    log_dir = tmp_path / "t" / "_log"
+    # junk a dead writer could leave in the old (buggy) layout, plus
+    # arbitrary non-numeric names
+    (log_dir / ".tmp-deadbeef.json").write_text("{not even json")
+    (log_dir / "garbage.json").write_text("{}")
+    (log_dir / "_tmp").mkdir(exist_ok=True)
+    (log_dir / "_tmp" / "orphan").write_text('{"version": 99}')
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    assert t2.versions() == [0]
+    assert sorted(r.x for r in t2.read().collect()) == [1, 2]
+    assert t2.commit(_df(spark, 3)) == 1  # committing still works
+
+
+def test_vacuum_retention_protects_inflight_commit_files(spark, tmp_path):
+    """_write_data lands files in data/ BEFORE the log publish; vacuum
+    must never delete unreferenced-but-young files (round-2 ADVICE
+    'medium': a vacuum racing an in-flight commit corrupted it)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    # simulate an in-flight commit: data staged, log entry not yet published
+    adds = t._write_data(_df(spark, 99))
+    assert t.snapshot_files() != [a["file"] for a in adds]  # unpublished
+    removed = t.vacuum(keep_from_version=0)  # default 1h retention
+    assert removed == []  # young in-flight files survive
+    # the in-flight commit can still publish and read back intact
+    v = t.commit(_df(spark, 2))
+    assert sorted(r.x for r in t.read().collect()) == [1, 2]
+    # with the window forced off, the (now abandoned) staged files of the
+    # simulated dead writer do get reclaimed
+    removed = t.vacuum(keep_from_version=0, retain_ms=0)
+    assert sorted(removed) == sorted(a["file"] for a in adds)
+    assert sorted(r.x for r in t.read().collect()) == [1, 2]
+
+
+def test_concurrent_compactions_conflict_instead_of_duplicating(spark, tmp_path):
+    """Two compactions from the same base must not both land (round-2
+    ADVICE 'medium': blind rebase let both remove-lists apply
+    idempotently and every row came back twice)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for v in (1, 2, 3):
+        t.commit(_df(spark, v))
+    rival = TxTable(spark, str(tmp_path / "t"))
+    rival.compact()  # first compaction lands
+    with pytest.raises(CommitConflict):
+        t.compact(target_version=2)  # second, derived from the old base
+    assert sorted(r.x for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_remove_remove_conflict_detected_on_retry(spark, tmp_path):
+    """A remove-commit that loses the publish race to an overlapping
+    remove must raise, not rebase."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    t.commit(_df(spark, 2))
+    files = t.snapshot_files()
+    rival = TxTable(spark, str(tmp_path / "t"))
+    real_publish = t._try_publish
+
+    def racy_publish(entry):
+        if not racy_publish.raced:
+            racy_publish.raced = True
+            rival.compact()  # rival removes the same files first
+        return real_publish(entry)
+
+    racy_publish.raced = False
+    t._try_publish = racy_publish
+    with pytest.raises(CommitConflict):
+        t.commit(_df(spark, 1, 2), remove=files)
+    assert sorted(r.x for r in t.read().collect()) == [1, 2]
+
+
+def test_append_composes_across_interleaved_overwrite_free_commits(spark, tmp_path):
+    """Pure appends never logically conflict — they retry into the next
+    slot (regression guard: the conflict check must not over-reject)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1))
+    rival = TxTable(spark, str(tmp_path / "t"))
+    real_publish = t._try_publish
+
+    def racy_publish(entry):
+        if not racy_publish.raced:
+            racy_publish.raced = True
+            rival.commit(_df(spark, 100))
+        return real_publish(entry)
+
+    racy_publish.raced = False
+    t._try_publish = racy_publish
+    assert t.commit(_df(spark, 2)) == 2
+    assert sorted(r.x for r in t.read().collect()) == [1, 2, 100]
+
+
+# ---------------------------------------------------------------------------
+# per-file min/max stats + file skipping
+# ---------------------------------------------------------------------------
+
+def test_add_actions_carry_rows_and_minmax_stats(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "x long, s string")
+    t.commit(df.coalesce(1))
+    (add,) = t.snapshot_adds()
+    assert add["rows"] == 3
+    assert add["stats"]["x"] == [1, 3]
+    assert add["stats"]["s"] == ["a", "c"]
+
+
+def test_predicate_read_plans_only_matching_files(spark, tmp_path):
+    """N files with disjoint key ranges: a predicate read must touch
+    only the matching files (VERDICT round-2 'missing' #3)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):
+        df = spark.createDataFrame([(lo + i,) for i in range(10)], "x long")
+        t.commit(df.coalesce(1))
+    assert len(t.snapshot_adds()) == 4
+    plan = t.scan_plan([("x", ">=", 100), ("x", "<", 150)])
+    assert plan["total"] == 4 and plan["scanned"] == 1
+    out = t.read(where=[("x", ">=", 100), ("x", "<", 150)])
+    # the Spark scan reads exactly the one admitted file
+    assert len(out.inputFiles()) == 1
+    assert sorted(r.x for r in out.collect()) == list(range(100, 110))
+    # residual filter still applies row-level inside the admitted file
+    out2 = t.read(where=[("x", "=", 105)])
+    assert [r.x for r in out2.collect()] == [105]
+
+
+def test_file_skipping_is_conservative(spark, tmp_path):
+    """Missing stats, null-only columns and non-comparable values must
+    keep (or provably-skip) files without ever losing rows."""
+    # a legacy add-action with no stats is always scanned
+    assert file_matches({"file": "f"}, [("x", "=", 1)])
+    # zero-row files are always skipped
+    assert not file_matches({"file": "f", "rows": 0}, [])
+    # all-null column: no comparison predicate can match
+    assert not file_matches(
+        {"file": "f", "rows": 5, "stats": {"x": [None, None]}}, [("x", ">", 1)]
+    )
+    # type-mismatched predicate value: keep the file
+    assert file_matches(
+        {"file": "f", "rows": 5, "stats": {"x": [1, 9]}}, [("x", "=", "nine")]
+    )
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    """MERGE via the log: one atomic remove+add commit, scoped by key
+    stats to the files the source can touch."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(10)], "k long, v string"
+        )
+        t.commit(df.coalesce(1))
+    before = set(t.snapshot_files())
+    src = spark.createDataFrame([(105, "NEW"), (108, "NEW")], "k long, v string")
+    t.merge(src, key=["k"])
+    after = set(t.snapshot_files())
+    # files 0-9 and 200-209 carried by reference, 100-109 rewritten
+    assert len(before & after) == 2
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 30
+    assert got[105] == "NEW" and got[108] == "NEW" and got[101] == "v101"
+    # delete_matched drops the keys instead
+    t.merge(spark.createDataFrame([(205, "x")], "k long, v string"),
+            key=["k"], delete_matched=True)
+    assert t.read().count() == 29
+    assert t.read(where=[("k", "=", 205)]).count() == 0
+
+
+def test_merge_concurrent_reader_sees_old_or_new_never_a_mix(spark, tmp_path):
+    """Snapshot isolation through a MERGE: a reader that resolved its
+    file set before the merge still reads a consistent snapshot; no
+    *_old / *_merging prefixes ever exist (VERDICT next-round #2)."""
+    import os
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, "old") for i in range(20)], "k long, v string")
+    t.commit(df)
+    reader = t.read(version=0)  # resolves files at version 0
+    src = spark.createDataFrame([(k, "new") for k in range(5)], "k long, v string")
+    t.merge(src, key=["k"])
+    # old snapshot: fully old values; new snapshot: merged
+    assert {r.v for r in reader.collect()} == {"old"}
+    got = {r.k: r.v for r in t.read().collect()}
+    assert sum(1 for v in got.values() if v == "new") == 5
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(("_old", "_merging"))]
+
+
+def test_merge_on_empty_table_inserts(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame([(1, "a")], "k long, v string")
+    t.merge(src, key=["k"])
+    assert [(r.k, r.v) for r in t.read().collect()] == [(1, "a")]
+
+
+# ---------------------------------------------------------------------------
+# schema enforcement + additive evolution
+# ---------------------------------------------------------------------------
+
+def test_schema_enforced_on_append(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "x long, s string"))
+    # identical schema: fine
+    t.commit(spark.createDataFrame([(2, "b")], "x long, s string"))
+    # missing column: rejected before any data lands
+    with pytest.raises(SchemaMismatch):
+        t.commit(spark.createDataFrame([(3,)], "x long"))
+    # changed type: rejected
+    with pytest.raises(SchemaMismatch):
+        t.commit(spark.createDataFrame([("3", "c")], "x string, s string"))
+    assert t.read().count() == 2  # no partial writes from the rejects
+
+
+def test_schema_additive_evolution_and_merged_readback(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "x long, s string"))
+    # superset: accepted, schema evolves
+    t.commit(spark.createDataFrame([(2, "b", 9.5)], "x long, s string, score double"))
+    cur = t.schema_at()
+    assert [f.name for f in cur.fields] == ["x", "s", "score"]
+    rows = {r.x: r.score for r in t.read().collect()}
+    assert rows == {1: None, 2: 9.5}  # old file surfaces new column as null
+    # time travel reads the old schema
+    assert [f.name for f in t.schema_at(version=0).fields] == ["x", "s"]
+    assert "score" not in t.read(version=0).columns
+
+
+def test_schema_overwrite_may_change_freely(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "x long, s string"))
+    t.commit(spark.createDataFrame([(True,)], "flag boolean"), mode="overwrite")
+    assert t.read().columns == ["flag"]
+    assert [f.name for f in t.schema_at().fields] == ["flag"]
+
+
+# ---------------------------------------------------------------------------
+# log checkpoints: O(checkpoint + tail) snapshot resolution
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_resolution_reads_only_the_tail(spark, tmp_path):
+    """After checkpoint(C), resolving the latest snapshot must read the
+    checkpoint plus entries > C only — not the whole log."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 0  # manual control in this test
+    for v in range(6):
+        t.commit(_df(spark, v))
+    t.checkpoint()  # at version 5
+    t.commit(_df(spark, 100))
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    read_versions = []
+    real_read = fresh._read_entry
+    fresh._read_entry = lambda v: (read_versions.append(v), real_read(v))[1]
+    assert sorted(r.x for r in fresh.read().collect()) == [0, 1, 2, 3, 4, 5, 100]
+    assert set(read_versions) == {6}  # only the post-checkpoint tail
+
+
+def test_checkpoint_preserves_time_travel_and_schema(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 0
+    t.commit(spark.createDataFrame([(1, "a")], "x long, s string"))
+    t.commit(spark.createDataFrame([(2, "b", 1.5)], "x long, s string, f double"))
+    t.checkpoint()
+    # checkpoint carries the evolved schema
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert [f.name for f in fresh.schema_at().fields] == ["x", "s", "f"]
+    # time travel below the checkpoint still replays entries
+    assert sorted(r.x for r in fresh.read(version=0).collect()) == [1]
+    assert "f" not in fresh.read(version=0).columns
+
+
+def test_auto_checkpoint_every_interval(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 3
+    for v in range(7):  # versions 0..6 -> auto-checkpoints at 3 and 6
+        t.commit(_df(spark, v))
+    assert t.checkpoints() == [3, 6]
+    assert sorted(r.x for r in t.read().collect()) == list(range(7))
+
+
+def test_clean_log_after_checkpoint(spark, tmp_path):
+    """Entries at/below the newest checkpoint <= horizon are deletable;
+    later snapshots resolve from checkpoint + retained tail."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 0
+    for v in range(5):
+        t.commit(_df(spark, v))
+    with pytest.raises(ValueError):
+        t.clean_log(keep_from_version=3)  # no checkpoint yet
+    t.checkpoint(3)
+    removed = t.clean_log(keep_from_version=3)
+    assert removed == [0, 1, 2, 3]
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert sorted(r.x for r in fresh.read().collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r.x for r in fresh.read(version=3).collect()) == [0, 1, 2, 3]
+    with pytest.raises(ValueError):
+        fresh.read(version=1)  # below the cleaned horizon
+    # committing continues normally after log cleaning
+    assert fresh.commit(_df(spark, 99)) == 5
+    assert 99 in [r.x for r in fresh.read().collect()]
+
+
+def test_txn_idempotency_survives_clean_log(spark, tmp_path):
+    """Checkpoints carry the txn map, so a replayed foreachBatch commit
+    stays a no-op even after its log entry was cleaned away."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 0
+    v0 = t.commit(_df(spark, 1), txn="app.b0")
+    t.commit(_df(spark, 2), txn="app.b1")
+    t.checkpoint()
+    t.clean_log(keep_from_version=2)
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.versions() == []  # entries folded into the checkpoint
+    assert fresh.commit(_df(spark, 1), txn="app.b0") == v0  # replay = no-op
+    assert sorted(r.x for r in fresh.read().collect()) == [1, 2]
+
+
+def test_commit_after_full_clean_log_does_not_reuse_versions(spark, tmp_path):
+    """With every entry folded into a checkpoint, the next commit must
+    claim checkpoint_version+1, not version 0 (a re-claimed low version
+    would be invisible to replay — data loss)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 0
+    t.commit(_df(spark, 1))
+    t.commit(_df(spark, 2))
+    t.checkpoint()  # at 1
+    t.clean_log(keep_from_version=2)
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.versions() == []
+    assert fresh.commit(_df(spark, 3)) == 2  # NOT 0
+    assert sorted(r.x for r in fresh.read().collect()) == [1, 2, 3]
+    # vacuum must treat checkpoint-held files as live
+    assert fresh.vacuum(keep_from_version=0, retain_ms=0) == []
+    assert sorted(r.x for r in fresh.read().collect()) == [1, 2, 3]

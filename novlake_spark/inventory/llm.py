@@ -1073,3 +1073,79 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         run, schema="doc_id long, byte_len long, sha_hex string, head_hex string"
     )
+
+
+@register(
+    "q_llm_quality_logreg",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS mean_tok_len
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+             -1.2 + 0.8 * ln(1.0 + n_tokens) - 6.0 * punct_ratio
+                  - 4.0 * digit_ratio - 0.15 * abs(mean_tok_len - 5.0) AS z
+      FROM f)
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 4) AS score,
+           z > 0.0 AS keep
+    FROM z
+    """,
+)
+def q_llm_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6c: classifier-style quality filtering — a fixed-weight logistic
+    model over cheap text features (the fastText-classifier stage of
+    CCNet/GPT-3-style pipelines, with public hand-set weights so the
+    score is deterministic and cross-engine verifiable).
+
+    All features are JVM regexp/length expressions — the whole scoring
+    pass is one map-side whole-stage-codegen projection, zero shuffle,
+    zero Python: at 100 TB this runs at scan speed, which is exactly
+    why production pipelines front-load a linear scorer before any
+    model-based filter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(F.split(text, " ")).cast("double")
+    tlen = F.greatest(F.length(text), F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double") / tlen
+    digit_ratio = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double") / tlen
+    mean_tok_len = (
+        F.length(F.regexp_replace(text, r" ", "")).cast("double")
+        / F.greatest(n_tokens, F.lit(1.0))
+    )
+    z = (
+        F.lit(-1.2)
+        + F.lit(0.8) * F.log(F.lit(1.0) + n_tokens)
+        - F.lit(6.0) * punct_ratio
+        - F.lit(4.0) * digit_ratio
+        - F.lit(0.15) * F.abs(mean_tok_len - F.lit(5.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("score"),
+        (z > F.lit(0.0)).alias("keep"),
+    )
+
+
+@register("q_llm_semdedup", weak=True)  # WEAK: k-means cells are engine-specific
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: SemDeDup semantic deduplication (cluster embeddings, drop
+    near-cosine-duplicates within each cluster; arXiv:2303.09540).
+
+    WEAK by design: the k-means cell assignment has no DuckDB
+    equivalent. Rows-only here (one verdict row per vector);
+    tests/test_llm_ops.py plants true semantic duplicates and asserts
+    they are the rows flagged kept=false with the right keeper.
+    Σ cell² pairwise bound, vectorized matmul per cell — see
+    operators/dedup.py:semantic_dedup for the 100 TB shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, threshold=0.4, n_cells=8)

@@ -101,3 +101,30 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     preferred = F.col("source").isin(*[f"src{i}" for i in range(5)])
     mixed = docs.filter((preferred & (h < F.lit("c0"))) | (~preferred & (h < F.lit("40"))))
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "q_sample_reservoir",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget per-group sample: exactly 20 docs per language,
+    selected by deterministic hash rank (reservoir-sample semantics,
+    reproducible across runs and cluster sizes).
+
+    Complements rate-based q_sample_stratified: budgets, not
+    proportions — the eval-set construction shape. One shuffle on the
+    group key; row_number prunes to k rows per group immediately.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return S.reservoir_per_group(docs, ["doc_id"], "lang", 20).select("doc_id", "lang")

@@ -216,3 +216,57 @@ def jaccard(toks_a, toks_b) -> F.Column:
     inter = F.size(F.array_intersect(da, db))
     union = F.size(da) + F.size(db) - inter
     return inter / union
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.7,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then within each
+    cluster drop every vector whose cosine to a LOWER-ID cluster-mate
+    exceeds ``threshold`` (the deterministic keeper rule — min id wins,
+    same convention as exact_dedup's canonical keeper).
+
+    Scale shape: the quadratic step is Σ cell², never n² — identical
+    cost bound to LSH banding, but clusters follow the embedding
+    distribution, so near-duplicates that straddle no random-projection
+    boundary still meet. Pairwise scoring runs vectorized (one matmul
+    per cluster inside applyInPandas); only K×dim centroid floats ever
+    reach the driver.
+
+    Returns (id, cell, kept, max_cos_prior) — ``kept=false`` rows are
+    the semantic duplicates to drop.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from novlake_spark.operators.knn import ivf_assign
+
+    assigned, _ = ivf_assign(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+
+    out_schema = f"{id_col} long, cell int, kept boolean, max_cos_prior double"
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.vstack(pdf[vec_col].to_numpy())  # (n, dim)
+        sims = mat @ mat.T  # unit vectors -> cosine
+        # max similarity to any *earlier* (lower-id) row: mask out the
+        # diagonal-and-below so negative cosines survive as maxima
+        n = len(pdf)
+        masked = np.where(np.tril(np.ones((n, n), dtype=bool)), -np.inf, sims)
+        max_prior = masked.max(axis=0)
+        max_prior = np.where(np.isneginf(max_prior), -1.0, max_prior)  # first row: no prior
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "kept": max_prior <= threshold,
+                "max_cos_prior": np.round(max_prior, 4),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)

@@ -87,3 +87,29 @@ def split_assign(keys: list[str], splits: dict[str, float], col_name: str = "spl
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return out.alias(col_name)
+
+
+def reservoir_per_group(
+    df: DataFrame, keys: list[str], group: str, k: int
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly min(k, |group|) rows per
+    group, chosen by hash rank — the reproducible equivalent of a
+    per-group reservoir sample (same rows on any cluster size / rerun,
+    which `sample`-then-`limit` cannot guarantee).
+
+    Rate-based :func:`stratified_sample` yields a *proportional* sample;
+    this yields a *fixed budget* per group — the shape needed for
+    "k exemplar documents per language/source" eval-set construction.
+
+    One shuffle (hash-partition by group); per-group ranking is a sort
+    within partitions. Hot groups are the AQE skew-split case, and the
+    rank predicate prunes to k rows per group before anything downstream.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group).orderBy(hash_key(*keys), *[F.col(c) for c in keys])
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -590,6 +590,120 @@ class TxTable:
         discard()
         raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
+    # -- change data feed ----------------------------------------------------
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change feed over ``(from_version, to_version]``:
+        every row added or removed by each commit in the range, tagged
+        ``_change_type`` (``insert``/``delete``) and ``_commit_version``.
+
+        Derivation is purely log-based — a commit's ``add`` files are its
+        inserts and its ``remove`` files are its deletes (an overwrite
+        deletes the whole previous snapshot), so the cost is O(changed
+        files), never a snapshot diff: at 100 TB a 1 GB merge yields a
+        1–2 GB change feed read, not two 100 TB scans joined. MERGE
+        surfaces as delete+insert of the rewritten files' rows (the
+        stats-scoped rewrite keeps that set small); this is the
+        file-granular feed Delta emits when its CDF column is off.
+
+        Requires the range's log entries (``clean_log`` horizon) and the
+        removed files (``vacuum`` horizon) to still exist; raises
+        :class:`ValueError` / ``FileNotFoundError`` otherwise.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed data under {self.path}")
+        upto = latest if to_version is None else to_version
+        want = [v for v in range(from_version + 1, upto + 1)]
+        have = set(self.versions())
+        missing = [v for v in want if v not in have]
+        if missing:
+            raise ValueError(
+                f"log entries {missing} no longer exist (clean_log horizon); "
+                "change feed unavailable below the retained tail"
+            )
+        parts: list[DataFrame] = []
+
+        def _part(files: list[str], schema_v: int | None, ctype: str, v: int) -> None:
+            if not files:
+                return
+            paths = []
+            for f in files:
+                p = self._jpath(f"{self.path}/data/{f}")
+                if not self._fs.exists(p):
+                    raise FileNotFoundError(
+                        f"{f} was vacuumed; change feed for version {v} unavailable"
+                    )
+                paths.append(f"{self.path}/data/{f}")
+            schema = self.schema_at(schema_v) if schema_v is not None and schema_v >= 0 else None
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            parts.append(
+                reader.parquet(*paths)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v))
+            )
+
+        for v in want:
+            e = self._read_entry(v)
+            if e["mode"] == "overwrite":
+                removed = self.snapshot_files(v - 1) if v > 0 else []
+                _part(removed, v - 1, "delete", v)
+            else:
+                _part(e.get("remove", []), v - 1, "delete", v)
+            _part([a["file"] for a in e.get("add", [])], v, "insert", v)
+        if not parts:
+            schema = self.schema_at(upto)
+            if schema is None:
+                raise FileNotFoundError(f"no committed data under {self.path}")
+            out = T.StructType(
+                schema.fields
+                + [T.StructField("_change_type", T.StringType()),
+                   T.StructField("_commit_version", T.IntegerType())]
+            )
+            return self.spark.createDataFrame([], out)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return df
+
+    def read_incremental(
+        self, last_version: int | None = None, ignore_changes: bool = False
+    ) -> tuple[DataFrame | None, int]:
+        """Micro-batch incremental read: rows ADDED after ``last_version``
+        plus the new high-water mark — the primitive a downstream
+        pipeline polls to consume this table as a stream (pair it with
+        :meth:`commit`'s ``txn`` on the sink side for exactly-once
+        end-to-end). Returns ``(None, last_version)`` when nothing new.
+
+        Append-only by contract: an interleaved remove or overwrite means
+        added-files-only is NOT the row-level delta, so it raises unless
+        ``ignore_changes=True`` (then rewritten files' rows re-deliver,
+        Delta's ``ignoreChanges`` semantics — consumers must be
+        idempotent on re-delivery).
+        """
+        last = -1 if last_version is None else last_version
+        latest = self.latest_version()
+        if latest is None or latest <= last:
+            return None, last
+        add_files: list[str] = []
+        for v in range(last + 1, latest + 1):
+            e = self._read_entry(v)
+            if not ignore_changes and (e["mode"] == "overwrite" or e.get("remove")):
+                raise ValueError(
+                    f"version {v} is not append-only (mode={e['mode']}, "
+                    f"{len(e.get('remove', []))} removes); pass "
+                    "ignore_changes=True to re-deliver rewritten rows"
+                )
+            add_files.extend(a["file"] for a in e.get("add", []))
+        if not add_files:
+            return None, latest
+        schema = self.schema_at(latest)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*[f"{self.path}/data/{f}" for f in add_files]), latest
+
     # -- table services ----------------------------------------------------
     def merge(
         self,
@@ -654,6 +768,76 @@ class TxTable:
         files = self.snapshot_files(target_version)
         merged = self.read(target_version)
         return self.commit(merged, mode="append", remove=files, base_version=base)
+
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        target_files: int | None = None,
+        bits_per_col: int = 16,
+    ) -> int:
+        """Cluster the snapshot for file skipping: Z-ORDER rewrite as one
+        atomic remove+add commit (readers at older versions untouched).
+
+        Each ``zorder_by`` column is mapped to a ``width_bucket`` rank
+        (bounds from ONE min/max aggregate — map-side after that, no
+        per-column sort), ranks are bit-interleaved into a single
+        z-value, and the table is range-partitioned and sorted by it.
+        Interleaving gives every listed column locality in the SAME
+        layout, so the per-file min/max stats the commit collects become
+        tight on all of them — a predicate on ANY z-column then skips
+        ~(1 - selectivity^(1/k)) of files, where a plain sort would only
+        serve its leading column. All JVM-side bit arithmetic
+        (whole-stage codegen); the z column is dropped before write.
+
+        Without ``zorder_by`` this is :meth:`compact` with a target file
+        count. Concurrent snapshot-changing commits conflict
+        (remove/remove) — exactly one lands, same as compaction.
+        """
+        latest = self.latest_version()
+        base = latest if latest is not None else -1
+        files = self.snapshot_files()
+        df = self.read()
+        n_out = target_files or max(1, len(files))
+        if zorder_by:
+            ncols = len(zorder_by)
+            if ncols * bits_per_col > 63:
+                raise ValueError(f"{ncols} cols x {bits_per_col} bits exceeds 63-bit z-value")
+            nbuckets = 1 << bits_per_col
+            bounds = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+            ).collect()[0]
+            z = F.lit(0).cast("long")
+            for i, c in enumerate(zorder_by):
+                lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+                if lo is None or lo == hi:
+                    continue  # constant/all-null column adds no bits
+                # width_bucket is 1-based and clamps out-of-range to 0 /
+                # nbuckets+1; shift to 0-based and clamp into [0, 2^b)
+                rank = F.least(
+                    F.lit(nbuckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.width_bucket(F.col(c), F.lit(lo), F.lit(hi), F.lit(nbuckets)) - 1,
+                    ),
+                ).cast("long")
+                rank = F.coalesce(rank, F.lit(0))  # nulls sort first
+                for b in range(bits_per_col):
+                    z = z.bitwiseOR(
+                        F.shiftleft(
+                            F.shiftright(rank, b).bitwiseAND(F.lit(1)),
+                            b * ncols + i,
+                        )
+                    )
+            clustered = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = df.repartition(n_out)
+        return self.commit(clustered, mode="append", remove=files, base_version=base)
 
     def vacuum(self, keep_from_version: int, retain_ms: int = 3_600_000) -> list[str]:
         """Delete data files not referenced by any snapshot >= the

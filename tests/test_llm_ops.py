@@ -239,3 +239,37 @@ def test_md5_signatures_cluster_near_duplicates(spark):
     shared_12 = sum(mh[1][f"mh{j}"] == mh[2][f"mh{j}"] for j in range(16))
     shared_13 = sum(mh[1][f"mh{j}"] == mh[3][f"mh{j}"] for j in range(16))
     assert shared_12 >= 12 and shared_13 == 0
+
+
+def test_semantic_dedup_planted(spark):
+    """Planted near-identical embeddings must be flagged kept=false with
+    the min-id keeper; orthogonal vectors survive."""
+    import math
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    rows = [
+        (0, unit(1.0, 0.0, 0.0, 0.0)),
+        (1, unit(0.999, 0.01, 0.0, 0.0)),   # semantic dup of 0
+        (2, unit(0.0, 1.0, 0.0, 0.0)),
+        (3, unit(0.0, 0.0, 1.0, 0.0)),
+        (4, unit(0.01, 0.0, 0.0, 0.999)),   # near-orthogonal to all
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in D.semantic_dedup(emb, threshold=0.9, n_cells=2).collect()}
+    assert len(out) == 5
+    assert out[0].kept  # keeper (lowest id in its duplicate set)
+    assert not out[1].kept and out[1].max_cos_prior > 0.9
+    assert out[2].kept and out[3].kept and out[4].kept
+
+
+def test_semantic_dedup_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 == j) for j in range(7)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, D.semantic_dedup(emb, 0.9, 4).collect()))
+    b = sorted(map(tuple, D.semantic_dedup(emb, 0.9, 4).collect()))
+    assert a == b

@@ -59,3 +59,19 @@ def test_split_disjoint_exhaustive_stable(spark, sf_small):
     # stability: the same doc_id maps to the same split in a re-derivation
     again = docs.select("doc_id", S.split_assign(["doc_id"], splits))
     assert assigned.exceptAll(again).count() == 0
+
+
+def test_reservoir_per_group_fixed_budget(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    out = S.reservoir_per_group(docs, ["doc_id"], "lang", 5)
+    per_group = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per_group.items():
+        assert n == min(5, sizes[lang])
+    # deterministic and cluster-size invariant
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in S.reservoir_per_group(docs.repartition(13), ["doc_id"], "lang", 5).collect()
+    )
+    assert ids1 == ids2

@@ -50,6 +50,8 @@ HEADLINE = [
     "q_llm_span_dedup",
     "q_llm_pii_scrub",
     "q_multimodal_bytes",
+    "q_llm_quality_logreg",
+    "q_sample_reservoir",
 ]
 
 
@@ -107,6 +109,30 @@ def bench_txlog(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         t.merge(delta, key=["o_orderkey"])
         times["txlog_merge_1pct"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        t.changes(3).count()  # change feed for the merge commit only
+        times["txlog_cdf_merge"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        t.optimize(zorder_by=["o_orderkey", "o_custkey"], target_files=4)
+        times["txlog_optimize_zorder"] = round(time.perf_counter() - t0, 3)
+
+        from novlake_spark.mview import IncrementalAggView
+
+        view = IncrementalAggView(
+            t,
+            f"{root}/mv",
+            keys=["o_custkey"],
+            measures={"spend": ("sum", "o_totalprice"), "n": ("count",)},
+        )
+        t0 = time.perf_counter()
+        view.refresh()
+        times["txlog_mview_build"] = round(time.perf_counter() - t0, 3)
+        t.commit(orders.limit(500).withColumn("o_totalprice", F.col("o_totalprice") * 0 + 1.0))
+        t0 = time.perf_counter()
+        view.refresh()  # incremental: folds only the 500-row delta
+        times["txlog_mview_refresh"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return times

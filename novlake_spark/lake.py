@@ -360,6 +360,17 @@ class Lake:
 
         return TxTable(self.spark, path)
 
+    def incremental_view(
+        self, source_path: str, view_path: str, keys: list[str], measures: dict[str, tuple]
+    ):
+        """An incrementally-maintained aggregate over a transaction-
+        logged table: ``refresh()`` folds only the source's change feed
+        into the view (O(delta), never a base rescan) — see
+        :mod:`novlake_spark.mview`."""
+        from novlake_spark.mview import IncrementalAggView
+
+        return IncrementalAggView(self.tx(source_path), view_path, keys, measures)
+
     def vacuum(self, base_path: str, keep_last: int = 2) -> list[int]:
         """Retention cleanup: delete all but the newest ``keep_last``
         snapshots under ``base_path``. Readers of retained versions are

@@ -44,7 +44,9 @@ compaction. Delta's richer features compose from these primitives.
 
 from __future__ import annotations
 
+import base64
 import datetime
+import hashlib
 import json
 import uuid
 
@@ -127,9 +129,14 @@ def file_matches(add: dict, predicates: list[tuple]) -> bool:
     if add.get("rows") == 0:
         return False
     stats = add.get("stats") or {}
+    blooms = add.get("bloom") or {}
     for col, op, val in predicates:
         if op not in _SKIP_OPS:
             raise ValueError(f"unsupported skip op {op!r}")
+        if op == "=" and col in blooms and isinstance(val, (int, str)) and not isinstance(val, bool):
+            b = blooms[col]
+            if not _bloom_test(b["bits"], str(val), b["m"], b["k"]):
+                return False  # a zero bit proves the value is absent
         if col not in stats:
             continue
         lo, hi = stats[col]
@@ -149,6 +156,35 @@ def file_matches(add: dict, predicates: list[tuple]) -> bool:
         if op == ">" and hi <= val:
             return False
         if op == ">=" and hi < val:
+            return False
+    return True
+
+
+# -- bloom-filter file skipping ------------------------------------------
+# Min/max ranges prune range predicates but are useless for point
+# lookups on high-cardinality columns (a uuid key spans the full range
+# in every file). A small per-file Bloom filter in the add action makes
+# `=` predicates skippable: probe k bits, any zero proves absence.
+# The hash must be computable identically by the Spark write job (SQL
+# md5) and the Python planner (hashlib.md5) — so positions derive from
+# md5 of "<i>:<stringified value>", NOT from engine-specific xxhash.
+_BLOOM_M = 8192  # bits per file per column (1 KiB)
+_BLOOM_K = 4
+
+
+def _bloom_positions(value: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Python-side probe positions; mirrors the SQL in _write_data."""
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:12], 16) % m
+        for i in range(k)
+    ]
+
+
+def _bloom_test(b64bits: str, value: str, m: int, k: int) -> bool:
+    """True if value MAY be present (all k bits set); False proves absence."""
+    bits = base64.b64decode(b64bits)
+    for pos in _bloom_positions(value, m, k):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
             return False
     return True
 
@@ -193,6 +229,11 @@ class TxTable:
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(self.path).getFileSystem(spark._jsc.hadoopConfiguration())
         self._entry_cache: dict[int, dict] = {}  # entries are immutable once published
+        #: Columns to build per-file Bloom filters for on commit (point-
+        #: lookup skipping on high-cardinality int/string keys — min/max
+        #: can't prune those). Set before committing; files written
+        #: earlier simply lack the filter and stay conservatively kept.
+        self.bloom_cols: list[str] = []
 
     # -- log primitives ----------------------------------------------------
     def _log_path(self, version: int):
@@ -431,10 +472,38 @@ class TxTable:
             stat_cols = [
                 f.name for f in df.schema.fields if isinstance(f.dataType, _STAT_TYPES)
             ]
+            # bloom only for exactly-stringifiable types: Spark's
+            # CAST(int/string AS STRING) equals Python str() — doubles
+            # and timestamps don't round-trip identically, so no filter
+            bloom_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.name in self.bloom_cols
+                and isinstance(
+                    f.dataType,
+                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+                )
+            ]
             aggs = [F.count(F.lit(1)).alias("__rows")]
             for c in stat_cols:
                 aggs.append(F.min(c).alias(f"__min__{c}"))
                 aggs.append(F.max(c).alias(f"__max__{c}"))
+            for c in bloom_cols:
+                for i in range(_BLOOM_K):
+                    # mirrors _bloom_positions: md5("<i>:<value>")[:12] % m
+                    pos = (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{i}:"), F.col(c).cast("string"))),
+                                1,
+                                12,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % _BLOOM_M
+                    )
+                    aggs.append(F.collect_set(pos).alias(f"__bloom__{c}__{i}"))
             staged = self.spark.read.parquet(staging).groupBy(
                 F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
             ).agg(*aggs)
@@ -444,7 +513,20 @@ class TxTable:
                 for c in stat_cols:
                     lo, hi = _stat_value(d[f"__min__{c}"]), _stat_value(d[f"__max__{c}"])
                     stats[c] = [lo, hi]
-                stats_by_file[d["__f"]] = {"rows": d["__rows"], "stats": stats}
+                entry: dict = {"rows": d["__rows"], "stats": stats}
+                if bloom_cols:
+                    entry["bloom"] = {}
+                    for c in bloom_cols:
+                        bits = bytearray(_BLOOM_M >> 3)
+                        for i in range(_BLOOM_K):
+                            for pos in d[f"__bloom__{c}__{i}"]:
+                                bits[pos >> 3] |= 1 << (pos & 7)
+                        entry["bloom"][c] = {
+                            "m": _BLOOM_M,
+                            "k": _BLOOM_K,
+                            "bits": base64.b64encode(bytes(bits)).decode(),
+                        }
+                stats_by_file[d["__f"]] = entry
         adds = []
         self._fs.mkdirs(self._jpath(f"{self.path}/data"))
         for s in self._fs.globStatus(self._jpath(f"{staging}/*.parquet")) or []:

@@ -141,3 +141,32 @@ def test_diff_versions_fingerprint_join(spark, tmp_path):
     out = lake.diff_versions(base, key=["id"], v_old=0)
     plan = plans.explain_str(out)
     assert "xxhash64" in plan
+
+
+def test_quality_logreg_is_shuffle_free_codegen(spark, sf_small):
+    """Classifier-style quality scoring must run at scan speed: a pure
+    map-side projection — no Exchange, no Python eval, pruned read."""
+    from novlake_spark.inventory.llm import q_llm_quality_logreg
+
+    df = q_llm_quality_logreg(spark, sf_small)
+    plan = plans.explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plans.wholestage_codegen_spans(df) >= 1
+    cols = plans.pruned_read_schema(df, "documents")
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_reservoir_sample_single_group_exchange(spark, sf_small):
+    """Per-group reservoir sampling: ONE exchange (hash by group); the
+    rank filter prunes to k rows per group right after the sort."""
+    import re
+
+    from novlake_spark.inventory.sampling import q_sample_reservoir
+
+    df = q_sample_reservoir(spark, sf_small)
+    plan = plans.explain_str(df)
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
+    cols = plans.pruned_read_schema(df, "documents")
+    assert set(cols) == {"doc_id", "lang"}, cols

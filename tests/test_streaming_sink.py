@@ -85,3 +85,63 @@ def test_streaming_cdc_upsert_via_foreachbatch_merge(spark, sf_small, tmp_path):
     assert final.filter(F.col("user_id") == -1).first().event_type == "seed"
     # keys are unique after repeated merges (upsert, not append)
     assert final.select("user_id").distinct().count() == want
+
+
+def test_stream_to_txtable_to_incremental_view_e2e(spark, sf_small, tmp_path):
+    """End-to-end exactly-once pipeline: events stream → txn-keyed
+    TxTable commits (replays are no-ops) → IncrementalAggView refresh
+    per batch. The final view must equal a from-scratch recompute of
+    the source table, and a full query restart must change nothing."""
+    from novlake_spark.mview import IncrementalAggView
+    from novlake_spark.txlog import TxTable
+
+    events = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "src")
+    events.limit(300).select("event_id", "user_id", "value").repartition(3).write.parquet(src)
+
+    table = TxTable(spark, str(tmp_path / "tx"))
+    view = IncrementalAggView(
+        table,
+        str(tmp_path / "mv"),
+        keys=["user_id"],
+        measures={"n": ("count",), "total": ("sum", "value")},
+    )
+
+    def sink(batch_df, batch_id):
+        table.commit(batch_df, txn=f"e2e.{batch_id}")  # replay-safe
+        view.refresh()
+
+    def run():
+        schema = "event_id long, user_id long, value double"
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert table.read().count() == 300
+
+    def recompute():
+        return {
+            r.user_id: (r.n, round(r.total, 6))
+            for r in table.read().groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+            ).collect()
+        }
+
+    def view_state():
+        return {r.user_id: (r.n, round(r.total, 6)) for r in view.read().collect()}
+
+    assert view_state() == recompute()
+    versions_before = table.latest_version()
+    # restart the whole query from the same checkpoint: nothing re-lands
+    run()
+    assert table.latest_version() == versions_before
+    assert table.read().count() == 300
+    assert view_state() == recompute()

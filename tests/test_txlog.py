@@ -509,3 +509,56 @@ def test_commit_after_full_clean_log_does_not_reuse_versions(spark, tmp_path):
     # vacuum must treat checkpoint-held files as live
     assert fresh.vacuum(keep_from_version=0, retain_ms=0) == []
     assert sorted(r.x for r in fresh.read().collect()) == [1, 2, 3]
+
+
+# -------------------------------------------------------- bloom skipping
+
+def test_bloom_skips_point_lookups(spark, tmp_path):
+    """Equality predicates on a high-cardinality string key must skip
+    files via the per-file Bloom filter — min/max can't prune a uuid-ish
+    key that spans the full range in every file."""
+    import pyspark.sql.functions as F
+
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.bloom_cols = ["u"]
+    # 8 commits of 50 rows each; the key is md5(id) so every file's
+    # min/max range covers essentially the whole keyspace
+    df = spark.range(400).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("u")
+    )
+    for i in range(8):
+        t.commit(df.filter((F.col("id") >= i * 50) & (F.col("id") < (i + 1) * 50)).coalesce(1))
+    probe = df.filter(F.col("id") == 123).collect()[0].u
+    plan = t.scan_plan([("u", "=", probe)])
+    assert plan["total"] == 8
+    assert plan["scanned"] == 1, plan  # bloom pinpoints the one file
+    # absent value: nothing scanned (false positives possible but ~0 at
+    # 50 rows / 8192 bits)
+    missing = t.scan_plan([("u", "=", "definitely-not-a-key")])
+    assert missing["scanned"] == 0, missing
+    # row-level correctness through the pruned read
+    rows = t.read(where=[("u", "=", probe)]).collect()
+    assert len(rows) == 1 and rows[0].id == 123
+
+
+def test_bloom_skips_integer_keys_and_merges_survive(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.bloom_cols = ["k"]
+    # interleaved keys: file A gets evens, file B odds — min/max ranges
+    # overlap completely, only the bloom can tell them apart
+    base = spark.range(200).select((F.col("id") * 7919 % 100000).alias("k"), F.col("id").alias("v"))
+    t.commit(base.filter(F.col("k") % 2 == 0).coalesce(1))
+    t.commit(base.filter(F.col("k") % 2 == 1).coalesce(1))
+    some_even = base.filter(F.col("k") % 2 == 0).limit(1).collect()[0].k
+    plan = t.scan_plan([("k", "=", int(some_even))])
+    assert plan["scanned"] == 1, plan
+    # files written without bloom (pre-existing) are conservatively kept
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.commit(base.coalesce(1))  # no bloom_cols set
+    assert t2.scan_plan([("k", "=", 1)])["scanned"] == 1  # kept, not skipped

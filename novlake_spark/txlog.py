@@ -67,6 +67,11 @@ class SchemaMismatch(Exception):
     they evolve the recorded schema."""
 
 
+class ConstraintViolation(Exception):
+    """A commit contains rows for which a table CHECK constraint
+    evaluates to FALSE (SQL-standard semantics: NULL passes)."""
+
+
 def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dict]:
     """Fold ordered log entries into the live add-actions (pure function
     — :meth:`TxTable.snapshot_adds` is this over the persisted log).
@@ -192,6 +197,26 @@ def _bloom_test(b64bits: str, value: str, m: int, k: int) -> bool:
 def _is_superset(new: T.StructType, cur: T.StructType) -> bool:
     fields = {f.name: f.dataType for f in new.fields}
     return all(f.name in fields and fields[f.name] == f.dataType for f in cur.fields)
+
+
+def _pred_column(where: list[tuple]):
+    """Conjunction of ``(column, op, value)`` predicates as a Column —
+    the row-level twin of :func:`file_matches` (same tuple grammar, so
+    a DML call's file scoping and its row filter can never disagree)."""
+    ops = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    cond = None
+    for col, op, val in where:
+        if op not in ops:
+            raise ValueError(f"unsupported op {op!r}")
+        term = ops[op](F.col(col), F.lit(val))
+        cond = term if cond is None else cond & term
+    return cond if cond is not None else F.lit(True)
 
 
 class TxTable:
@@ -324,12 +349,14 @@ class TxTable:
         upto = self.latest_version() if version is None else version
         if upto is None:
             raise FileNotFoundError(f"nothing to checkpoint under {self.path}")
-        adds, schema_json, txns = self._state_at(upto)
+        adds, schema_json, txns, constraints = self._state_at(upto)
         doc = {"version": upto, "adds": adds}
         if schema_json is not None:
             doc["schema"] = schema_json
         if txns:
             doc["txns"] = txns
+        if constraints:
+            doc["constraints"] = constraints
         tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
         out = self._fs.create(tmp, False)
         try:
@@ -364,18 +391,19 @@ class TxTable:
     # -- snapshot resolution -----------------------------------------------
     def _state_at(
         self, version: int | None = None
-    ) -> tuple[list[dict], str | None, dict[str, int]]:
-        """(live add-actions, schema json, txn→version map) at
-        ``version``: nearest checkpoint ≤ version, then fold the entry
-        tail. The txn map rides the checkpoint so :meth:`clean_log`
-        never forgets an idempotency marker (a replayed foreachBatch
-        batch must stay a no-op even after its entry is cleaned)."""
+    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str]]:
+        """(live add-actions, schema json, txn→version map, constraint
+        name→expr map) at ``version``: nearest checkpoint ≤ version,
+        then fold the entry tail. The txn and constraint maps ride the
+        checkpoint so :meth:`clean_log` never forgets an idempotency
+        marker (a replayed foreachBatch batch must stay a no-op even
+        after its entry is cleaned) or an active CHECK constraint."""
         vs = self.versions()
         cps = self.checkpoints()
         if version is None:
             heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
             if not heads:
-                return [], None, {}
+                return [], None, {}, {}
             upto = max(heads)
         else:
             upto = version
@@ -386,15 +414,19 @@ class TxTable:
             doc = self._read_checkpoint(cp)
             adds, schema_json = doc["adds"], doc.get("schema")
             txns = dict(doc.get("txns", {}))
+            constraints = dict(doc.get("constraints", {}))
         else:
-            adds, schema_json, txns = [], None, {}
+            adds, schema_json, txns, constraints = [], None, {}, {}
         entries = [self._read_entry(v) for v in vs if (cp is None or v > cp) and v <= upto]
         for e in entries:
             if "schema" in e:
                 schema_json = e["schema"]
             if "txn" in e:
                 txns[e["txn"]] = e["version"]
-        return replay_adds(entries, base=adds), schema_json, txns
+            constraints.update(e.get("set_constraints", {}))
+            for name in e.get("drop_constraints", []):
+                constraints.pop(name, None)
+        return replay_adds(entries, base=adds), schema_json, txns, constraints
 
     def snapshot_adds(self, version: int | None = None) -> list[dict]:
         """Live add-actions (file + stats) at ``version`` (default latest)."""
@@ -404,6 +436,10 @@ class TxTable:
         """txn id → version for every idempotent commit still visible
         (including those folded into a checkpoint by clean_log)."""
         return self._state_at(None)[2]
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name → SQL boolean expression."""
+        return self._state_at(None)[3]
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
         """File names live at ``version`` (default: latest), by log replay."""
@@ -623,6 +659,9 @@ class TxTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         remove_set = set(remove or [])
+        active = self.constraints()
+        if active:
+            self._validate_constraints(df, active)
 
         def committed_txn() -> int | None:
             if txn is None:
@@ -834,6 +873,164 @@ class TxTable:
             remove=[a["file"] for a in touched],
             base_version=base,
         )
+
+    def delete(self, where: list[tuple]) -> int:
+        """DELETE rows matching ``where`` (conjunctive ``(col, op, val)``
+        tuples — same grammar as :meth:`read`) as ONE atomic remove+add
+        commit; returns the committed version (or the current one when
+        no file can contain a matching row — a pure metadata no-op).
+
+        Scale path: per-file stats scope the rewrite to files whose
+        range admits a match — at 100 TB a key-range delete reads and
+        rewrites only the overlapping files, the rest of the table is
+        carried by reference. SQL semantics: a row is deleted only when
+        the predicate IS TRUE (NULL keeps the row). A concurrent commit
+        that removed one of the scoped files raises
+        :class:`CommitConflict` instead of resurrecting its rows.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed data under {self.path}")
+        adds = self.snapshot_adds(latest)
+        touched = [a for a in adds if file_matches(a, where)]
+        if not touched:
+            return latest
+        schema = self.schema_at(latest)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*[f"{self.path}/data/{a['file']}" for a in touched])
+        kept = df.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
+        return self.commit(
+            kept,
+            mode="append",
+            remove=[a["file"] for a in touched],
+            base_version=latest,
+        )
+
+    def update(self, assignments: dict[str, str], where: list[tuple] | None = None) -> int:
+        """UPDATE ``SET col = expr`` for rows matching ``where``, as ONE
+        atomic remove+add commit. ``assignments`` maps existing column
+        names to SQL expressions (evaluated against the pre-update row);
+        results are cast back to the column's recorded type so an
+        arithmetic widening can't silently evolve the schema. Rows where
+        the predicate is NULL are untouched (SQL semantics). Returns the
+        committed version; same stats-scoped rewrite and conflict
+        behavior as :meth:`delete`.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed data under {self.path}")
+        adds = self.snapshot_adds(latest)
+        touched = [a for a in adds if file_matches(a, where or [])]
+        if not touched:
+            return latest
+        schema = self.schema_at(latest)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*[f"{self.path}/data/{a['file']}" for a in touched])
+        known = {f.name: f.dataType for f in df.schema.fields}
+        bad = [c for c in assignments if c not in known]
+        if bad:
+            raise ValueError(f"UPDATE of unknown columns {bad}; table has {sorted(known)}")
+        cond = _pred_column(where or []).eqNullSafe(F.lit(True))
+        for c, expr in assignments.items():
+            df = df.withColumn(
+                c,
+                F.when(cond, F.expr(expr).cast(known[c])).otherwise(F.col(c)),
+            )
+        return self.commit(
+            df,
+            mode="append",
+            remove=[a["file"] for a in touched],
+            base_version=latest,
+        )
+
+    def restore(self, version: int, max_retries: int = 5) -> int:
+        """RESTORE the table to an earlier snapshot as a NEW commit —
+        roll-forward undo, O(metadata) only: the old snapshot's add
+        actions are re-published by reference (stats and all), no data
+        file is read or rewritten, and history after ``version`` stays
+        time-travelable. Requires the restored files to still exist
+        (i.e. ``version`` is within the :meth:`vacuum` horizon); a
+        vacuumed snapshot raises ``FileNotFoundError`` before anything
+        is published.
+        """
+        old_adds = self.snapshot_adds(version)
+        schema_json = self._state_at(version)[1]
+        for a in old_adds:
+            if not self._fs.exists(self._jpath(f"{self.path}/data/{a['file']}")):
+                raise FileNotFoundError(
+                    f"{a['file']} from version {version} was vacuumed; restore impossible"
+                )
+
+        def build(v: int) -> dict:
+            entry = {"version": v, "mode": "overwrite", "add": old_adds,
+                     "remove": [], "restore_of": version}
+            if schema_json is not None:
+                entry["schema"] = schema_json
+            return entry
+
+        return self._publish_meta(build, max_retries)
+
+    # -- CHECK constraints ---------------------------------------------------
+    def _validate_constraints(self, df: DataFrame, active: dict[str, str]) -> None:
+        """ONE aggregate job counting violations of every active CHECK
+        constraint (SQL semantics: a row violates only when the
+        expression IS FALSE — NULL passes, as in the standard)."""
+        aggs = [
+            F.count_if(F.expr(f"({expr}) IS FALSE")).alias(name)
+            for name, expr in active.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        broken = {n: row[n] for n in active if row[n]}
+        if broken:
+            detail = ", ".join(
+                f"{n} ({active[n]!r}): {c} rows" for n, c in sorted(broken.items())
+            )
+            raise ConstraintViolation(f"commit to {self.path} violates {detail}")
+
+    def add_constraint(self, name: str, expr: str, max_retries: int = 5) -> int:
+        """Add a CHECK constraint: the existing snapshot is validated
+        first (one aggregate job), then the constraint is published as a
+        log-only commit; every later :meth:`commit` validates its rows
+        against it before any data lands. Same caveat as Delta on
+        S3-style stores: a writer that validated before this constraint
+        published may still land un-checked rows in the race window.
+        """
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        latest = self.latest_version()
+        if latest is not None and self.snapshot_adds(latest):
+            self._validate_constraints(self.read(latest), {name: expr})
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "set_constraints": {name: expr}}
+
+        return self._publish_meta(build, max_retries)
+
+    def drop_constraint(self, name: str, max_retries: int = 5) -> int:
+        """Drop a CHECK constraint (log-only commit)."""
+        if name not in self.constraints():
+            raise KeyError(f"no constraint {name!r} on {self.path}")
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "drop_constraints": [name]}
+
+        return self._publish_meta(build, max_retries)
+
+    def _publish_meta(self, build_entry, max_retries: int = 5) -> int:
+        """Publish a data-free (metadata-only) log entry with the usual
+        claim-next-version race loop; returns the committed version."""
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            version = latest + 1 if latest is not None else 0
+            if self._try_publish(build_entry(version)):
+                return version
+        raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
     def compact(self, target_version: int | None = None) -> int:
         """Rewrite the current snapshot as one commit: add the merged

@@ -1,0 +1,147 @@
+"""TxTable DML: DELETE / UPDATE (stats-scoped rewrites), RESTORE
+(metadata-only rollback), and CHECK constraints."""
+
+import pytest
+
+from novlake_spark.txlog import ConstraintViolation, TxTable
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _three_file_table(spark, tmp_path):
+    """Three commits with disjoint key ranges → three stats-scoped files."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(i, f"a{i}") for i in range(10)]).coalesce(1))
+    t.commit(_kv(spark, [(i, f"b{i}") for i in range(100, 110)]).coalesce(1))
+    t.commit(_kv(spark, [(i, f"c{i}") for i in range(200, 210)]).coalesce(1))
+    return t
+
+
+def test_delete_scopes_rewrite_to_matching_files(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    before = {a["file"] for a in t.snapshot_adds()}
+    v = t.delete([("k", ">=", 100), ("k", "<=", 105)])
+    assert v == 3
+    ks = sorted(r.k for r in t.read().collect())
+    assert ks == list(range(10)) + list(range(106, 110)) + list(range(200, 210))
+    # only the middle file was rewritten: the other two survive by reference
+    after = {a["file"] for a in t.snapshot_adds()}
+    assert len(before & after) == 2
+    # pre-delete snapshot still time-travels
+    assert len(t.read(version=2).collect()) == 30
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(1, "x"), (None, "null-key"), (2, "y")]))
+    t.delete([("k", "<=", 1)])
+    vs = sorted(r.v for r in t.read().collect())
+    # SQL DELETE: NULL predicate is not TRUE → the null-key row stays
+    assert vs == ["null-key", "y"]
+
+
+def test_delete_no_matching_file_is_metadata_noop(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    v = t.delete([("k", ">=", 1000)])
+    assert v == 2  # current version returned, nothing published
+    assert t.latest_version() == 2
+
+
+def test_update_applies_only_to_matching_rows(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    v = t.update({"v": "upper(v)", "k": "k + 1000"}, [("k", ">=", 200)])
+    assert v == 3
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[0] == "a0" and rows[100] == "b100"  # untouched
+    assert 200 not in rows and rows[1200] == "C200"  # updated
+    # schema did not drift (cast back to recorded type)
+    assert t.schema_at() == t.schema_at(2)
+
+
+def test_update_unknown_column_raises(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update({"nope": "1"}, [("k", ">=", 0)])
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    files_v1 = set(t.snapshot_files(1))
+    t.delete([("k", ">=", 0)])  # v3: empty table
+    assert t.read().count() == 0
+    v = t.restore(1)
+    assert v == 4
+    assert sorted(r.k for r in t.read().collect()) == list(range(10)) + list(
+        range(100, 110)
+    )
+    # restored snapshot references the ORIGINAL files — nothing rewritten
+    assert set(t.snapshot_files()) == files_v1
+    # and the rolled-back state is still itself time-travelable
+    assert t.read(version=3).count() == 0
+
+
+def test_restore_after_vacuum_raises(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(1, "a")]))
+    t.commit(_kv(spark, [(2, "b")]), mode="overwrite")
+    t.vacuum(keep_from_version=1, retain_ms=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(0)
+    # nothing was published by the failed restore
+    assert t.latest_version() == 1
+
+
+def test_check_constraint_blocks_bad_commit(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(1, "a")]))
+    t.add_constraint("k_positive", "k > 0")
+    assert t.constraints() == {"k_positive": "k > 0"}
+    v_before = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="k_positive"):
+        t.commit(_kv(spark, [(5, "ok"), (-1, "bad")]))
+    assert t.latest_version() == v_before  # violating commit left no trace
+    t.commit(_kv(spark, [(7, "ok")]))  # passing rows still land
+    assert t.read().count() == 2
+
+
+def test_check_constraint_null_passes(spark, tmp_path):
+    """SQL-standard CHECK: NULL is not FALSE, so null rows pass."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(1, "a")]))
+    t.add_constraint("k_positive", "k > 0")
+    t.commit(_kv(spark, [(None, "null-key")]))
+    assert t.read().count() == 2
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(-3, "bad")]))
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint("k_positive", "k > 0")
+    assert t.constraints() == {}
+
+
+def test_drop_constraint(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(1, "a")]))
+    t.add_constraint("k_positive", "k > 0")
+    t.drop_constraint("k_positive")
+    t.commit(_kv(spark, [(-1, "now fine")]))
+    assert t.read().count() == 2
+    with pytest.raises(KeyError):
+        t.drop_constraint("never_existed")
+
+
+def test_constraint_survives_checkpoint_and_clean_log(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, [(1, "a")]))
+    t.add_constraint("k_positive", "k > 0")
+    t.commit(_kv(spark, [(2, "b")]))
+    cp = t.checkpoint()
+    t.clean_log(keep_from_version=cp)
+    fresh = TxTable(spark, str(tmp_path / "t"))  # no cached state
+    assert fresh.constraints() == {"k_positive": "k > 0"}
+    with pytest.raises(ConstraintViolation):
+        fresh.commit(_kv(spark, [(-1, "bad")]))

@@ -52,6 +52,8 @@ HEADLINE = [
     "q_multimodal_bytes",
     "q_llm_quality_logreg",
     "q_sample_reservoir",
+    "q_llm_gopher_rules",
+    "q_llm_chunk",
 ]
 
 

@@ -1149,3 +1149,116 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return D.semantic_dedup(emb, threshold=0.4, n_cells=8)
+
+
+@register(
+    "q_llm_gopher_rules",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    s AS (
+      SELECT doc_id,
+             sum(c) AS n_words,
+             sum(c * length(tok)) AS sum_len,
+             sum(CASE WHEN tok IN ('a','the','of','to','and','in','is','that','for','it')
+                      THEN c ELSE 0 END) AS n_stop,
+             max(c) AS max_tf
+      FROM tf GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(sum_len * 1.0 / n_words, 4) AS mean_word_len,
+           round(n_stop * 1.0 / n_words, 4) AS frac_stop,
+           round(max_tf * 1.0 / n_words, 4) AS max_tf_ratio,
+           (n_words BETWEEN 20 AND 1000
+            AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+            AND n_stop * 100 >= n_words * 3
+            AND max_tf * 100 <= n_words * 18) AS passes
+    FROM s
+    """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6d: Gopher-style rule-based quality filtering (Rae et al. 2021,
+    arXiv:2112.11446 Table A1, thresholds adapted to the fixture's word
+    distribution): word-count bounds, mean-word-length band, minimum
+    stop-word fraction, and a max-term-frequency repetition cap.
+
+    Scale shape: ONE explode feeding two partial-aggregable hash
+    aggregates — (doc, token) counts collapse map-side before the first
+    exchange, then per-doc stats fold in a second; no join-back (every
+    signal, including max term frequency, derives from the token
+    counts). The pass/fail flags use integer cross-multiplication
+    (``n_stop*100 >= n*3``), never float thresholds, so the verdict is
+    bit-identical on any engine or partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stops = ("a", "the", "of", "to", "and", "in", "is", "that", "for", "it")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.length("tok")).alias("sum_len"),
+        F.sum(
+            F.when(F.col("tok").isin(*stops), F.col("c")).otherwise(F.lit(0))
+        ).alias("n_stop"),
+        F.max("c").alias("max_tf"),
+    )
+    n = F.col("n_words")
+    return s.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(F.col("sum_len") / n, 4).alias("mean_word_len"),
+        F.round(F.col("n_stop") / n, 4).alias("frac_stop"),
+        F.round(F.col("max_tf") / n, 4).alias("max_tf_ratio"),
+        (
+            n.between(20, 1000)
+            & (F.col("sum_len") >= 3 * n)
+            & (F.col("sum_len") <= 10 * n)
+            & (F.col("n_stop") * 100 >= n * 3)
+            & (F.col("max_tf") * 100 <= n * 18)
+        ).alias("passes"),
+    )
+
+
+@register(
+    "q_llm_chunk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS st FROM t)
+    SELECT doc_id,
+           CAST(st // 8 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS chunk_text,
+           CAST(least(16, len(toks) - st) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15: sliding-window document chunking — 16-token windows with
+    stride 8 (50% overlap), the context-window splitting step of every
+    RAG / embedding / pretraining-tokenization pipeline.
+
+    Pure JVM higher-order functions: ``sequence`` builds the start
+    offsets, ``transform``+``slice`` cut each window, one ``explode``
+    emits the chunks — zero shuffle, zero Python, whole-stage codegen
+    end to end. Output grows ×(1/overlap) over the corpus, so at
+    100 TB the only cost that matters is the map-side explode this
+    plan already minimizes (no joins, no window functions).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(8)),
+        lambda s: F.struct(
+            (s / 8).cast("long").alias("chunk_id"),
+            F.array_join(F.slice(toks, s + 1, F.lit(16)), " ").alias("chunk_text"),
+            F.least(F.lit(16), n - s).cast("long").alias("n_tokens"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )

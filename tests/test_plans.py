@@ -170,3 +170,30 @@ def test_reservoir_sample_single_group_exchange(spark, sf_small):
     assert "BatchEvalPython" not in plan
     cols = plans.pruned_read_schema(df, "documents")
     assert set(cols) == {"doc_id", "lang"}, cols
+
+
+def test_chunk_is_shuffle_free_codegen(spark, sf_small):
+    """Sliding-window chunking: sequence/transform/slice/explode are all
+    map-side JVM — zero exchanges, zero Python in the plan."""
+    from novlake_spark.inventory.llm import q_llm_chunk
+
+    df = q_llm_chunk(spark, sf_small)
+    plan = plans.explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    cols = plans.pruned_read_schema(df, "documents")
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_gopher_rules_two_partial_aggs_no_join(spark, sf_small):
+    """Gopher rule scoring: one explode, (doc,tok) counts then per-doc
+    stats — exactly two shuffles, both behind partial hash aggregates,
+    and NO join-back (max_tf derives from the same counts)."""
+    from novlake_spark.inventory.llm import q_llm_gopher_rules
+
+    df = q_llm_gopher_rules(spark, sf_small)
+    plan = plans.explain_str(df)
+    # formatted mode lists each node twice (tree + detail) → 2 exchanges
+    assert plan.count("Exchange") == 4, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

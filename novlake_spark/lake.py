@@ -360,6 +360,23 @@ class Lake:
 
         return TxTable(self.spark, path)
 
+    def delete_where(self, path: str, where: list[tuple]) -> int:
+        """DELETE rows from a transaction-logged table (stats-scoped
+        rewrite, one atomic commit) — see :meth:`TxTable.delete`."""
+        return self.tx(path).delete(where)
+
+    def update_where(
+        self, path: str, assignments: dict[str, str], where: list[tuple] | None = None
+    ) -> int:
+        """UPDATE rows of a transaction-logged table (stats-scoped
+        rewrite, one atomic commit) — see :meth:`TxTable.update`."""
+        return self.tx(path).update(assignments, where)
+
+    def restore_table(self, path: str, version: int) -> int:
+        """Roll a transaction-logged table back to ``version`` as a new
+        metadata-only commit — see :meth:`TxTable.restore`."""
+        return self.tx(path).restore(version)
+
     def incremental_view(
         self, source_path: str, view_path: str, keys: list[str], measures: dict[str, tuple]
     ):

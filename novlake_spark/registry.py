@@ -102,6 +102,11 @@ PRIORITY: list[str] = [
     "q_llm_shuffle_det",
     "q_llm_curation",
     "q_llm_inverted_index",
+    # new FULL keys added during round 3 (grade after the block above)
+    "q_llm_quality_logreg",
+    "q_sample_reservoir",
+    "q_llm_gopher_rules",
+    "q_llm_chunk",
     # ---- never-graded WEAK keys (rows-only grade, by design) ----
     "q_agg_approx_percentile",
     "q_llm_dedup_near",
@@ -110,6 +115,7 @@ PRIORITY: list[str] = [
     "q_llm_knn_ivf",
     "q_llm_bpe_train",
     "q_llm_bpe_encode",
+    "q_llm_semdedup",  # new WEAK key added during round 3
     # ---- already driver-green in r1/r2, kept in round-2 order ----
     "q_scd2_build",
     "q_project_compute",

@@ -135,6 +135,25 @@ def bench_txlog(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         view.refresh()  # incremental: folds only the 500-row delta
         times["txlog_mview_refresh"] = round(time.perf_counter() - t0, 3)
+
+        # DML on the Z-ordered snapshot: stats scope the rewrite
+        pre_delete = t.latest_version()
+        t0 = time.perf_counter()
+        t.delete([("o_orderkey", ">=", lo), ("o_orderkey", "<=", hi)])
+        times["txlog_delete_1pct"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        t.update(
+            {"o_totalprice": "o_totalprice * 1.1"},
+            [("o_custkey", "<=", 100)],
+        )
+        times["txlog_update_scoped"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        t.restore(pre_delete)  # metadata-only rollback
+        times["txlog_restore"] = round(time.perf_counter() - t0, 3)
+        t.add_constraint("price_pos", "o_totalprice >= 0")
+        t0 = time.perf_counter()
+        t.commit(orders.limit(1000))  # constraint-guarded append
+        times["txlog_guarded_append"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return times

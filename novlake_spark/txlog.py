@@ -831,6 +831,7 @@ class TxTable:
         source: DataFrame,
         key: list[str],
         delete_matched: bool = False,
+        txn: str | None = None,
     ) -> int:
         """MERGE/upsert as ONE atomic remove+add commit: matched target
         rows are replaced by their source row (or deleted), unmatched
@@ -858,7 +859,7 @@ class TxTable:
             preds = [(k0, ">=", _stat_value(bounds["lo"])), (k0, "<=", _stat_value(bounds["hi"]))]
         touched = [a for a in adds if file_matches(a, preds)]
         if not touched and base < 0:
-            return self.commit(source, mode="append")
+            return self.commit(source, mode="append", txn=txn)
         if touched:
             target = self.spark.read.parquet(
                 *[f"{self.path}/data/{a['file']}" for a in touched]
@@ -872,6 +873,7 @@ class TxTable:
             mode="append",
             remove=[a["file"] for a in touched],
             base_version=base,
+            txn=txn,
         )
 
     def delete(self, where: list[tuple]) -> int:
@@ -942,6 +944,45 @@ class TxTable:
             )
         return self.commit(
             df,
+            mode="append",
+            remove=[a["file"] for a in touched],
+            base_version=latest,
+        )
+
+    def replace_where(self, df: DataFrame, where: list[tuple]) -> int:
+        """Delta's ``replaceWhere``: atomically replace the predicate
+        region with ``df`` — delete-matching plus insert-new in ONE
+        commit, the idempotent-backfill shape ("recompute partition X
+        and swap it in"). ``df`` must itself satisfy the predicate
+        (validated in one aggregate job, rejected before anything
+        lands), otherwise rows would silently escape their region.
+
+        Files whose stats disprove a match are carried by reference;
+        touched files keep only their non-matching rows, exactly as
+        :meth:`delete`. Returns the committed version.
+        """
+        bad = df.filter(~_pred_column(where).eqNullSafe(F.lit(True))).count()
+        if bad:
+            raise ValueError(
+                f"replace_where source has {bad} rows outside the predicate region"
+            )
+        latest = self.latest_version()
+        if latest is None:
+            return self.commit(df, mode="append")
+        adds = self.snapshot_adds(latest)
+        touched = [a for a in adds if file_matches(a, where)]
+        if touched:
+            schema = self.schema_at(latest)
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            old = reader.parquet(*[f"{self.path}/data/{a['file']}" for a in touched])
+            kept = old.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
+            merged = kept.unionByName(df, allowMissingColumns=True)
+        else:
+            merged = df
+        return self.commit(
+            merged,
             mode="append",
             remove=[a["file"] for a in touched],
             base_version=latest,

@@ -145,3 +145,47 @@ def test_stream_to_txtable_to_incremental_view_e2e(spark, sf_small, tmp_path):
     assert table.latest_version() == versions_before
     assert table.read().count() == 300
     assert view_state() == recompute()
+
+
+def test_txtable_upsert_sink_exactly_once(spark, sf_small, tmp_path):
+    """streaming/sinks.txtable_upsert_sink: per-key latest state through
+    txn-keyed MERGE — a deliberately double-invoked batch (the
+    foreachBatch at-least-once failure mode) leaves table state
+    unchanged."""
+    from novlake_spark.streaming.sinks import txtable_upsert_sink
+    from novlake_spark.txlog import TxTable
+
+    events = load_table(spark, sf_small, "events")
+    changes = events.limit(200).groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("value")
+    )
+    src = str(tmp_path / "changes")
+    changes.repartition(3).write.parquet(src)
+    target = str(tmp_path / "state")
+
+    sink = txtable_upsert_sink(target, key=["user_id"])
+
+    def replaying_sink(batch_df, batch_id):
+        sink(batch_df, batch_id)
+        if batch_id == 1:
+            sink(batch_df, batch_id)  # simulate post-failure replay
+
+    q = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(replaying_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    t = TxTable(spark, target)
+    final = t.read()
+    want = spark.read.parquet(src).select("user_id").distinct().count()
+    assert final.count() == want  # no replay duplicates
+    assert final.select("user_id").distinct().count() == want
+    # the replayed batch produced NO extra commit
+    txns = t.txn_versions()
+    assert len(txns) == t.latest_version() + 1

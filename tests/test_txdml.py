@@ -145,3 +145,37 @@ def test_constraint_survives_checkpoint_and_clean_log(spark, tmp_path):
     assert fresh.constraints() == {"k_positive": "k > 0"}
     with pytest.raises(ConstraintViolation):
         fresh.commit(_kv(spark, [(-1, "bad")]))
+
+
+def test_replace_where_swaps_region_atomically(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    fresh = _kv(spark, [(100, "NEW100"), (101, "NEW101")])
+    v = t.replace_where(fresh, [("k", ">=", 100), ("k", "<=", 199)])
+    assert v == 3
+    rows = {r.k: r.v for r in t.read().collect()}
+    # region replaced: 10 old rows out, 2 new in; other regions untouched
+    assert rows[100] == "NEW100" and 105 not in rows
+    assert rows[0] == "a0" and rows[200] == "c200"
+    assert len(rows) == 22
+
+
+def test_replace_where_rejects_out_of_region_rows(spark, tmp_path):
+    t = _three_file_table(spark, tmp_path)
+    v_before = t.latest_version()
+    stray = _kv(spark, [(100, "in"), (5, "OUT of region")])
+    with pytest.raises(ValueError, match="outside the predicate region"):
+        t.replace_where(stray, [("k", ">=", 100), ("k", "<=", 199)])
+    assert t.latest_version() == v_before
+
+
+def test_merge_txn_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch MERGE (same txn id) must be a no-op —
+    the exactly-once contract for foreachBatch upsert sinks."""
+    t = _three_file_table(spark, tmp_path)
+    delta = _kv(spark, [(0, "UPSERTED"), (999, "INSERTED")])
+    v1 = t.merge(delta, key=["k"], txn="app.batch-7")
+    v2 = t.merge(delta, key=["k"], txn="app.batch-7")  # replay
+    assert v1 == v2
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[0] == "UPSERTED" and rows[999] == "INSERTED"
+    assert len(rows) == 31  # 30 original + 1 insert, NOT duplicated

@@ -1262,3 +1262,39 @@ def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
     )
+
+
+@register(
+    "q_llm_embed_centroid",
+    oracle="""
+    SELECT label,
+           CAST(dim - 1 AS INT) AS dim,
+           round(avg(CAST(v AS DOUBLE)), 4) AS centroid,
+           count(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: per-class embedding centroids in long format (label, dim,
+    mean component) — the class-prototype computation behind SemDeDup
+    cell seeding, nearest-class-mean classification, and drift
+    monitoring of an embedding column.
+
+    posexplode keeps the dimension index JVM-side; the (label, dim)
+    hash aggregate collapses map-side before its single exchange, so
+    the shuffle carries K·D partial sums (tiny), never the vectors.
+    Deliberately NOT a Python/Arrow path: at 100 TB the vectors stream
+    through codegen once and only the centroid matrix moves.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

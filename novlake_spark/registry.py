@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     "q_sample_reservoir",
     "q_llm_gopher_rules",
     "q_llm_chunk",
+    "q_llm_embed_centroid",
     # ---- never-graded WEAK keys (rows-only grade, by design) ----
     "q_agg_approx_percentile",
     "q_llm_dedup_near",

@@ -360,6 +360,21 @@ class Lake:
 
         return TxTable(self.spark, path)
 
+    def stream_table(self, path: str, **options: str) -> DataFrame:
+        """Consume a transaction-logged table as a Structured Streaming
+        source: offsets are commit versions, so Spark's checkpoint gives
+        exactly-once tailing with no extra bookkeeping. Options pass
+        through to ``format("txlog")`` — ``startingVersion`` (int or
+        ``"latest"``), ``readChangeFeed``, ``ignoreChanges``. See
+        :mod:`novlake_spark.sources.txlog_source`."""
+        from novlake_spark.sources.txlog_source import register_txlog_source
+
+        register_txlog_source(self.spark)
+        reader = self.spark.readStream.format("txlog").option("path", path)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
     def delete_where(self, path: str, where: list[tuple]) -> int:
         """DELETE rows from a transaction-logged table (stats-scoped
         rewrite, one atomic commit) — see :meth:`TxTable.delete`."""

@@ -45,6 +45,10 @@ DYNAMIC_CONFS: dict[str, str] = {
     # Arrow makes toPandas()/pandas UDF exchange columnar and ~10-100x
     # faster; required for the K-row (pandas UDF) operators to be fast.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Lets Catalyst hand pushed predicates to Python Data Sources —
+    # the txlog source's pushFilters (min/max + Bloom file skipping)
+    # is inert without it.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -28,6 +28,17 @@ the change feed and small/medium snapshots, ~2-5× slower for a full
 100 TB scan. The streaming path has no such caveat: deltas are small
 by construction and arrive as Arrow batches.
 
+The write path completes the symmetry: ``df.write.format("txlog")``
+publishes one atomic log commit per save (executors land one parquet
+file per task with per-column min/max stats computed on the Arrow
+batches as they stream through; the driver's ``commit`` hook publishes
+the entry), and ``writeStream.format("txlog")`` is an exactly-once
+streaming sink when given ``txnAppId`` — each micro-batch commits under
+txn ``<appId>@<batchId>``, so Spark replaying a batch after a crash is
+a log-detected no-op. Python and JVM writers interoperate on the same
+log: both claim a version slot with an atomic create-if-absent on the
+same directory entry (Hadoop rename-no-overwrite vs ``os.link``).
+
 Log access here is pure Python (``os`` + ``json``) because the
 DataSource API runs outside any JVM: the driver plans from
 ``_log/*.json`` directly and executors open only the data files their
@@ -40,14 +51,17 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+import uuid
+from dataclasses import dataclass, field
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -56,9 +70,18 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
-from novlake_spark.txlog import file_matches, replay_adds
+from novlake_spark.txlog import (
+    _STAT_TYPES,
+    CommitConflict,
+    SchemaMismatch,
+    _is_superset,
+    _stat_value,
+    file_matches,
+    replay_adds,
+)
 
 #: Change-feed metadata columns (match :meth:`TxTable.changes`).
 _CDF_FIELDS = [
@@ -122,14 +145,16 @@ class _PyLog:
                 self._entries[version] = json.load(f)
         return self._entries[version]
 
-    def state_at(self, version: int | None = None) -> tuple[list[dict], str | None]:
-        """(live add-actions, schema json) — checkpoint + entry-tail fold,
-        mirroring ``TxTable._state_at``."""
+    def full_state(
+        self, version: int | None = None
+    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str]]:
+        """(live add-actions, schema json, txn→version, constraints) —
+        checkpoint + entry-tail fold, mirroring ``TxTable._state_at``."""
         vs, cps = self.versions(), self.checkpoints()
         if version is None:
             heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
             if not heads:
-                return [], None
+                return [], None, {}, {}
             upto = max(heads)
         else:
             upto = version
@@ -140,13 +165,45 @@ class _PyLog:
             with open(os.path.join(self._log, f"checkpoint-{cp}.json")) as f:
                 doc = json.load(f)
             adds, schema_json = doc["adds"], doc.get("schema")
+            txns = dict(doc.get("txns", {}))
+            constraints = dict(doc.get("constraints", {}))
         else:
-            adds, schema_json = [], None
+            adds, schema_json, txns, constraints = [], None, {}, {}
         entries = [self.read_entry(v) for v in vs if (cp is None or v > cp) and v <= upto]
         for e in entries:
             if "schema" in e:
                 schema_json = e["schema"]
-        return replay_adds(entries, base=adds), schema_json
+            if "txn" in e:
+                txns[e["txn"]] = e["version"]
+            constraints.update(e.get("set_constraints", {}))
+            for name in e.get("drop_constraints", []):
+                constraints.pop(name, None)
+        return replay_adds(entries, base=adds), schema_json, txns, constraints
+
+    def state_at(self, version: int | None = None) -> tuple[list[dict], str | None]:
+        adds, schema_json, _, _ = self.full_state(version)
+        return adds, schema_json
+
+    def try_publish(self, entry: dict) -> bool:
+        """Pure-Python twin of ``TxTable._try_publish``: temp under
+        ``_log/_tmp``, then an atomic create-if-absent claim of the
+        version slot via ``os.link`` (hard-link creation fails when the
+        destination exists — POSIX's rename-no-overwrite). A JVM writer
+        racing this one loses or wins the same slot cleanly: Hadoop's
+        local rename and ``link`` are both atomic on the same directory
+        entry."""
+        tmp_dir = os.path.join(self._log, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, uuid.uuid4().hex)
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, os.path.join(self._log, f"{entry['version']}.json"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
         return [a["file"] for a in self.state_at(version)[0]]
@@ -331,6 +388,175 @@ class _TxLogStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint; log entries are immutable
 
 
+# -- write path ----------------------------------------------------------
+
+
+@dataclass
+class _TxFileCommit(WriterCommitMessage):
+    """One executor task's landed file (None = the task saw no rows)."""
+
+    file: str | None
+    rows: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+class _WriterCore:
+    """Shared by the batch and streaming writers. Executors land one
+    parquet file per non-empty task under ``data/`` (invisible until a
+    log entry references it — the same land-then-publish protocol as
+    ``TxTable._write_data``) and return its add-action in the commit
+    message, with min/max stats computed per Arrow batch as it streams
+    through, so the driver's ``commit`` publishes ONE atomic log entry
+    and needs no second pass over the data."""
+
+    def __init__(self, schema: T.StructType, options: dict, mode: str):
+        self._log = _PyLog(options["path"])
+        self._schema = schema
+        self._mode = mode
+        self._txn = options.get("txn")  # batch idempotency key
+        self._txn_app = options.get("txnappid")  # streaming: <app>@<batchId>
+        self._stat_cols = {
+            f.name for f in schema.fields if isinstance(f.dataType, _STAT_TYPES)
+        }
+
+    # -- executor side ---------------------------------------------------
+    def write(self, iterator) -> _TxFileCommit:
+        import pyarrow.compute as pc
+
+        writer = None
+        name = f"{uuid.uuid4().hex}.parquet"
+        path = self._log.data_path(name)
+        rows = 0
+        lo: dict = {}
+        hi: dict = {}
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                for c in self._stat_cols:
+                    if c not in batch.schema.names:
+                        continue
+                    mm = pc.min_max(batch.column(c))
+                    bl, bh = mm["min"].as_py(), mm["max"].as_py()
+                    if bl is not None:
+                        lo[c] = bl if c not in lo or bl < lo[c] else lo[c]
+                        hi[c] = bh if c not in hi or bh > hi[c] else hi[c]
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            return _TxFileCommit(None)
+        stats = {
+            c: [_stat_value(lo.get(c)), _stat_value(hi.get(c))]
+            for c in self._stat_cols
+        }
+        return _TxFileCommit(name, rows, stats)
+
+    # -- driver side -----------------------------------------------------
+    def _adds(self, messages) -> list[dict]:
+        return [
+            {"file": m.file, "rows": m.rows, "stats": m.stats}
+            for m in messages
+            if m is not None and m.file is not None
+        ]
+
+    def _discard(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and m.file is not None:
+                try:
+                    os.unlink(self._log.data_path(m.file))
+                except FileNotFoundError:
+                    pass
+
+    def _schema_action(self, cur_schema_json: str | None) -> str | None:
+        """Mirror of ``TxTable._check_schema`` over the writer's schema."""
+        new_json = json.dumps(self._schema.jsonValue())
+        if self._mode == "overwrite" or cur_schema_json is None:
+            return new_json
+        cur = T.StructType.fromJson(json.loads(cur_schema_json))
+        if self._schema == cur:
+            return None
+        if _is_superset(self._schema, cur):
+            return new_json  # additive evolution
+        missing = [f.name for f in cur.fields if f.name not in self._schema.fieldNames()]
+        changed = [
+            f.name
+            for f in cur.fields
+            if f.name in self._schema.fieldNames()
+            and self._schema[f.name].dataType != f.dataType
+        ]
+        raise SchemaMismatch(
+            f"write to {self._log.path} incompatible with table schema: "
+            f"missing columns {missing}, changed types {changed}"
+        )
+
+    def _publish(self, messages, txn: str | None, max_retries: int = 20) -> int:
+        adds = self._adds(messages)
+        for _ in range(max_retries):
+            _, cur_schema_json, txns, constraints = self._log.full_state()
+            if txn is not None and txn in txns:
+                # replayed batch: the table already has this commit;
+                # this run's landed files are orphans
+                self._discard(messages)
+                return txns[txn]
+            if constraints:
+                # CHECK constraints are SQL expressions — only the JVM
+                # path can evaluate them. Refusing beats silently
+                # committing rows a constraint would have rejected.
+                self._discard(messages)
+                raise NotImplementedError(
+                    f"table {self._log.path} has CHECK constraints "
+                    f"{sorted(constraints)}; write through TxTable.commit"
+                )
+            schema_action = self._schema_action(cur_schema_json)
+            latest = self._log.latest_version()
+            entry: dict = {
+                "version": 0 if latest is None else latest + 1,
+                "mode": self._mode,
+                "add": adds,
+            }
+            if schema_action is not None:
+                entry["schema"] = schema_action
+            if txn is not None:
+                entry["txn"] = txn
+            if self._log.try_publish(entry):
+                return entry["version"]
+            # lost the slot to a rival — loop re-reads the tail (pure
+            # appends always compose; this writer never removes files)
+        self._discard(messages)
+        raise CommitConflict(f"lost {max_retries} commit races on {self._log.path}")
+
+
+class _TxLogBatchWriter(_WriterCore, DataSourceArrowWriter):
+    def commit(self, messages) -> None:
+        self._publish(messages, txn=self._txn)
+
+    def abort(self, messages) -> None:
+        self._discard(messages)
+
+
+class _TxLogStreamWriter(_WriterCore, DataSourceStreamArrowWriter):
+    """Exactly-once streaming sink: with ``txnAppId`` set, each
+    micro-batch commits under txn ``<appId>@<batchId>``, so a batch
+    Spark replays after a sink-committed-but-checkpoint-lost crash is
+    recognized in the log and skipped — the data-source-API twin of the
+    foreachBatch + ``txn=`` pattern in streaming/events.py. Without
+    ``txnAppId`` the sink is at-least-once (documented, not default-on,
+    because a wrong appId shared by two streams would wrongly dedupe)."""
+
+    def commit(self, messages, batchId: int) -> None:
+        txn = f"{self._txn_app}@{batchId}" if self._txn_app else None
+        self._publish(messages, txn=txn)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._discard(messages)
+
+
 class TxLogDataSource(DataSource):
     """``format("txlog")``. Options: ``path`` (required), ``version``
     (batch time travel), ``readChangeFeed``, ``startingVersion``,
@@ -361,6 +587,16 @@ class TxLogDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> _TxLogStreamReader:
         return _TxLogStreamReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> _TxLogBatchWriter:
+        return _TxLogBatchWriter(
+            schema, self.options, "overwrite" if overwrite else "append"
+        )
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> _TxLogStreamWriter:
+        return _TxLogStreamWriter(
+            schema, self.options, "overwrite" if overwrite else "append"
+        )
 
 
 def register_txlog_source(spark) -> None:

@@ -198,3 +198,132 @@ def test_lake_stream_table_facade(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.schema(sdf.schema).parquet(str(tmp_path / "out")).count() == 25
+
+
+# -- write path -----------------------------------------------------------
+
+
+def test_batch_write_interops_with_jvm_table(spark, tmp_path):
+    """df.write.format('txlog') publishes a commit the JVM TxTable
+    reads, and vice versa — one log, two writers."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "w")
+    _kv(spark, 0, 40).write.format("txlog").option("path", path).mode("append").save()
+    t = TxTable(spark, path)
+    assert t.versions() == [0]
+    assert t.read().count() == 40
+    t.commit(_kv(spark, 40, 50))  # JVM append on top of a Python commit
+    _kv(spark, 50, 60).write.format("txlog").option("path", path).mode("append").save()
+    assert sorted(r.k for r in t.read().collect()) == list(range(60))
+
+
+def test_batch_write_overwrite_and_stats(spark, tmp_path):
+    register_txlog_source(spark)
+    path = str(tmp_path / "wo")
+    _kv(spark, 0, 40).write.format("txlog").option("path", path).mode("append").save()
+    _kv(spark, 0, 10).write.format("txlog").option("path", path).mode(
+        "overwrite"
+    ).save()
+    t = TxTable(spark, path)
+    assert t.read().count() == 10
+    # executor-computed min/max stats landed in the add actions and are
+    # usable by BOTH planners (JVM file skipping and pushFilters)
+    adds = t.snapshot_adds()
+    assert all("k" in a["stats"] and "v" in a["stats"] for a in adds)
+    ks = [a["stats"]["k"] for a in adds]
+    assert min(lo for lo, _ in ks) == 0 and max(hi for _, hi in ks) == 9
+
+
+def test_batch_write_schema_enforcement(spark, tmp_path):
+    from novlake_spark.txlog import SchemaMismatch  # noqa: F401
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "ws")
+    _kv(spark, 0, 10).write.format("txlog").option("path", path).mode("append").save()
+    bad = spark.range(5).select(F.col("id").alias("k"))  # missing column v
+    with pytest.raises(Exception, match="missing columns"):
+        bad.write.format("txlog").option("path", path).mode("append").save()
+    # additive superset evolves the schema
+    _kv(spark, 10, 20).withColumn("tag", F.lit("x")).write.format("txlog").option(
+        "path", path
+    ).mode("append").save()
+    assert "tag" in TxTable(spark, path).schema_at().fieldNames()
+
+
+def test_stream_txlog_to_txlog_exactly_once(spark, tmp_path):
+    """End-to-end lakehouse pipe: tail table A through the txlog source
+    and commit each micro-batch into table B through the txlog sink,
+    txn-keyed so a restart never double-delivers."""
+    register_txlog_source(spark)
+    a = TxTable(spark, str(tmp_path / "a"))
+    a.commit(_kv(spark, 0, 30))
+    cp = str(tmp_path / "cp")
+    b_path = str(tmp_path / "b")
+
+    def pump():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", a.path)
+            .load()
+            .writeStream.format("txlog")
+            .option("path", b_path)
+            .option("txnAppId", "a-to-b")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pump()
+    b = TxTable(spark, b_path)
+    assert sorted(r.k for r in b.read().collect()) == list(range(30))
+    a.commit(_kv(spark, 30, 45))
+    pump()
+    assert sorted(r.k for r in b.read().collect()) == list(range(45))
+
+
+def test_stream_sink_replayed_batch_is_noop(spark, tmp_path):
+    """Simulate Spark replaying a micro-batch after a sink-committed but
+    checkpoint-lost crash: same txnAppId+batchId must not double-write."""
+    from novlake_spark.sources.txlog_source import _TxLogStreamWriter
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "replay")
+    _kv(spark, 0, 10).write.format("txlog").option("path", path).mode("append").save()
+    t = TxTable(spark, path)
+    schema = t.schema_at()
+    w = _TxLogStreamWriter(schema, {"path": path, "txnappid": "app"}, "append")
+    msgs = [w.write(iter(_kv(spark, 10, 20).toArrow().to_batches()))]
+    w.commit(msgs, batchId=7)
+    assert t.read().count() == 20
+    # replay: new physical files, same (appId, batchId)
+    msgs2 = [w.write(iter(_kv(spark, 10, 20).toArrow().to_batches()))]
+    w.commit(msgs2, batchId=7)
+    assert t.read().count() == 20  # no duplicates
+    assert msgs2[0].file not in t.snapshot_files()  # orphan discarded
+
+
+def test_python_publish_loses_slot_to_jvm_writer(spark, tmp_path):
+    """The pure-Python claim and Hadoop's rename-no-overwrite contend on
+    the same directory entry — exactly one wins a version slot."""
+    from novlake_spark.sources.txlog_source import _PyLog
+
+    t = TxTable(spark, str(tmp_path / "race"))
+    t.commit(_kv(spark, 0, 5))
+    log = _PyLog(t.path)
+    assert log.try_publish({"version": 1, "mode": "append", "add": []}) is True
+    # slot 1 now taken: both a Python rival and a JVM writer must miss it
+    assert log.try_publish({"version": 1, "mode": "append", "add": []}) is False
+    v = t.commit(_kv(spark, 5, 10))  # JVM writer retries into slot 2
+    assert v == 2
+
+
+def test_writer_refuses_constraint_tables(spark, tmp_path):
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "con"))
+    t.commit(_kv(spark, 0, 10))
+    t.add_constraint("k_nonneg", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _kv(spark, 10, 20).write.format("txlog").option("path", t.path).mode(
+            "append"
+        ).save()

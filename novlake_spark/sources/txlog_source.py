@@ -49,6 +49,7 @@ checkpoint fold, :func:`replay_adds`) is unchanged.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import uuid
@@ -74,9 +75,12 @@ from pyspark.sql.datasource import (
 )
 
 from novlake_spark.txlog import (
+    _BLOOM_K,
+    _BLOOM_M,
     _STAT_TYPES,
     CommitConflict,
     SchemaMismatch,
+    _bloom_positions,
     _is_superset,
     _stat_value,
     file_matches,
@@ -398,6 +402,7 @@ class _TxFileCommit(WriterCommitMessage):
     file: str | None
     rows: int = 0
     stats: dict = field(default_factory=dict)
+    bloom: dict = field(default_factory=dict)
 
 
 class _WriterCore:
@@ -418,6 +423,21 @@ class _WriterCore:
         self._stat_cols = {
             f.name for f in schema.fields if isinstance(f.dataType, _STAT_TYPES)
         }
+        # Same eligibility rule as TxTable._write_data: only types whose
+        # Spark CAST(... AS STRING) equals Python str() may feed the
+        # Bloom filter, or the two planners would probe different keys.
+        wanted = {
+            c.strip() for c in options.get("bloomcols", "").split(",") if c.strip()
+        }
+        self._bloom_cols = {
+            f.name
+            for f in schema.fields
+            if f.name in wanted
+            and isinstance(
+                f.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+            )
+        }
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> _TxFileCommit:
@@ -429,6 +449,7 @@ class _WriterCore:
         rows = 0
         lo: dict = {}
         hi: dict = {}
+        bloom_bits = {c: bytearray(_BLOOM_M >> 3) for c in self._bloom_cols}
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -446,6 +467,15 @@ class _WriterCore:
                     if bl is not None:
                         lo[c] = bl if c not in lo or bl < lo[c] else lo[c]
                         hi[c] = bh if c not in hi or bh > hi[c] else hi[c]
+                for c in self._bloom_cols:
+                    if c not in batch.schema.names:
+                        continue
+                    bits = bloom_bits[c]
+                    for v in batch.column(c).to_pylist():
+                        if v is None:
+                            continue
+                        for pos in _bloom_positions(str(v)):
+                            bits[pos >> 3] |= 1 << (pos & 7)
         finally:
             if writer is not None:
                 writer.close()
@@ -455,15 +485,27 @@ class _WriterCore:
             c: [_stat_value(lo.get(c)), _stat_value(hi.get(c))]
             for c in self._stat_cols
         }
-        return _TxFileCommit(name, rows, stats)
+        bloom = {
+            c: {
+                "m": _BLOOM_M,
+                "k": _BLOOM_K,
+                "bits": base64.b64encode(bytes(bits)).decode(),
+            }
+            for c, bits in bloom_bits.items()
+        }
+        return _TxFileCommit(name, rows, stats, bloom)
 
     # -- driver side -----------------------------------------------------
     def _adds(self, messages) -> list[dict]:
-        return [
-            {"file": m.file, "rows": m.rows, "stats": m.stats}
-            for m in messages
-            if m is not None and m.file is not None
-        ]
+        out = []
+        for m in messages:
+            if m is None or m.file is None:
+                continue
+            add = {"file": m.file, "rows": m.rows, "stats": m.stats}
+            if m.bloom:
+                add["bloom"] = m.bloom
+            out.append(add)
+        return out
 
     def _discard(self, messages) -> None:
         for m in messages or []:

@@ -327,3 +327,29 @@ def test_writer_refuses_constraint_tables(spark, tmp_path):
         _kv(spark, 10, 20).write.format("txlog").option("path", t.path).mode(
             "append"
         ).save()
+
+
+def test_writer_bloom_filters_prune_point_lookups(spark, tmp_path):
+    """bloomCols on the Python writer produces the same add-action Bloom
+    payload as the JVM path — a point lookup on a value no file holds
+    plans zero files in BOTH planners."""
+    register_txlog_source(spark)
+    path = str(tmp_path / "bl")
+    evens = spark.range(50).select(
+        (F.col("id") * 2).alias("k"), F.col("id").alias("v")
+    )  # k = 0,2,...,98 — every odd k is inside [min,max] but absent
+    evens.write.format("txlog").option("path", path).option(
+        "bloomCols", "k"
+    ).mode("append").save()
+    t = TxTable(spark, path)
+    adds = t.snapshot_adds()
+    assert all("bloom" in a and "k" in a["bloom"] for a in adds)
+    from novlake_spark.txlog import file_matches
+
+    # odd value inside the files' [min,max] span but never written: only
+    # the Bloom filter can prove absence (min/max cannot)
+    assert not any(file_matches(a, [("k", "=", 51)]) for a in adds)
+    assert any(file_matches(a, [("k", "=", 50)]) for a in adds)
+    reader = _TxLogBatchReader(t.schema_at(), {"path": path})
+    reader.pushFilters([EqualTo(("k",), 51)])
+    assert reader.partitions()[0].path is None  # empty-marker partition

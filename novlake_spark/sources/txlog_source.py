@@ -237,24 +237,26 @@ def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
 
 
 def _aligned_batches(path: str | None, target: pa.Schema):
-    """Read one parquet file and align it to the declared source schema:
-    pre-evolution files surface post-evolution columns as nulls (the
-    log's snapshot-schema contract), dropped columns are not delivered,
-    and physical/logical type drift is cast. Yields Arrow batches."""
+    """Stream one parquet file batch-by-batch (never the whole file in
+    memory) aligned to the declared source schema: pre-evolution files
+    surface post-evolution columns as nulls (the log's snapshot-schema
+    contract), dropped columns are not delivered, and physical/logical
+    type drift is cast. Yields Arrow batches."""
     if path is None:
         return
-    tbl = pq.read_table(path)
-    cols = []
-    for field in target:
-        if field.name in tbl.column_names:
-            col = tbl.column(field.name)
-            if col.type != field.type:
-                col = col.cast(field.type)
-            cols.append(col)
-        else:
-            cols.append(pa.nulls(tbl.num_rows, field.type))
-    aligned = pa.table(cols, schema=target)
-    yield from aligned.to_batches()
+    pf = pq.ParquetFile(path)
+    present = [f.name for f in target if f.name in pf.schema_arrow.names]
+    for batch in pf.iter_batches(columns=present):
+        cols = []
+        for field in target:
+            if field.name in batch.schema.names:
+                col = batch.column(field.name)
+                if col.type != field.type:
+                    col = col.cast(field.type)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(batch.num_rows, field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 def _to_predicates(filters: list[Filter]) -> list[tuple]:

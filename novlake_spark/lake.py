@@ -387,6 +387,12 @@ class Lake:
         rewrite, one atomic commit) — see :meth:`TxTable.update`."""
         return self.tx(path).update(assignments, where)
 
+    def clone_table(self, path: str, target: str, version: int | None = None, deep: bool = False):
+        """CLONE a transaction-logged table: shallow = one metadata
+        commit referencing the source's files zero-copy (O(metadata) at
+        any table size), deep = full file copy — see :meth:`TxTable.clone`."""
+        return self.tx(path).clone(target, version=version, deep=deep)
+
     def restore_table(self, path: str, version: int) -> int:
         """Roll a transaction-logged table back to ``version`` as a new
         metadata-only commit — see :meth:`TxTable.restore`."""

@@ -219,6 +219,13 @@ class _PyLog:
     def data_path(self, file_name: str) -> str:
         return os.path.join(self.path, "data", file_name)
 
+    def add_path(self, add: dict) -> str:
+        """Absolute path of an add-action's file — honors shallow-cloned
+        adds' ``path`` the same way ``TxTable._data_path`` does."""
+        if "path" in add:
+            return _local_path(add["path"])
+        return self.data_path(add["file"])
+
 
 @dataclass
 class _FilePartition(InputPartition):
@@ -301,7 +308,7 @@ class _TxLogBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        parts = [_FilePartition(self._log.data_path(a["file"])) for a in self._adds]
+        parts = [_FilePartition(self._log.add_path(a)) for a in self._adds]
         return parts or [_FilePartition(None)]
 
     def read(self, partition: _FilePartition):
@@ -354,11 +361,14 @@ class _TxLogStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             e = self._log.read_entry(v)
-            removed = (
-                self._log.snapshot_files(v - 1)
-                if e["mode"] == "overwrite" and v > 0
-                else e.get("remove", [])
-            )
+            if e["mode"] == "overwrite" and v > 0:
+                removed = self._log.state_at(v - 1)[0]
+            elif e.get("remove"):
+                # resolve remove names to full adds (clone-aware paths)
+                prior = {a["file"]: a for a in self._log.state_at(v - 1)[0]}
+                removed = [prior.get(f, {"file": f}) for f in e["remove"]]
+            else:
+                removed = []
             if removed and not self._cdf:
                 if not self._ignore_changes:
                     raise ValueError(
@@ -369,10 +379,10 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     )
             elif removed:
                 parts.extend(
-                    _FilePartition(self._log.data_path(f), "delete", v) for f in removed
+                    _FilePartition(self._log.add_path(a), "delete", v) for a in removed
                 )
             parts.extend(
-                _FilePartition(self._log.data_path(a["file"]), "insert", v)
+                _FilePartition(self._log.add_path(a), "insert", v)
                 for a in e.get("add", [])
             )
         return parts or [_FilePartition(None)]

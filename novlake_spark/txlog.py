@@ -445,6 +445,14 @@ class TxTable:
         """File names live at ``version`` (default: latest), by log replay."""
         return [a["file"] for a in self.snapshot_adds(version)]
 
+    def _data_path(self, add: dict) -> str:
+        """Absolute path of an add-action's data file. A shallow-cloned
+        add carries an absolute ``path`` into its source table's
+        ``data/`` (referenced zero-copy); native adds resolve under this
+        table's own ``data/``. Every read-side resolver goes through
+        here so the two kinds are indistinguishable downstream."""
+        return add.get("path") or f"{self.path}/data/{add['file']}"
+
     def schema_at(self, version: int | None = None) -> T.StructType | None:
         """Table schema at ``version``: the last recorded schema action."""
         schema_json = self._state_at(version)[1]
@@ -467,7 +475,7 @@ class TxTable:
             if schema is None:
                 raise FileNotFoundError(f"no committed data under {self.path}")
             return self.spark.createDataFrame([], schema)
-        paths = [f"{self.path}/data/{a['file']}" for a in adds]
+        paths = [self._data_path(a) for a in adds]
         reader = self.spark.read
         if schema is not None:
             # snapshot schema: pre-evolution files yield the newer
@@ -744,17 +752,17 @@ class TxTable:
             )
         parts: list[DataFrame] = []
 
-        def _part(files: list[str], schema_v: int | None, ctype: str, v: int) -> None:
-            if not files:
+        def _part(adds: list[dict], schema_v: int | None, ctype: str, v: int) -> None:
+            if not adds:
                 return
             paths = []
-            for f in files:
-                p = self._jpath(f"{self.path}/data/{f}")
-                if not self._fs.exists(p):
+            for a in adds:
+                p = self._data_path(a)
+                if not self._fs.exists(self._jpath(p)):
                     raise FileNotFoundError(
-                        f"{f} was vacuumed; change feed for version {v} unavailable"
+                        f"{a['file']} was vacuumed; change feed for version {v} unavailable"
                     )
-                paths.append(f"{self.path}/data/{f}")
+                paths.append(p)
             schema = self.schema_at(schema_v) if schema_v is not None and schema_v >= 0 else None
             reader = self.spark.read
             if schema is not None:
@@ -768,11 +776,19 @@ class TxTable:
         for v in want:
             e = self._read_entry(v)
             if e["mode"] == "overwrite":
-                removed = self.snapshot_files(v - 1) if v > 0 else []
+                removed = self.snapshot_adds(v - 1) if v > 0 else []
                 _part(removed, v - 1, "delete", v)
             else:
-                _part(e.get("remove", []), v - 1, "delete", v)
-            _part([a["file"] for a in e.get("add", [])], v, "insert", v)
+                # remove lists carry names; resolve each to its full add
+                # action (a cloned add's file lives under ANOTHER table)
+                prior = {a["file"]: a for a in self.snapshot_adds(v - 1)} if v > 0 else {}
+                _part(
+                    [prior.get(f, {"file": f}) for f in e.get("remove", [])],
+                    v - 1,
+                    "delete",
+                    v,
+                )
+            _part(e.get("add", []), v, "insert", v)
         if not parts:
             schema = self.schema_at(upto)
             if schema is None:
@@ -816,14 +832,14 @@ class TxTable:
                     f"{len(e.get('remove', []))} removes); pass "
                     "ignore_changes=True to re-deliver rewritten rows"
                 )
-            add_files.extend(a["file"] for a in e.get("add", []))
+            add_files.extend(e.get("add", []))
         if not add_files:
             return None, latest
         schema = self.schema_at(latest)
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*[f"{self.path}/data/{f}" for f in add_files]), latest
+        return reader.parquet(*[self._data_path(a) for a in add_files]), latest
 
     # -- table services ----------------------------------------------------
     def merge(
@@ -862,7 +878,7 @@ class TxTable:
             return self.commit(source, mode="append", txn=txn)
         if touched:
             target = self.spark.read.parquet(
-                *[f"{self.path}/data/{a['file']}" for a in touched]
+                *[self._data_path(a) for a in touched]
             )
             kept = target.join(source.select(*key).distinct(), key, "left_anti")
             merged = kept if delete_matched else kept.unionByName(source)
@@ -901,7 +917,7 @@ class TxTable:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        df = reader.parquet(*[f"{self.path}/data/{a['file']}" for a in touched])
+        df = reader.parquet(*[self._data_path(a) for a in touched])
         kept = df.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
         return self.commit(
             kept,
@@ -931,7 +947,7 @@ class TxTable:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        df = reader.parquet(*[f"{self.path}/data/{a['file']}" for a in touched])
+        df = reader.parquet(*[self._data_path(a) for a in touched])
         known = {f.name: f.dataType for f in df.schema.fields}
         bad = [c for c in assignments if c not in known]
         if bad:
@@ -976,7 +992,7 @@ class TxTable:
             reader = self.spark.read
             if schema is not None:
                 reader = reader.schema(schema)
-            old = reader.parquet(*[f"{self.path}/data/{a['file']}" for a in touched])
+            old = reader.parquet(*[self._data_path(a) for a in touched])
             kept = old.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
             merged = kept.unionByName(df, allowMissingColumns=True)
         else:
@@ -987,6 +1003,56 @@ class TxTable:
             remove=[a["file"] for a in touched],
             base_version=latest,
         )
+
+    def clone(self, target_path: str, version: int | None = None, deep: bool = False) -> "TxTable":
+        """CLONE this table's snapshot at ``version`` into a NEW table at
+        ``target_path`` (must not already be a table).
+
+        Shallow (default): O(metadata) — ONE commit whose add actions
+        reference the source's data files by absolute path (stats and
+        Bloom filters ride along, so file skipping on the clone is
+        immediate). At 100 TB a dev/test copy costs one log entry, not a
+        100 TB copy job. The clone is fully independent going forward:
+        appends/DML land under its own ``data/``, a rewrite of a
+        referenced file replaces the reference, and ``vacuum`` on the
+        clone only ever deletes clone-local files. The one coupling is
+        Delta's shallow-clone caveat verbatim: ``vacuum`` on the SOURCE
+        doesn't know about clones, so it can delete files a clone still
+        references — use ``deep=True`` (copies the files) when the
+        source's retention is shorter than the clone's life.
+        """
+        tgt = TxTable(self.spark, target_path)
+        if tgt.latest_version() is not None:
+            raise ValueError(f"clone target {target_path} is already a table")
+        adds = self.snapshot_adds(version)
+        schema_json = self._state_at(version)[1]
+        cloned = []
+        for a in adds:
+            src = self._data_path(a)
+            if not self._fs.exists(self._jpath(src)):
+                raise FileNotFoundError(f"{a['file']} was vacuumed; clone impossible")
+            if deep:
+                dst = f"{tgt.path}/data/{a['file']}"
+                self._fs.mkdirs(self._jpath(f"{tgt.path}/data"))
+                util = self.spark._jvm.org.apache.hadoop.fs.FileUtil
+                util.copy(
+                    self._fs, self._jpath(src), self._fs, self._jpath(dst),
+                    False, self.spark._jsc.hadoopConfiguration(),
+                )
+                cloned.append({k: v for k, v in a.items() if k != "path"})
+            else:
+                cloned.append({**a, "path": src})
+        entry: dict = {
+            "version": 0,
+            "mode": "overwrite",
+            "add": cloned,
+            "clone_of": {"path": self.path, "version": version},
+        }
+        if schema_json is not None:
+            entry["schema"] = schema_json
+        if not tgt._try_publish(entry):
+            raise CommitConflict(f"clone target {target_path} was created concurrently")
+        return tgt
 
     def restore(self, version: int, max_retries: int = 5) -> int:
         """RESTORE the table to an earlier snapshot as a NEW commit —
@@ -1001,7 +1067,7 @@ class TxTable:
         old_adds = self.snapshot_adds(version)
         schema_json = self._state_at(version)[1]
         for a in old_adds:
-            if not self._fs.exists(self._jpath(f"{self.path}/data/{a['file']}")):
+            if not self._fs.exists(self._jpath(self._data_path(a))):
                 raise FileNotFoundError(
                     f"{a['file']} from version {version} was vacuumed; restore impossible"
                 )

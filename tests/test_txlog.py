@@ -562,3 +562,95 @@ def test_bloom_skips_integer_keys_and_merges_survive(spark, tmp_path):
     t2 = TxTable(spark, str(tmp_path / "t2"))
     t2.commit(base.coalesce(1))  # no bloom_cols set
     assert t2.scan_plan([("k", "=", 1)])["scanned"] == 1  # kept, not skipped
+
+
+# -- CLONE ----------------------------------------------------------------
+
+
+def _kv2(spark, lo, hi):
+    import pyspark.sql.functions as F
+
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_shallow_clone_is_metadata_only(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv2(spark, 0, 100))
+    src.commit(_kv2(spark, 100, 200))
+    clone = src.clone(str(tmp_path / "cl"))
+    # zero-copy: the clone owns no data files at all
+    import os
+
+    assert not os.path.exists(str(tmp_path / "cl" / "data"))
+    assert sorted(r.k for r in clone.read().collect()) == list(range(200))
+    # stats rode along: file skipping works on the clone immediately
+    plan = clone.scan_plan([("k", ">=", 150)])
+    assert plan["scanned"] < plan["total"]
+
+
+def test_clone_time_travel_pin(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv2(spark, 0, 50))
+    src.commit(_kv2(spark, 50, 80))
+    clone = src.clone(str(tmp_path / "cl"), version=0)
+    assert clone.read().count() == 50  # pinned at source version 0
+    src.commit(_kv2(spark, 80, 90))
+    assert clone.read().count() == 50  # source evolution is invisible
+
+
+def test_clone_divergence_and_source_isolation(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv2(spark, 0, 100))
+    clone = src.clone(str(tmp_path / "cl"))
+    clone.commit(_kv2(spark, 100, 120))  # clone-local append
+    clone.delete([("k", "<", 10)])  # rewrites a REFERENCED file locally
+    assert sorted(r.k for r in clone.read().collect()) == list(range(10, 120))
+    # the source never noticed: same rows, same files on disk
+    assert sorted(r.k for r in src.read().collect()) == list(range(100))
+    # change feed across the clone's rewrite resolves the source path
+    changes = clone.changes(0)
+    assert {r._change_type for r in changes.collect()} == {"insert", "delete"}
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv2(spark, 0, 100))
+    clone = src.clone(str(tmp_path / "cl"))
+    clone.delete([("k", "<", 50)])  # clone rewrite orphans the references
+    removed = clone.vacuum(keep_from_version=clone.latest_version(), retain_ms=0)
+    # vacuum only globs the clone's own data/ — source files are immune
+    assert src.read().count() == 100
+    for f in removed:
+        assert (tmp_path / "cl" / "data" / f).exists() is False
+
+
+def test_deep_clone_is_self_contained(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv2(spark, 0, 60))
+    clone = src.clone(str(tmp_path / "cl"), deep=True)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "src"))  # source gone entirely
+    assert clone.read().count() == 60
+
+
+def test_clone_refuses_existing_target(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv2(spark, 0, 10))
+    other = TxTable(spark, str(tmp_path / "cl"))
+    other.commit(_kv2(spark, 0, 5))
+    with pytest.raises(ValueError, match="already a table"):
+        src.clone(str(tmp_path / "cl"))
+
+
+def test_clone_readable_through_data_source(spark, tmp_path):
+    from novlake_spark.sources.txlog_source import register_txlog_source
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv2(spark, 0, 40))
+    src.clone(str(tmp_path / "cl"))
+    register_txlog_source(spark)
+    df = spark.read.format("txlog").option("path", str(tmp_path / "cl")).load()
+    assert df.count() == 40

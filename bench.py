@@ -154,6 +154,31 @@ def bench_txlog(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         t.commit(orders.limit(1000))  # constraint-guarded append
         times["txlog_guarded_append"] = round(time.perf_counter() - t0, 3)
+
+        # streaming pipe: tail the table through the txlog source into a
+        # txlog sink (exactly-once, txn-keyed) — the lakehouse CDC path
+        from novlake_spark.sources.txlog_source import register_txlog_source
+
+        register_txlog_source(spark)
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", f"{root}/t")
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.format("txlog")
+            .option("path", f"{root}/pipe")
+            .option("txnAppId", "bench-pipe")
+            .option("checkpointLocation", f"{root}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        times["txlog_stream_pipe"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        TxTable(spark, f"{root}/t").clone(f"{root}/clone")
+        times["txlog_clone_shallow"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return times

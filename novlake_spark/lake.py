@@ -387,6 +387,23 @@ class Lake:
         rewrite, one atomic commit) — see :meth:`TxTable.update`."""
         return self.tx(path).update(assignments, where)
 
+    def attach_tx(
+        self,
+        path: str,
+        name: str,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> None:
+        """Register a transaction-logged table's snapshot as a temp view
+        so :meth:`query` SQL can reference it — including ``VERSION AS
+        OF`` (``version=``) and ``TIMESTAMP AS OF`` (``timestamp_ms=``)
+        pins. The view binds the snapshot's FILE SET at registration
+        time: concurrent commits never shift it mid-query (snapshot
+        isolation carried into the SQL surface)."""
+        self.register(
+            name, self.tx(path).read(version=version, timestamp_ms=timestamp_ms)
+        )
+
     def clone_table(self, path: str, target: str, version: int | None = None, deep: bool = False):
         """CLONE a transaction-logged table: shallow = one metadata
         commit referencing the source's files zero-copy (O(metadata) at

@@ -196,6 +196,9 @@ class _PyLog:
         racing this one loses or wins the same slot cleanly: Hadoop's
         local rename and ``link`` are both atomic on the same directory
         entry."""
+        import time as _time
+
+        entry.setdefault("ts_ms", int(_time.time() * 1000))
         tmp_dir = os.path.join(self._log, "_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
         tmp = os.path.join(tmp_dir, uuid.uuid4().hex)
@@ -335,6 +338,15 @@ class _TxLogStreamReader(DataSourceStreamReader):
     ``startingVersion``: first commit to deliver (default 0 = full
     history, i.e. the table's current content arrives as the first
     batches); ``"latest"`` tails only commits made after stream start.
+
+    Deliberately NO ``maxFilesPerTrigger``: the Python API's
+    ``latestOffset()`` receives neither the last committed offset nor a
+    read limit (no ``SupportsAdmissionControl`` surface), so any
+    reader-internal cursor desynchronizes from Spark's checkpoint on
+    restart — the offset log would walk backwards and re-deliver.
+    Backfill batches are instead bounded by the log itself: commit at
+    the producer's cadence and each version is its own micro-batch
+    unit; Spark coalesces only what accumulated between triggers.
     """
 
     def __init__(self, schema: T.StructType, options: dict):

@@ -300,7 +300,14 @@ class TxTable:
         final name. Hadoop's rename contract fails when the destination
         exists (unlike POSIX), which makes the rename the commit point —
         exactly one racing writer's rename succeeds.
+
+        Every entry is stamped ``ts_ms`` (commit wall time) here — the
+        single choke point all JVM-side publishes pass through — which
+        is what ``TIMESTAMP AS OF`` time travel resolves against.
         """
+        entry.setdefault(
+            "ts_ms", int(self.spark._jvm.java.lang.System.currentTimeMillis())
+        )
         tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
         out = self._fs.create(tmp, False)
         try:
@@ -458,13 +465,47 @@ class TxTable:
         schema_json = self._state_at(version)[1]
         return None if schema_json is None else T.StructType.fromJson(json.loads(schema_json))
 
-    def read(self, version: int | None = None, where: list[tuple] | None = None) -> DataFrame:
+    def commit_time_ms(self, version: int) -> int:
+        """Wall-clock commit time of ``version``. Entries published
+        before timestamps existed fall back to the log file's
+        modification time (what Delta does for its checkpoint-era
+        entries) — monotone enough for time travel, and exact for every
+        entry written since."""
+        e = self._read_entry(version)
+        if "ts_ms" in e:
+            return int(e["ts_ms"])
+        return int(self._fs.getFileStatus(self._log_path(version)).getModificationTime())
+
+    def version_at_time(self, ts_ms: int) -> int:
+        """Newest version whose commit time is <= ``ts_ms`` —
+        ``TIMESTAMP AS OF`` resolution. Raises if the table didn't exist
+        yet at that time (or its early history was cleaned)."""
+        candidates = [v for v in self.versions() if self.commit_time_ms(v) <= ts_ms]
+        if not candidates:
+            raise ValueError(
+                f"no commit at or before ts_ms={ts_ms} under {self.path} "
+                "(table younger than that, or history cleaned past it)"
+            )
+        return max(candidates)
+
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
         """Read a snapshot. ``where`` is a list of ``(column, op, value)``
         predicates (ops ``= < <= > >=``): files whose min/max stats prove
         no row can match are never handed to Spark (file skipping —
         O(matching files) scan planning), and the same predicates are
         applied as a residual filter for row-level exactness.
+        ``timestamp_ms`` is ``TIMESTAMP AS OF``: the snapshot live at
+        that wall-clock time (mutually exclusive with ``version``).
         """
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp_ms, not both")
+            version = self.version_at_time(timestamp_ms)
         adds = self.snapshot_adds(version)
         if not adds:
             raise FileNotFoundError(f"no committed data under {self.path}")

@@ -654,3 +654,58 @@ def test_clone_readable_through_data_source(spark, tmp_path):
     register_txlog_source(spark)
     df = spark.read.format("txlog").option("path", str(tmp_path / "cl")).load()
     assert df.count() == 40
+
+
+# -- TIMESTAMP AS OF ------------------------------------------------------
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    import time
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv2(spark, 0, 10))
+    time.sleep(0.05)
+    between = int(time.time() * 1000)
+    time.sleep(0.05)
+    t.commit(_kv2(spark, 10, 20))
+    assert t.read(timestamp_ms=between).count() == 10
+    assert t.read(timestamp_ms=int(time.time() * 1000)).count() == 20
+    assert t.version_at_time(between) == 0
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_at_time(between - 10_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, timestamp_ms=between)
+
+
+def test_timestamp_as_of_spans_python_commits(spark, tmp_path):
+    """Entries published by the Python writer are stamped too — time
+    travel resolves across a mixed-writer history."""
+    import time
+
+    from novlake_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.commit(_kv2(spark, 0, 10))
+    time.sleep(0.05)
+    between = int(time.time() * 1000)
+    time.sleep(0.05)
+    _kv2(spark, 10, 20).write.format("txlog").option("path", path).mode("append").save()
+    assert t.read(timestamp_ms=between).count() == 10
+    assert t.version_at_time(int(time.time() * 1000)) == 1
+
+
+def test_lake_attach_tx_sql_over_snapshots(spark, tmp_path):
+    from novlake_spark.lake import Lake
+
+    lake = Lake(spark)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv2(spark, 0, 10))
+    t.commit(_kv2(spark, 10, 30))
+    lake.attach_tx(t.path, "tcur")
+    lake.attach_tx(t.path, "t0", version=0)
+    got = lake.query(
+        "SELECT (SELECT count(*) FROM tcur) AS cur, (SELECT count(*) FROM t0) AS v0"
+    ).collect()[0]
+    assert (got.cur, got.v0) == (30, 10)

@@ -1,0 +1,104 @@
+"""Property test: arbitrary interleavings of JVM (TxTable) and Python
+(data-source) writers against ONE transaction log must agree on every
+snapshot — same versions, same file sets, same rows — and the two
+planners (``TxTable._state_at`` and ``_PyLog.full_state``) must never
+diverge. This is the invariant the whole dual-writer design rests on:
+both sides claim version slots with an atomic create-if-absent on the
+same directory entry, so any interleaving is equivalent to SOME serial
+order."""
+
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from novlake_spark.sources.txlog_source import _PyLog, _TxLogBatchWriter
+from novlake_spark.txlog import TxTable
+
+# an op is ("jvm"|"py", lo, hi): append rows k in [lo, hi) from that writer
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["jvm", "py"]),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=1, max_value=30),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _py_append(spark, path, schema, lo, hi):
+    """Append through the data-source writer WITHOUT a Spark job — the
+    executor/driver hooks are called directly, which is also what makes
+    this property cheap enough to run many examples."""
+    w = _TxLogBatchWriter(schema, {"path": path}, "append")
+    batch = pa.RecordBatch.from_pydict(
+        {"k": list(range(lo, hi)), "v": [k * 10 for k in range(lo, hi)]},
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+    )
+    msg = w.write(iter([batch]))
+    w.commit([msg])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_mixed_writer_interleavings_agree(spark, tmp_path_factory, ops):
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path_factory.mktemp("mix") / "t")
+    t = TxTable(spark, path)
+    t.commit(
+        spark.range(0, 1).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    )  # establish schema so the Python writer validates against it
+    expect = [(0, 0)]
+    schema = t.schema_at()
+    for kind, lo, span in ops:
+        hi = lo + span
+        if kind == "jvm":
+            t.commit(
+                spark.range(lo, hi).select(
+                    F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+                )
+            )
+        else:
+            _py_append(spark, path, schema, lo, hi)
+        expect += [(k, k * 10) for k in range(lo, hi)]
+    # one log entry per op, contiguous versions, no lost or phantom commit
+    assert t.versions() == list(range(len(ops) + 1))
+    # both planners resolve the identical snapshot at EVERY version
+    py = _PyLog(path)
+    for v in t.versions():
+        assert sorted(py.snapshot_files(v)) == sorted(t.snapshot_files(v))
+    assert py.schema_at() == t.schema_at()
+    # and the rows are exactly the union of all appends
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == sorted(expect)
+
+
+def test_py_writer_requires_schema_match_even_first(spark, tmp_path):
+    """A Python append that races table creation still lands with ITS
+    schema recorded — a subsequent JVM append of a different shape is
+    rejected, not silently mixed."""
+    from novlake_spark.txlog import SchemaMismatch
+
+    path = str(tmp_path / "t")
+    schema = __import__("pyspark").sql.types.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _py_append(spark, path, schema, 0, 5)
+    t = TxTable(spark, path)
+    assert t.schema_at() is not None
+    import pyspark.sql.functions as F
+
+    with pytest.raises(SchemaMismatch):
+        t.commit(spark.range(3).select(F.col("id").alias("wrong")))

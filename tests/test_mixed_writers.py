@@ -102,3 +102,47 @@ def test_py_writer_requires_schema_match_even_first(spark, tmp_path):
 
     with pytest.raises(SchemaMismatch):
         t.commit(spark.range(3).select(F.col("id").alias("wrong")))
+
+
+def test_true_concurrent_commits_all_land(spark, tmp_path):
+    """8 threads (4 JVM, 4 Python) commit simultaneously against one
+    log: every commit must land in a unique version slot (no lost
+    update, no duplicate slot) and the final table holds all rows."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.commit(spark.range(0, 1).select(F.col("id").alias("k"), F.col("id").alias("v")))
+    schema = t.schema_at()
+    errors = []
+
+    def jvm_worker(i):
+        try:
+            lo = 1000 * (i + 1)
+            TxTable(spark, path).commit(
+                spark.range(lo, lo + 10).select(
+                    F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+                ),
+                max_retries=20,
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    def py_worker(i):
+        try:
+            lo = 100 * (i + 1)
+            _py_append(spark, path, schema, lo, lo + 10)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=jvm_worker, args=(i,)) for i in range(4)]
+    threads += [threading.Thread(target=py_worker, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.versions() == list(range(9))  # 1 seed + 8 racing commits
+    assert t.read().count() == 1 + 8 * 10

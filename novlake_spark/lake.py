@@ -387,6 +387,21 @@ class Lake:
         rewrite, one atomic commit) — see :meth:`TxTable.update`."""
         return self.tx(path).update(assignments, where)
 
+    def replicate_table(
+        self,
+        source_path: str,
+        target_path: str,
+        key: list[str],
+        checkpoint: str,
+        **kwargs,
+    ):
+        """CDC-replicate one transaction-logged table onto another by
+        primary key — change-feed tail + idempotent ordered MERGEs; see
+        :mod:`novlake_spark.replicate`."""
+        from novlake_spark.replicate import replicate
+
+        return replicate(self.spark, source_path, target_path, key, checkpoint, **kwargs)
+
     def attach_tx(
         self,
         path: str,

@@ -889,21 +889,47 @@ class TxTable:
         key: list[str],
         delete_matched: bool = False,
         txn: str | None = None,
+        update_set: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        insert_unmatched: bool = True,
     ) -> int:
-        """MERGE/upsert as ONE atomic remove+add commit: matched target
-        rows are replaced by their source row (or deleted), unmatched
-        source rows are inserted. Readers concurrently scanning an older
-        snapshot are untouched; there is no rename window and no
-        ``*_old`` prefix — the log publish IS the swap.
+        """MERGE as ONE atomic remove+add commit. Default clause set is
+        the upsert: matched target rows are replaced by their source row
+        (or deleted with ``delete_matched``), unmatched source rows are
+        inserted. The Delta-style refinements:
+
+        - ``matched_condition``: SQL predicate over the joined row —
+          reference target columns as ``t.col`` and source columns as
+          ``s.col`` (``WHEN MATCHED AND <cond>``). Matched rows where it
+          is not TRUE keep their target values.
+        - ``update_set``: ``{target_col: sql_expr}`` evaluated over the
+          joined row (``t.``/``s.`` refs) — ``WHEN MATCHED THEN UPDATE
+          SET`` of a column subset instead of whole-row replacement.
+          Results are cast to the column's recorded type, so arithmetic
+          widening can't silently evolve the schema.
+        - ``insert_unmatched=False`` drops the ``WHEN NOT MATCHED THEN
+          INSERT`` clause (update/delete-only merge).
+
+        Duplicate source keys raise ``ValueError`` under the clause
+        path (each target row must match at most one source row — the
+        SQL standard's cardinality rule, which Delta also enforces);
+        the default replace-row path dedupes implicitly instead.
+
+        Readers concurrently scanning an older snapshot are untouched;
+        there is no rename window and no ``*_old`` prefix — the log
+        publish IS the swap.
 
         Scale path: per-file min/max stats scope the rewrite to files
         whose key range overlaps the source's — at 100 TB with a 1 GB
-        delta, only the overlapping files are read, anti-joined and
+        delta, only the overlapping files are read, joined and
         rewritten; the rest of the table is carried by reference. A
         concurrent commit that removed one of the scoped files raises
         :class:`CommitConflict` (snapshot-level write-write detection)
         instead of silently duplicating rows.
         """
+        clause_path = (
+            update_set is not None or matched_condition is not None or not insert_unmatched
+        )
         latest = self.latest_version()
         base = latest if latest is not None else -1
         adds = self.snapshot_adds(base) if base >= 0 else []
@@ -916,8 +942,15 @@ class TxTable:
             preds = [(k0, ">=", _stat_value(bounds["lo"])), (k0, "<=", _stat_value(bounds["hi"]))]
         touched = [a for a in adds if file_matches(a, preds)]
         if not touched and base < 0:
+            if delete_matched or not insert_unmatched:
+                raise FileNotFoundError(f"no committed data under {self.path}")
             return self.commit(source, mode="append", txn=txn)
-        if touched:
+        if clause_path:
+            merged = self._merge_clauses(
+                touched, source, key, delete_matched, update_set,
+                matched_condition, insert_unmatched,
+            )
+        elif touched:
             target = self.spark.read.parquet(
                 *[self._data_path(a) for a in touched]
             )
@@ -932,6 +965,76 @@ class TxTable:
             base_version=base,
             txn=txn,
         )
+
+    def _merge_clauses(
+        self,
+        touched: list[dict],
+        source: DataFrame,
+        key: list[str],
+        delete_matched: bool,
+        update_set: dict[str, str] | None,
+        matched_condition: str | None,
+        insert_unmatched: bool,
+    ) -> DataFrame:
+        """Build the rewritten rows for the refined-clause MERGE. One
+        left join target→source carries every clause; fired rows are
+        updated/deleted, unfired rows keep target values, and the
+        insert clause anti-joins the other way."""
+        dup = source.groupBy(*key).count().filter(F.col("count") > 1).take(1)
+        if dup:
+            raise ValueError(
+                f"MERGE source has duplicate keys (e.g. "
+                f"{[dup[0][k] for k in key]}); each target row may match "
+                "at most one source row"
+            )
+        schema = self.schema_at()
+        if touched:
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            target = reader.parquet(*[self._data_path(a) for a in touched])
+        else:
+            target = self.spark.createDataFrame([], schema)
+        cols = target.columns
+        known = {f.name: f.dataType for f in target.schema.fields}
+        for c in update_set or {}:
+            if c not in known:
+                raise ValueError(f"UPDATE SET of unknown column {c!r}; table has {sorted(known)}")
+        t = target.alias("t")
+        s = source.withColumn("__matched", F.lit(True)).alias("s")
+        on = [F.col(f"t.`{k}`") == F.col(f"s.`{k}`") for k in key]
+        cond = on[0]
+        for term in on[1:]:
+            cond = cond & term
+        joined = t.join(s, cond, "left")
+        fire = F.col("s.__matched").isNotNull()
+        if matched_condition is not None:
+            fire = fire & F.expr(matched_condition).eqNullSafe(F.lit(True))
+        if delete_matched:
+            rows = joined.filter(~fire).select([F.col(f"t.`{c}`").alias(c) for c in cols])
+        else:
+            out = []
+            for c in cols:
+                if update_set is not None:
+                    new = (
+                        F.expr(update_set[c]).cast(known[c])
+                        if c in update_set
+                        else F.col(f"t.`{c}`")
+                    )
+                else:  # whole-row replacement, but only where fire is true
+                    new = F.col(f"s.`{c}`")
+                out.append(F.when(fire, new).otherwise(F.col(f"t.`{c}`")).alias(c))
+            rows = joined.select(out)
+        if insert_unmatched:
+            missing = [c for c in cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"MERGE source lacks table columns {missing} required "
+                    "for the not-matched INSERT clause"
+                )
+            inserts = source.join(target.select(*key).distinct(), key, "left_anti")
+            rows = rows.unionByName(inserts.select(*cols))
+        return rows
 
     def delete(self, where: list[tuple]) -> int:
         """DELETE rows matching ``where`` (conjunctive ``(col, op, val)``

@@ -179,3 +179,98 @@ def test_merge_txn_is_idempotent(spark, tmp_path):
     rows = {r.k: r.v for r in t.read().collect()}
     assert rows[0] == "UPSERTED" and rows[999] == "INSERTED"
     assert len(rows) == 31  # 30 original + 1 insert, NOT duplicated
+
+
+# -- MERGE clause refinements ---------------------------------------------
+
+
+def _kv3(spark, lo, hi, mul=10):
+    import pyspark.sql.functions as F
+
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * mul).alias("v")
+    )
+
+
+def test_merge_update_set_subset(spark, tmp_path):
+    """WHEN MATCHED THEN UPDATE SET of one column, referencing both
+    sides of the join — unmatched target columns keep their values."""
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv3(spark, 0, 20))
+    t.merge(
+        _kv3(spark, 5, 10, mul=1),
+        key=["k"],
+        update_set={"v": "t.v + s.v"},  # additive update, not replacement
+    )
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[7] == 7 * 10 + 7  # updated
+    assert rows[3] == 30  # untouched
+
+
+def test_merge_matched_condition(spark, tmp_path):
+    """WHEN MATCHED AND <cond>: rows failing the condition keep target
+    values even though their key matched."""
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv3(spark, 0, 10))
+    t.merge(
+        _kv3(spark, 0, 10, mul=1),
+        key=["k"],
+        matched_condition="t.v > 50",  # only rows with big target v
+        insert_unmatched=False,
+    )
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[8] == 8  # fired: replaced by source row
+    assert rows[3] == 30  # condition false: untouched
+
+
+def test_merge_conditional_delete(spark, tmp_path):
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv3(spark, 0, 10))
+    t.merge(
+        _kv3(spark, 0, 10, mul=1),
+        key=["k"],
+        delete_matched=True,
+        matched_condition="s.v >= 5",
+        insert_unmatched=False,
+    )
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_merge_no_insert_clause(spark, tmp_path):
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv3(spark, 0, 5))
+    t.merge(_kv3(spark, 3, 8, mul=1), key=["k"], insert_unmatched=False)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}  # 5..7 NOT inserted
+    assert rows[3] == 3 and rows[4] == 4  # matched rows replaced
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    import pytest
+
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv3(spark, 0, 5))
+    dup = _kv3(spark, 1, 3).unionAll(_kv3(spark, 2, 4))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(dup, key=["k"], update_set={"v": "s.v"})
+
+
+def test_merge_clause_txn_idempotent(spark, tmp_path):
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv3(spark, 0, 10))
+    t.merge(_kv3(spark, 0, 5, mul=2), key=["k"], update_set={"v": "s.v"}, txn="m1")
+    state = sorted((r.k, r.v) for r in t.read().collect())
+    t.merge(_kv3(spark, 0, 5, mul=2), key=["k"], update_set={"v": "s.v"}, txn="m1")
+    assert sorted((r.k, r.v) for r in t.read().collect()) == state

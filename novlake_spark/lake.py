@@ -375,10 +375,11 @@ class Lake:
             reader = reader.option(k, v)
         return reader.load()
 
-    def delete_where(self, path: str, where: list[tuple]) -> int:
+    def delete_where(self, path: str, where: list[tuple], dv: bool = False) -> int:
         """DELETE rows from a transaction-logged table (stats-scoped
-        rewrite, one atomic commit) — see :meth:`TxTable.delete`."""
-        return self.tx(path).delete(where)
+        rewrite, one atomic commit; ``dv=True`` records deletion vectors
+        instead of rewriting — merge-on-read) — see :meth:`TxTable.delete`."""
+        return self.tx(path).delete(where, dv=dv)
 
     def update_where(
         self, path: str, assignments: dict[str, str], where: list[tuple] | None = None

@@ -233,11 +233,16 @@ class _PyLog:
 @dataclass
 class _FilePartition(InputPartition):
     """One data file; for streaming also its change tag. Carries the
-    absolute path so executors never touch the log."""
+    absolute path (and the file's deletion-vector positions) so
+    executors never touch the log. ``dv_mode='exclude'`` drops the DV
+    positions (snapshot semantics); ``'only'`` keeps exactly them (the
+    change feed's delete rows for a set_dv commit)."""
 
     path: str | None  # None ⇒ deliberately empty partition
     change_type: str | None = None
     commit_version: int | None = None
+    dv: tuple = ()
+    dv_mode: str = "exclude"
 
 
 def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
@@ -246,17 +251,32 @@ def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
     return to_arrow_schema(spark_schema)
 
 
-def _aligned_batches(path: str | None, target: pa.Schema):
+def _aligned_batches(path: str | None, target: pa.Schema, dv=(), dv_mode="exclude"):
     """Stream one parquet file batch-by-batch (never the whole file in
     memory) aligned to the declared source schema: pre-evolution files
     surface post-evolution columns as nulls (the log's snapshot-schema
     contract), dropped columns are not delivered, and physical/logical
-    type drift is cast. Yields Arrow batches."""
+    type drift is cast. Deletion-vector positions are dropped
+    (``exclude``) or isolated (``only``) by tracking the running row
+    offset per batch. Yields Arrow batches."""
     if path is None:
         return
     pf = pq.ParquetFile(path)
     present = [f.name for f in target if f.name in pf.schema_arrow.names]
+    dv_set = set(dv)
+    offset = 0
     for batch in pf.iter_batches(columns=present):
+        n = batch.num_rows
+        if dv_set or dv_mode == "only":
+            hit = [i for i in range(n) if (offset + i) in dv_set]
+            keep = hit if dv_mode == "only" else [
+                i for i in range(n) if (offset + i) not in dv_set
+            ]
+            offset += n
+            if len(keep) < n:
+                batch = batch.take(pa.array(keep, pa.int64()))
+            if batch.num_rows == 0:
+                continue
         cols = []
         for field in target:
             if field.name in batch.schema.names:
@@ -311,11 +331,16 @@ class _TxLogBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        parts = [_FilePartition(self._log.add_path(a)) for a in self._adds]
+        parts = [
+            _FilePartition(self._log.add_path(a), dv=tuple(a.get("dv", [])))
+            for a in self._adds
+        ]
         return parts or [_FilePartition(None)]
 
     def read(self, partition: _FilePartition):
-        yield from _aligned_batches(partition.path, self._target)
+        yield from _aligned_batches(
+            partition.path, self._target, partition.dv, partition.dv_mode
+        )
 
 
 class _TxLogStreamReader(DataSourceStreamReader):
@@ -373,25 +398,42 @@ class _TxLogStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             e = self._log.read_entry(v)
+            prior: dict[str, dict] = {}
+            if v > 0 and (e["mode"] == "overwrite" or e.get("remove") or e.get("set_dv")):
+                prior = {a["file"]: a for a in self._log.state_at(v - 1)[0]}
             if e["mode"] == "overwrite" and v > 0:
-                removed = self._log.state_at(v - 1)[0]
+                removed = list(prior.values())
             elif e.get("remove"):
                 # resolve remove names to full adds (clone-aware paths)
-                prior = {a["file"]: a for a in self._log.state_at(v - 1)[0]}
                 removed = [prior.get(f, {"file": f}) for f in e["remove"]]
             else:
                 removed = []
-            if removed and not self._cdf:
+            set_dv = e.get("set_dv") or {}
+            if (removed or set_dv) and not self._cdf:
                 if not self._ignore_changes:
                     raise ValueError(
                         f"version {v} is not append-only (mode={e['mode']}, "
-                        f"{len(removed)} removes); stream with "
-                        "readChangeFeed=true for row-level deletes, or "
-                        "ignoreChanges=true to re-deliver rewritten rows"
+                        f"{len(removed)} removes, {len(set_dv)} deletion "
+                        "vectors); stream with readChangeFeed=true for "
+                        "row-level deletes, or ignoreChanges=true to "
+                        "re-deliver rewritten rows"
                     )
-            elif removed:
+            elif removed or set_dv:
+                # a removed file's delete rows exclude its prior DV (those
+                # rows were already reported deleted when the DV landed)
                 parts.extend(
-                    _FilePartition(self._log.add_path(a), "delete", v) for a in removed
+                    _FilePartition(
+                        self._log.add_path(a), "delete", v,
+                        dv=tuple(a.get("dv", [])),
+                    )
+                    for a in removed
+                )
+                parts.extend(
+                    _FilePartition(
+                        self._log.add_path(prior.get(f, {"file": f})),
+                        "delete", v, dv=tuple(ps), dv_mode="only",
+                    )
+                    for f, ps in set_dv.items()
                 )
             parts.extend(
                 _FilePartition(self._log.add_path(a), "insert", v)
@@ -400,7 +442,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
         return parts or [_FilePartition(None)]
 
     def read(self, partition: _FilePartition):
-        for batch in _aligned_batches(partition.path, self._base_arrow):
+        for batch in _aligned_batches(
+            partition.path, self._base_arrow, partition.dv, partition.dv_mode
+        ):
             if not self._cdf:
                 yield batch
                 continue

@@ -75,7 +75,14 @@ class ConstraintViolation(Exception):
 def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dict]:
     """Fold ordered log entries into the live add-actions (pure function
     — :meth:`TxTable.snapshot_adds` is this over the persisted log).
-    ``base`` seeds the fold with a checkpointed state."""
+    ``base`` seeds the fold with a checkpointed state.
+
+    ``set_dv`` actions (deletion vectors: merge-on-read DELETE) fold by
+    UNION into the matching live add's ``dv`` row-position list — union
+    is idempotent and order-free, which is why two concurrent DV
+    deletes never conflict the way two rewrites do. Folding copies the
+    add dict (entries are cached and immutable — mutating them would
+    corrupt every later replay)."""
     live: list[dict] = list(base or [])
     for e in entries:
         if e["mode"] == "overwrite":
@@ -83,6 +90,13 @@ def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dic
         removed = set(e.get("remove", []))
         live = [a for a in live if a["file"] not in removed]
         live.extend(e.get("add", []))
+        for fname, positions in (e.get("set_dv") or {}).items():
+            live = [
+                {**a, "dv": sorted(set(a.get("dv", [])) | set(positions))}
+                if a["file"] == fname
+                else a
+                for a in live
+            ]
     return live
 
 
@@ -460,6 +474,55 @@ class TxTable:
         here so the two kinds are indistinguishable downstream."""
         return add.get("path") or f"{self.path}/data/{add['file']}"
 
+    def _read_adds(self, adds: list[dict], schema: T.StructType | None) -> DataFrame:
+        """Scan a set of add-actions applying their deletion vectors —
+        THE way every internal consumer (snapshot read, DML rewrite,
+        change feed) must materialize rows, or a rewrite would resurrect
+        DV-deleted rows.
+
+        Files without a DV take the plain parquet scan. Files with one
+        are read with ``_metadata.row_index`` and anti-joined against
+        the (file, position) set — the DV side is bounded (positions
+        live in the log, so they are small by construction; large
+        deletes take the rewrite path), so Spark broadcasts it and the
+        scan stays one pass with no shuffle of the data side."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        plain = [a for a in adds if not a.get("dv")]
+        dved = [a for a in adds if a.get("dv")]
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(reader.parquet(*[self._data_path(a) for a in plain]))
+        if dved:
+            dv_rows = [
+                (a["file"], int(pos)) for a in dved for pos in a["dv"]
+            ]
+            dv_df = self.spark.createDataFrame(
+                dv_rows, "__f string, __idx long"
+            )
+            cols = None
+            df = (
+                reader.parquet(*[self._data_path(a) for a in dved])
+                .withColumn(
+                    "__f",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                )
+                .withColumn("__idx", F.col("_metadata.row_index"))
+            )
+            cols = [c for c in df.columns if c not in ("__f", "__idx")]
+            parts.append(
+                df.join(F.broadcast(dv_df), ["__f", "__idx"], "left_anti").select(*cols)
+            )
+        if not parts:
+            if schema is None:
+                raise FileNotFoundError(f"no committed data under {self.path}")
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def schema_at(self, version: int | None = None) -> T.StructType | None:
         """Table schema at ``version``: the last recorded schema action."""
         schema_json = self._state_at(version)[1]
@@ -516,13 +579,10 @@ class TxTable:
             if schema is None:
                 raise FileNotFoundError(f"no committed data under {self.path}")
             return self.spark.createDataFrame([], schema)
-        paths = [self._data_path(a) for a in adds]
-        reader = self.spark.read
-        if schema is not None:
-            # snapshot schema: pre-evolution files yield the newer
-            # columns as null, with no mergeSchema footer scan
-            reader = reader.schema(schema)
-        df = reader.parquet(*paths)
+        # snapshot schema: pre-evolution files yield the newer columns
+        # as null, with no mergeSchema footer scan; deletion vectors are
+        # applied inside _read_adds
+        df = self._read_adds(adds, schema)
         for col, op, val in where or []:
             spark_op = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
             df = df.filter(f"`{col}` {spark_op} {val!r}")
@@ -652,8 +712,10 @@ class TxTable:
     def _logical_conflict(self, entries: list[dict], remove_set: set[str]) -> str | None:
         """A commit that REMOVES files conflicts with any interleaved
         commit that removed an overlapping file (two compactions /
-        merges would each re-add their own copy of shared rows) or that
-        overwrote the table out from under it."""
+        merges would each re-add their own copy of shared rows), that
+        DV-deleted rows from one (this rewrite was computed without the
+        DV — landing it would resurrect those rows), or that overwrote
+        the table out from under it."""
         for e in entries:
             if e["mode"] == "overwrite":
                 return f"table overwritten at version {e['version']}"
@@ -662,6 +724,12 @@ class TxTable:
                 return (
                     f"files {sorted(overlap)[:3]}... already removed at "
                     f"version {e['version']}"
+                )
+            dv_overlap = set(e.get("set_dv") or {}) & remove_set
+            if dv_overlap:
+                return (
+                    f"files {sorted(dv_overlap)[:3]} got deletion vectors "
+                    f"at version {e['version']} after this rewrite read them"
                 )
         return None
 
@@ -793,42 +861,73 @@ class TxTable:
             )
         parts: list[DataFrame] = []
 
-        def _part(adds: list[dict], schema_v: int | None, ctype: str, v: int) -> None:
-            if not adds:
-                return
-            paths = []
+        def _check_exists(adds: list[dict], v: int) -> None:
             for a in adds:
-                p = self._data_path(a)
-                if not self._fs.exists(self._jpath(p)):
+                if not self._fs.exists(self._jpath(self._data_path(a))):
                     raise FileNotFoundError(
                         f"{a['file']} was vacuumed; change feed for version {v} unavailable"
                     )
-                paths.append(p)
+
+        def _part(adds: list[dict], schema_v: int | None, ctype: str, v: int) -> None:
+            if not adds:
+                return
+            _check_exists(adds, v)
             schema = self.schema_at(schema_v) if schema_v is not None and schema_v >= 0 else None
+            # _read_adds applies each add's deletion vector, so a
+            # rewrite's delete-side never re-reports already-DV'd rows
+            parts.append(
+                self._read_adds(adds, schema)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v))
+            )
+
+        def _dv_part(set_dv: dict[str, list[int]], prior: dict[str, dict], v: int) -> None:
+            """A set_dv action's row-level feed: the newly-vectored
+            positions of each file surface as delete rows."""
+            adds = [prior.get(f, {"file": f}) for f in set_dv]
+            _check_exists(adds, v)
+            schema = self.schema_at(v - 1) if v > 0 else None
             reader = self.spark.read
             if schema is not None:
                 reader = reader.schema(schema)
+            dv_rows = [(f, int(p)) for f, ps in set_dv.items() for p in ps]
+            df = (
+                reader.parquet(*[self._data_path(a) for a in adds])
+                .withColumn(
+                    "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                )
+                .withColumn("__idx", F.col("_metadata.row_index"))
+            )
+            cols = [c for c in df.columns if c not in ("__f", "__idx")]
             parts.append(
-                reader.parquet(*paths)
-                .withColumn("_change_type", F.lit(ctype))
+                df.join(
+                    F.broadcast(
+                        self.spark.createDataFrame(dv_rows, "__f string, __idx long")
+                    ),
+                    ["__f", "__idx"],
+                    "inner",
+                )
+                .select(*cols)
+                .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(v))
             )
 
         for v in want:
             e = self._read_entry(v)
+            prior = {a["file"]: a for a in self.snapshot_adds(v - 1)} if v > 0 else {}
             if e["mode"] == "overwrite":
-                removed = self.snapshot_adds(v - 1) if v > 0 else []
-                _part(removed, v - 1, "delete", v)
+                _part(list(prior.values()), v - 1, "delete", v)
             else:
                 # remove lists carry names; resolve each to its full add
                 # action (a cloned add's file lives under ANOTHER table)
-                prior = {a["file"]: a for a in self.snapshot_adds(v - 1)} if v > 0 else {}
                 _part(
                     [prior.get(f, {"file": f}) for f in e.get("remove", [])],
                     v - 1,
                     "delete",
                     v,
                 )
+                if e.get("set_dv"):
+                    _dv_part(e["set_dv"], prior, v)
             _part(e.get("add", []), v, "insert", v)
         if not parts:
             schema = self.schema_at(upto)
@@ -867,10 +966,13 @@ class TxTable:
         add_files: list[str] = []
         for v in range(last + 1, latest + 1):
             e = self._read_entry(v)
-            if not ignore_changes and (e["mode"] == "overwrite" or e.get("remove")):
+            if not ignore_changes and (
+                e["mode"] == "overwrite" or e.get("remove") or e.get("set_dv")
+            ):
                 raise ValueError(
                     f"version {v} is not append-only (mode={e['mode']}, "
-                    f"{len(e.get('remove', []))} removes); pass "
+                    f"{len(e.get('remove', []))} removes, "
+                    f"{len(e.get('set_dv') or {})} deletion vectors); pass "
                     "ignore_changes=True to re-deliver rewritten rows"
                 )
             add_files.extend(e.get("add", []))
@@ -951,9 +1053,7 @@ class TxTable:
                 matched_condition, insert_unmatched,
             )
         elif touched:
-            target = self.spark.read.parquet(
-                *[self._data_path(a) for a in touched]
-            )
+            target = self._read_adds(touched, self.schema_at())
             kept = target.join(source.select(*key).distinct(), key, "left_anti")
             merged = kept if delete_matched else kept.unionByName(source)
         else:
@@ -989,10 +1089,7 @@ class TxTable:
             )
         schema = self.schema_at()
         if touched:
-            reader = self.spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            target = reader.parquet(*[self._data_path(a) for a in touched])
+            target = self._read_adds(touched, schema)
         else:
             target = self.spark.createDataFrame([], schema)
         cols = target.columns
@@ -1036,19 +1133,38 @@ class TxTable:
             rows = rows.unionByName(inserts.select(*cols))
         return rows
 
-    def delete(self, where: list[tuple]) -> int:
-        """DELETE rows matching ``where`` (conjunctive ``(col, op, val)``
-        tuples — same grammar as :meth:`read`) as ONE atomic remove+add
-        commit; returns the committed version (or the current one when
-        no file can contain a matching row — a pure metadata no-op).
+    #: DV deletes above this many matched rows fall back to the rewrite
+    #: path: positions live in the log entry, so a DV must stay small
+    #: (that is also exactly when merge-on-read wins — few rows out of
+    #: big files; a bulk delete WANTS the rewrite).
+    dv_max_rows: int = 100_000
 
-        Scale path: per-file stats scope the rewrite to files whose
-        range admits a match — at 100 TB a key-range delete reads and
-        rewrites only the overlapping files, the rest of the table is
-        carried by reference. SQL semantics: a row is deleted only when
-        the predicate IS TRUE (NULL keeps the row). A concurrent commit
-        that removed one of the scoped files raises
-        :class:`CommitConflict` instead of resurrecting its rows.
+    def delete(self, where: list[tuple], dv: bool = False) -> int:
+        """DELETE rows matching ``where`` (conjunctive ``(col, op, val)``
+        tuples — same grammar as :meth:`read`) as ONE atomic commit;
+        returns the committed version (or the current one when no file
+        can contain a matching row — a pure metadata no-op).
+
+        Two physical strategies:
+
+        - default (copy-on-write): files whose stats admit a match are
+          read and rewritten without the matching rows — at 100 TB a
+          key-range delete rewrites only the overlapping files.
+        - ``dv=True`` (merge-on-read, Delta's deletion vectors): NO file
+          is rewritten; the matching row positions are recorded as a
+          ``set_dv`` action in the log, and every reader anti-joins them
+          out via ``_metadata.row_index``. Deleting 3 rows from a 1 GB
+          file costs one scan for positions plus a log publish — the
+          GDPR-erasure / point-delete shape. Falls back to rewrite above
+          :attr:`dv_max_rows` matches (a big DV hurts every later read;
+          a bulk delete wants the rewrite anyway). DVs on the same file
+          from concurrent deletes fold by union (idempotent), so DV
+          deletes never conflict with each other — only with rewrites.
+
+        SQL semantics either way: a row is deleted only when the
+        predicate IS TRUE (NULL keeps the row). A concurrent commit that
+        removed a scoped file raises :class:`CommitConflict` instead of
+        resurrecting or double-handling its rows.
         """
         latest = self.latest_version()
         if latest is None:
@@ -1057,11 +1173,11 @@ class TxTable:
         touched = [a for a in adds if file_matches(a, where)]
         if not touched:
             return latest
-        schema = self.schema_at(latest)
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.parquet(*[self._data_path(a) for a in touched])
+        if dv:
+            done = self._delete_dv(touched, where, latest)
+            if done is not None:
+                return done
+        df = self._read_adds(touched, self.schema_at(latest))
         kept = df.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
         return self.commit(
             kept,
@@ -1069,6 +1185,85 @@ class TxTable:
             remove=[a["file"] for a in touched],
             base_version=latest,
         )
+
+    def _delete_dv(self, touched: list[dict], where: list[tuple], base: int) -> int | None:
+        """Merge-on-read delete: collect matching (file, row_index)
+        positions (ONE scan of the scoped files — bounded by
+        :attr:`dv_max_rows`, else return None to take the rewrite) and
+        publish a metadata-only ``set_dv`` entry. Positions are indexes
+        into the PHYSICAL file, so rows already covered by an existing
+        DV are excluded (re-deleting them would be harmless by union,
+        but their count would double-trigger the fallback)."""
+        schema = self.schema_at(base)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        scan = (
+            reader.parquet(*[self._data_path(a) for a in touched])
+            .filter(_pred_column(where).eqNullSafe(F.lit(True)))
+            .select(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
+                F.col("_metadata.row_index").alias("__idx"),
+            )
+        )
+        existing = [
+            (a["file"], int(pos)) for a in touched for pos in a.get("dv", [])
+        ]
+        if existing:
+            scan = scan.join(
+                F.broadcast(
+                    self.spark.createDataFrame(existing, "__f string, __idx long")
+                ),
+                ["__f", "__idx"],
+                "left_anti",
+            )
+        matches = scan.limit(self.dv_max_rows + 1).collect()
+        if len(matches) > self.dv_max_rows:
+            return None  # too big for merge-on-read; rewrite instead
+        set_dv: dict[str, list[int]] = {}
+        by_name = {a["file"]: a for a in touched}
+        for r in matches:
+            # a shallow-cloned add's physical basename IS its file name
+            name = r["__f"]
+            if name in by_name:
+                set_dv.setdefault(name, []).append(int(r["__idx"]))
+        if not set_dv:
+            return base
+        for _ in range(5):
+            entry = {
+                "version": (self.latest_version() or 0) + 1,
+                "mode": "append",
+                "add": [],
+                "set_dv": {f: sorted(ps) for f, ps in set_dv.items()},
+            }
+            interleaved = [
+                self._read_entry(v) for v in self.versions() if v > base
+            ]
+            why = self._dv_conflict(interleaved, set(set_dv))
+            if why is not None:
+                raise CommitConflict(f"{self.path}: {why}")
+            if self._try_publish(entry):
+                if self.checkpoint_interval and entry["version"] % self.checkpoint_interval == 0:
+                    self.checkpoint(entry["version"])
+                return entry["version"]
+        raise CommitConflict(f"lost 5 commit races on {self.path}")
+
+    def _dv_conflict(self, entries: list[dict], dv_files: set[str]) -> str | None:
+        """A DV delete conflicts with any interleaved commit that
+        REMOVED or overwrote one of its files (the rewrite was computed
+        without this DV — publishing it against the rewritten snapshot
+        would silently drop the delete). Interleaved ``set_dv`` on the
+        same file is benign: union is idempotent and both deletes win."""
+        for e in entries:
+            if e["mode"] == "overwrite":
+                return f"table overwritten at version {e['version']}"
+            overlap = set(e.get("remove", [])) & dv_files
+            if overlap:
+                return (
+                    f"DV-deleted files {sorted(overlap)[:3]} were rewritten "
+                    f"at version {e['version']}"
+                )
+        return None
 
     def update(self, assignments: dict[str, str], where: list[tuple] | None = None) -> int:
         """UPDATE ``SET col = expr`` for rows matching ``where``, as ONE
@@ -1087,11 +1282,7 @@ class TxTable:
         touched = [a for a in adds if file_matches(a, where or [])]
         if not touched:
             return latest
-        schema = self.schema_at(latest)
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.parquet(*[self._data_path(a) for a in touched])
+        df = self._read_adds(touched, self.schema_at(latest))
         known = {f.name: f.dataType for f in df.schema.fields}
         bad = [c for c in assignments if c not in known]
         if bad:
@@ -1132,11 +1323,7 @@ class TxTable:
         adds = self.snapshot_adds(latest)
         touched = [a for a in adds if file_matches(a, where)]
         if touched:
-            schema = self.schema_at(latest)
-            reader = self.spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            old = reader.parquet(*[self._data_path(a) for a in touched])
+            old = self._read_adds(touched, self.schema_at(latest))
             kept = old.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
             merged = kept.unionByName(df, allowMissingColumns=True)
         else:

@@ -742,6 +742,7 @@ class TxTable:
         txn: str | None = None,
         base_version: int | None = None,
         collect_stats: bool = True,
+        set_dv: dict[str, list[int]] | None = None,
     ) -> int:
         """Write ``df`` and publish it as one atomic commit; returns the
         committed version. ``mode='overwrite'`` replaces the snapshot;
@@ -776,6 +777,12 @@ class TxTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         remove_set = set(remove or [])
+        # ``set_dv`` here means the ADDED rows derive from the vectored
+        # positions (merge-on-read UPDATE), so an interleaved set_dv on
+        # the same file is NOT benign the way pure DV deletes are — both
+        # sides would append their own updated copy of shared rows.
+        # Conflict detection below treats those files like removes.
+        dv_set = set(set_dv or {})
         active = self.constraints()
         if active:
             self._validate_constraints(df, active)
@@ -802,13 +809,15 @@ class TxTable:
             vs = self.versions()
             latest = self.latest_version()
             version = latest + 1 if latest is not None else 0
-            if remove_set:
+            if remove_set or dv_set:
                 interleaved = [self._read_entry(v) for v in vs if v > base_version]
-                why = self._logical_conflict(interleaved, remove_set)
+                why = self._logical_conflict(interleaved, remove_set | dv_set)
                 if why is not None:
                     discard()
                     raise CommitConflict(f"{self.path}: {why}")
             entry = {"version": version, "mode": mode, "add": adds, "remove": sorted(remove_set)}
+            if set_dv:
+                entry["set_dv"] = {f: sorted(ps) for f, ps in set_dv.items()}
             if schema_json is not None:
                 entry["schema"] = schema_json
             if txn is not None:
@@ -1265,15 +1274,30 @@ class TxTable:
                 )
         return None
 
-    def update(self, assignments: dict[str, str], where: list[tuple] | None = None) -> int:
+    def update(
+        self,
+        assignments: dict[str, str],
+        where: list[tuple] | None = None,
+        dv: bool = False,
+    ) -> int:
         """UPDATE ``SET col = expr`` for rows matching ``where``, as ONE
-        atomic remove+add commit. ``assignments`` maps existing column
-        names to SQL expressions (evaluated against the pre-update row);
-        results are cast back to the column's recorded type so an
-        arithmetic widening can't silently evolve the schema. Rows where
-        the predicate is NULL are untouched (SQL semantics). Returns the
-        committed version; same stats-scoped rewrite and conflict
-        behavior as :meth:`delete`.
+        atomic commit. ``assignments`` maps existing column names to SQL
+        expressions (evaluated against the pre-update row); results are
+        cast back to the column's recorded type so an arithmetic
+        widening can't silently evolve the schema. Rows where the
+        predicate is NULL are untouched (SQL semantics). Returns the
+        committed version.
+
+        Default is copy-on-write (stats-scoped rewrite of touched
+        files). ``dv=True`` is merge-on-read: the matched rows' old
+        positions become deletion vectors and ONLY the updated copies
+        are written — updating 10 rows in a 1 GB file writes a 10-row
+        file plus a log entry instead of rewriting the gigabyte. Because
+        the appended rows derive from the vectored positions, an
+        interleaved DV or rewrite on the same files raises
+        :class:`CommitConflict` (both sides would land their own copy of
+        shared rows); falls back to copy-on-write above
+        :attr:`dv_max_rows` matches.
         """
         latest = self.latest_version()
         if latest is None:
@@ -1282,6 +1306,10 @@ class TxTable:
         touched = [a for a in adds if file_matches(a, where or [])]
         if not touched:
             return latest
+        if dv:
+            done = self._update_dv(touched, assignments, where or [], latest)
+            if done is not None:
+                return done
         df = self._read_adds(touched, self.schema_at(latest))
         known = {f.name: f.dataType for f in df.schema.fields}
         bad = [c for c in assignments if c not in known]
@@ -1299,6 +1327,69 @@ class TxTable:
             remove=[a["file"] for a in touched],
             base_version=latest,
         )
+
+    def _update_dv(
+        self,
+        touched: list[dict],
+        assignments: dict[str, str],
+        where: list[tuple],
+        base: int,
+    ) -> int | None:
+        """Merge-on-read UPDATE: ONE scan collects the matched rows WITH
+        their (file, row_index) addresses; the old positions publish as
+        deletion vectors and the updated copies as a new add — one
+        atomic entry, no touched-file rewrite. Returns None above
+        :attr:`dv_max_rows` (take the rewrite)."""
+        schema = self.schema_at(base)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        scan = (
+            reader.parquet(*[self._data_path(a) for a in touched])
+            .withColumn(
+                "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            )
+            .withColumn("__idx", F.col("_metadata.row_index"))
+            .filter(_pred_column(where).eqNullSafe(F.lit(True)))
+        )
+        existing = [(a["file"], int(p)) for a in touched for p in a.get("dv", [])]
+        if existing:
+            scan = scan.join(
+                F.broadcast(
+                    self.spark.createDataFrame(existing, "__f string, __idx long")
+                ),
+                ["__f", "__idx"],
+                "left_anti",
+            )
+        matched = scan.limit(self.dv_max_rows + 1).cache()
+        try:
+            rows = matched.count()
+            if rows == 0:
+                return base
+            if rows > self.dv_max_rows:
+                return None
+            known = {f.name: f.dataType for f in (schema or matched.schema).fields}
+            bad = [c for c in assignments if c not in known]
+            if bad:
+                raise ValueError(
+                    f"UPDATE of unknown columns {bad}; table has {sorted(known)}"
+                )
+            by_name = {a["file"] for a in touched}
+            set_dv: dict[str, list[int]] = {}
+            for r in matched.select("__f", "__idx").collect():
+                if r["__f"] in by_name:
+                    set_dv.setdefault(r["__f"], []).append(int(r["__idx"]))
+            updated = matched.drop("__f", "__idx")
+            for c, expr in assignments.items():
+                updated = updated.withColumn(c, F.expr(expr).cast(known[c]))
+            return self.commit(
+                updated,
+                mode="append",
+                base_version=base,
+                set_dv=set_dv,
+            )
+        finally:
+            matched.unpersist()
 
     def replace_where(self, df: DataFrame, where: list[tuple]) -> int:
         """Delta's ``replaceWhere``: atomically replace the predicate

@@ -20,7 +20,11 @@ def _kv(spark, lo, hi, mul=10):
 
 def _files_on_disk(path):
     d = os.path.join(path, "data")
-    return sorted(f for f in os.listdir(d)) if os.path.isdir(d) else []
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith(".")
+    )
 
 
 def test_dv_delete_is_metadata_only(spark, tmp_path):
@@ -161,3 +165,61 @@ def test_dv_restore_and_clone(spark, tmp_path):
     assert clone.read().count() == 10  # dv rides the shallow clone
     t.restore(0)
     assert t.read().count() == 20  # pre-DV snapshot restored
+
+
+# -- merge-on-read UPDATE -------------------------------------------------
+
+
+def test_dv_update_writes_only_updated_rows(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, 0, 100).coalesce(1))
+    before = _files_on_disk(t.path)
+    t.update({"v": "v + 1"}, where=[("k", "<", 3)], dv=True)
+    after = _files_on_disk(t.path)
+    assert set(before) <= set(after) and len(after) == len(before) + 1  # old file untouched
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert len(rows) == 100
+    assert rows[1] == 11 and rows[50] == 500
+    # the new file holds ONLY the 3 updated copies
+    new_add = [a for a in t.snapshot_adds() if not a.get("dv")]
+    assert sum(a["rows"] for a in new_add) == 3
+
+
+def test_dv_update_idempotent_predicate(spark, tmp_path):
+    """A second identical DV update matches the UPDATED rows (the old
+    positions are vectored out), so it updates again, not duplicates."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, 0, 20).coalesce(1))
+    t.update({"v": "v + 1"}, where=[("k", "=", 5)], dv=True)
+    t.update({"v": "v + 1"}, where=[("k", "=", 5)], dv=True)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert len(rows) == 20 and rows[5] == 52
+
+
+def test_dv_update_conflicts_with_interleaved_dv_delete(spark, tmp_path):
+    """Unlike two DV deletes (benign union), a DV UPDATE's appended copy
+    derives from the vectored rows — an interleaved DV on the same file
+    must conflict or shared rows double."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, 0, 50).coalesce(1))
+    base = t.latest_version()
+    touched = t.snapshot_adds(base)
+    t.delete([("k", "=", 9)], dv=True)  # interleaves
+    with pytest.raises(CommitConflict):
+        t._update_dv(touched, {"v": "v + 1"}, [("k", "<", 3)], base)
+
+
+def test_dv_update_change_feed_and_replication(spark, tmp_path):
+    from novlake_spark.replicate import replicate
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_kv(spark, 0, 30))
+    cp = str(tmp_path / "cp")
+    dst_path = str(tmp_path / "dst")
+    replicate(spark, src.path, dst_path, key=["k"], checkpoint=cp).awaitTermination(180)
+    src.update({"v": "v * 2"}, where=[("k", "<", 5)], dv=True)
+    replicate(spark, src.path, dst_path, key=["k"], checkpoint=cp).awaitTermination(180)
+    dst = TxTable(spark, dst_path)
+    assert sorted((r.k, r.v) for r in dst.read().collect()) == sorted(
+        (r.k, r.v) for r in src.read().collect()
+    )

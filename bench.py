@@ -179,6 +179,19 @@ def bench_txlog(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         TxTable(spark, f"{root}/t").clone(f"{root}/clone")
         times["txlog_clone_shallow"] = round(time.perf_counter() - t0, 3)
+
+        # merge-on-read point DML: position scan + log publish, zero
+        # file rewrites — compare against delete_1pct/update_scoped
+        t0 = time.perf_counter()
+        t.delete([("o_orderkey", "<=", 20)], dv=True)
+        times["txlog_delete_dv"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        t.update(
+            {"o_totalprice": "o_totalprice + 1"},
+            where=[("o_orderkey", ">", 20), ("o_orderkey", "<=", 40)],
+            dv=True,
+        )
+        times["txlog_update_dv"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return times

@@ -219,8 +219,12 @@ class Lake:
         key: list[str],
         delete_matched: bool = False,
         partition_by: list[str] | None = None,
+        **clauses,
     ) -> DataFrame:
         """MERGE/upsert semantics on a plain-Parquet table.
+        Transaction-logged targets additionally accept the Delta-style
+        clause refinements (``update_set``, ``matched_condition``,
+        ``insert_unmatched`` — see :meth:`TxTable.merge`) via kwargs.
 
         Equivalent of ``MERGE INTO target USING source ON key``:
         matched target rows are replaced by their source row (or deleted
@@ -245,10 +249,16 @@ class Lake:
         """
         if self._is_txtable(path):
             t = self.tx(path)
-            t.merge(source, key=key, delete_matched=delete_matched)
+            t.merge(source, key=key, delete_matched=delete_matched, **clauses)
             out = t.read()
             self.register(name, out)
             return out
+        if clauses:
+            raise ValueError(
+                f"MERGE clause refinements {sorted(clauses)} require a "
+                "transaction-logged target (plain-Parquet merge is "
+                "whole-row replace/delete only)"
+            )
         target = self.spark.read.parquet(path)
         if partition_by:
             # prune target to affected partitions only (join-free when the

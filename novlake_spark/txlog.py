@@ -743,6 +743,8 @@ class TxTable:
         base_version: int | None = None,
         collect_stats: bool = True,
         set_dv: dict[str, list[int]] | None = None,
+        cluster_by: list[str] | None = None,
+        target_files: int | None = None,
     ) -> int:
         """Write ``df`` and publish it as one atomic commit; returns the
         committed version. ``mode='overwrite'`` replaces the snapshot;
@@ -799,6 +801,22 @@ class TxTable:
             latest = self.latest_version()
             base_version = latest if latest is not None else -1
         schema_json = self._check_schema(df, mode)
+        if cluster_by:
+            # Ingest-time clustering: range-partition + sort the commit
+            # on the cluster keys so each file covers a NARROW key range
+            # and the per-file min/max stats prune from the first read —
+            # no post-hoc OPTIMIZE rewrite needed for the common
+            # cluster-on-the-query-key case (Z-order remains the tool
+            # for multi-column locality).
+            # target_files pins the file count (AQE would otherwise
+            # coalesce a small commit into one file, defeating pruning
+            # tests and hot-key spread); default lets AQE size them.
+            cols = [F.col(c) for c in cluster_by]
+            if target_files:
+                df = df.repartitionByRange(target_files, *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*cols)
         adds = self._write_data(df, collect_stats=collect_stats)
 
         def discard() -> None:

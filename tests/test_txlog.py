@@ -709,3 +709,24 @@ def test_lake_attach_tx_sql_over_snapshots(spark, tmp_path):
         "SELECT (SELECT count(*) FROM tcur) AS cur, (SELECT count(*) FROM t0) AS v0"
     ).collect()[0]
     assert (got.cur, got.v0) == (30, 10)
+
+
+def test_cluster_by_commit_prunes_from_first_read(spark, tmp_path):
+    """Ingest-time clustering: a cluster_by commit range-partitions the
+    data so file stats are tight, and a point/range predicate prunes
+    files WITHOUT any OPTIMIZE rewrite."""
+    import pyspark.sql.functions as F
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    # deliberately shuffled input: without clustering every file would
+    # span the whole key range and nothing could prune
+    df = (
+        spark.range(0, 10_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        .orderBy(F.rand(seed=7))
+    )
+    t.commit(df, cluster_by=["k"], target_files=8)
+    plan = t.scan_plan([("k", ">=", 9_900)])
+    assert plan["total"] > 1
+    assert plan["scanned"] < plan["total"]
+    assert t.read(where=[("k", ">=", 9_900)]).count() == 100

@@ -97,6 +97,13 @@ def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dic
                 else a
                 for a in live
             ]
+        # set_stats retrofits skip-index metadata (ANALYZE) onto live
+        # adds; stats for since-removed files fold to nothing, so the
+        # action never conflicts with anything
+        for fname, meta in (e.get("set_stats") or {}).items():
+            live = [
+                {**a, **meta} if a["file"] == fname else a for a in live
+            ]
     return live
 
 
@@ -614,64 +621,9 @@ class TxTable:
         df.write.parquet(staging)
         stats_by_file: dict[str, dict] = {}
         if collect_stats:
-            stat_cols = [
-                f.name for f in df.schema.fields if isinstance(f.dataType, _STAT_TYPES)
-            ]
-            # bloom only for exactly-stringifiable types: Spark's
-            # CAST(int/string AS STRING) equals Python str() — doubles
-            # and timestamps don't round-trip identically, so no filter
-            bloom_cols = [
-                f.name
-                for f in df.schema.fields
-                if f.name in self.bloom_cols
-                and isinstance(
-                    f.dataType,
-                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
-                )
-            ]
-            aggs = [F.count(F.lit(1)).alias("__rows")]
-            for c in stat_cols:
-                aggs.append(F.min(c).alias(f"__min__{c}"))
-                aggs.append(F.max(c).alias(f"__max__{c}"))
-            for c in bloom_cols:
-                for i in range(_BLOOM_K):
-                    # mirrors _bloom_positions: md5("<i>:<value>")[:12] % m
-                    pos = (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{i}:"), F.col(c).cast("string"))),
-                                1,
-                                12,
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        % _BLOOM_M
-                    )
-                    aggs.append(F.collect_set(pos).alias(f"__bloom__{c}__{i}"))
-            staged = self.spark.read.parquet(staging).groupBy(
-                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
-            ).agg(*aggs)
-            for r in staged.collect():  # bounded: one row per data file
-                d = r.asDict()
-                stats = {}
-                for c in stat_cols:
-                    lo, hi = _stat_value(d[f"__min__{c}"]), _stat_value(d[f"__max__{c}"])
-                    stats[c] = [lo, hi]
-                entry: dict = {"rows": d["__rows"], "stats": stats}
-                if bloom_cols:
-                    entry["bloom"] = {}
-                    for c in bloom_cols:
-                        bits = bytearray(_BLOOM_M >> 3)
-                        for i in range(_BLOOM_K):
-                            for pos in d[f"__bloom__{c}__{i}"]:
-                                bits[pos >> 3] |= 1 << (pos & 7)
-                        entry["bloom"][c] = {
-                            "m": _BLOOM_M,
-                            "k": _BLOOM_K,
-                            "bits": base64.b64encode(bytes(bits)).decode(),
-                        }
-                stats_by_file[d["__f"]] = entry
+            stats_by_file = self._file_stats(
+                self.spark.read.parquet(staging), self.bloom_cols
+            )
         adds = []
         self._fs.mkdirs(self._jpath(f"{self.path}/data"))
         for s in self._fs.globStatus(self._jpath(f"{staging}/*.parquet")) or []:
@@ -685,6 +637,128 @@ class TxTable:
             adds.append(add)
         self._fs.delete(self._jpath(staging), True)
         return adds
+
+    def _file_stats(self, src: DataFrame, want_bloom: list[str]) -> dict[str, dict]:
+        """Per-file skip-index metadata for every parquet file behind
+        ``src``: row count, min/max per eligible column, Bloom filters
+        for the requested eligible columns. ONE Spark job grouped by
+        ``input_file_name`` — O(files) driver rows, never a job per
+        file. Shared by ingest (:meth:`_write_data`) and retrofit
+        (:meth:`analyze`)."""
+        stat_cols = [
+            f.name for f in src.schema.fields if isinstance(f.dataType, _STAT_TYPES)
+        ]
+        # bloom only for exactly-stringifiable types: Spark's
+        # CAST(int/string AS STRING) equals Python str() — doubles
+        # and timestamps don't round-trip identically, so no filter
+        bloom_cols = [
+            f.name
+            for f in src.schema.fields
+            if f.name in want_bloom
+            and isinstance(
+                f.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+            )
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+        for c in bloom_cols:
+            for i in range(_BLOOM_K):
+                # mirrors _bloom_positions: md5("<i>:<value>")[:12] % m
+                pos = (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col(c).cast("string"))),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_M
+                )
+                aggs.append(F.collect_set(pos).alias(f"__bloom__{c}__{i}"))
+        grouped = src.groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+        ).agg(*aggs)
+        stats_by_file: dict[str, dict] = {}
+        for r in grouped.collect():  # bounded: one row per data file
+            d = r.asDict()
+            stats = {}
+            for c in stat_cols:
+                lo, hi = _stat_value(d[f"__min__{c}"]), _stat_value(d[f"__max__{c}"])
+                stats[c] = [lo, hi]
+            entry: dict = {"rows": d["__rows"], "stats": stats}
+            if bloom_cols:
+                entry["bloom"] = {}
+                for c in bloom_cols:
+                    bits = bytearray(_BLOOM_M >> 3)
+                    for i in range(_BLOOM_K):
+                        for pos in d[f"__bloom__{c}__{i}"]:
+                            bits[pos >> 3] |= 1 << (pos & 7)
+                    entry["bloom"][c] = {
+                        "m": _BLOOM_M,
+                        "k": _BLOOM_K,
+                        "bits": base64.b64encode(bytes(bits)).decode(),
+                    }
+            stats_by_file[d["__f"]] = entry
+        return stats_by_file
+
+    def analyze(self, bloom_cols: list[str] | None = None, max_retries: int = 5) -> int:
+        """ANALYZE: retrofit skip-index metadata onto live files that
+        lack it — min/max stats for files written without them (e.g. by
+        an external writer) and Bloom filters for newly-requested
+        columns — as ONE metadata-only ``set_stats`` commit; returns the
+        committed version (current version if nothing to do).
+
+        Never rewrites data. Safe under any concurrency: replay applies
+        ``set_stats`` only to still-live files, a file removed by an
+        interleaved rewrite simply drops its retrofit, and stats are
+        advisory (their absence keeps files conservatively), so no
+        conflict check is needed. Rows hidden by deletion vectors are
+        included in the computed bounds — wider-than-live is the
+        conservative direction for skipping."""
+        wanted = list(bloom_cols or [])
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed data under {self.path}")
+        schema = self.schema_at(latest)
+        eligible = {
+            f.name
+            for f in (schema.fields if schema is not None else [])
+            if f.name in wanted
+            and isinstance(
+                f.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+            )
+        }
+        todo = [
+            a
+            for a in self.snapshot_adds(latest)
+            if "stats" not in a
+            or any(c not in (a.get("bloom") or {}) for c in eligible)
+        ]
+        if not todo:
+            return latest
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        stats = self._file_stats(
+            reader.parquet(*[self._data_path(a) for a in todo]), wanted
+        )
+        set_stats = {a["file"]: stats[a["file"]] for a in todo if a["file"] in stats}
+        for _ in range(max_retries):
+            entry = {
+                "version": (self.latest_version() or 0) + 1,
+                "mode": "append",
+                "add": [],
+                "set_stats": set_stats,
+            }
+            if self._try_publish(entry):
+                return entry["version"]
+        raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
     def _check_schema(self, df: DataFrame, mode: str) -> str | None:
         """Validate an append against the recorded schema; return the

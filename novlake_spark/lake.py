@@ -398,6 +398,12 @@ class Lake:
         rewrite, one atomic commit) — see :meth:`TxTable.update`."""
         return self.tx(path).update(assignments, where)
 
+    def analyze_table(self, path: str, bloom_cols: list[str] | None = None) -> int:
+        """ANALYZE a transaction-logged table: retrofit min/max stats and
+        requested Bloom filters onto files lacking them, metadata-only —
+        see :meth:`TxTable.analyze`."""
+        return self.tx(path).analyze(bloom_cols=bloom_cols)
+
     def replicate_table(
         self,
         source_path: str,

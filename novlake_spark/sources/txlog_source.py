@@ -322,9 +322,29 @@ class _TxLogBatchReader(DataSourceReader):
         self._target = _arrow_schema(schema)
 
     def pushFilters(self, filters: list[Filter]):
+        from pyspark.sql.datasource import In
+
         preds = _to_predicates(filters)
         if preds:
             self._adds = [a for a in self._adds if file_matches(a, preds)]
+        for f in filters:
+            # IN is a disjunction: keep a file if ANY value could be in
+            # it (per-value Bloom/min-max probe — the point-lookup path)
+            if (
+                isinstance(f, In)
+                and len(f.attribute) == 1
+                and f.value
+                and all(
+                    isinstance(v, (int, str)) and not isinstance(v, bool)
+                    for v in f.value
+                )
+            ):
+                col = f.attribute[0]
+                self._adds = [
+                    a
+                    for a in self._adds
+                    if any(file_matches(a, [(col, "=", v)]) for v in f.value)
+                ]
         # Report every filter unhandled: file skipping is conservative
         # (a kept file may still hold non-matching rows), so Spark must
         # keep the row-level Filter above this scan.

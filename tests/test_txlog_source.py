@@ -353,3 +353,31 @@ def test_writer_bloom_filters_prune_point_lookups(spark, tmp_path):
     reader = _TxLogBatchReader(t.schema_at(), {"path": path})
     reader.pushFilters([EqualTo(("k",), 51)])
     assert reader.partitions()[0].path is None  # empty-marker partition
+
+
+def test_pushed_in_filter_prunes_by_bloom(spark, tmp_path):
+    """IN-list pushdown: a file is kept only if SOME value could be in
+    it — with bloom filters, an all-absent IN list prunes every file."""
+    from pyspark.sql.datasource import In
+
+    register_txlog_source(spark)
+    path = str(tmp_path / "in")
+    evens = spark.range(50).select((F.col("id") * 2).alias("k"), F.col("id").alias("v"))
+    evens.write.format("txlog").option("path", path).option("bloomCols", "k").mode(
+        "append"
+    ).save()
+    t = TxTable(spark, path)
+    reader = _TxLogBatchReader(t.schema_at(), {"path": path})
+    reader.pushFilters([In(("k",), (51, 53, 55))])  # in-range, all absent
+    assert reader.partitions()[0].path is None
+    reader2 = _TxLogBatchReader(t.schema_at(), {"path": path})
+    reader2.pushFilters([In(("k",), (51, 48))])  # 48 present: files stay
+    assert reader2.partitions()[0].path is not None
+    # end-to-end row-exactness
+    df = (
+        spark.read.format("txlog")
+        .option("path", path)
+        .load()
+        .filter(F.col("k").isin(51, 48))
+    )
+    assert [r.k for r in df.collect()] == [48]

@@ -604,6 +604,29 @@ class TxTable:
     def history(self) -> list[dict]:
         return [self._read_entry(v) for v in self.versions()]
 
+    def describe_history(self) -> list[dict]:
+        """DESCRIBE HISTORY: newest-first operation summary per commit —
+        operation label (recorded by every DML entry point), wall-clock
+        time, files/rows added, files removed, DV'd row count, txn id.
+        O(retained log entries), no data files touched."""
+        out = []
+        for v in sorted(self.versions(), reverse=True):
+            e = self._read_entry(v)
+            default = "WRITE" if e["mode"] == "append" else "OVERWRITE"
+            out.append(
+                {
+                    "version": v,
+                    "timestamp_ms": self.commit_time_ms(v),
+                    "operation": e.get("op", default),
+                    "added_files": len(e.get("add", [])),
+                    "added_rows": sum(a.get("rows") or 0 for a in e.get("add", [])),
+                    "removed_files": len(e.get("remove", [])),
+                    "dv_rows": sum(len(p) for p in (e.get("set_dv") or {}).values()),
+                    "txn": e.get("txn"),
+                }
+            )
+        return out
+
     # -- commits -----------------------------------------------------------
     def _write_data(self, df: DataFrame, collect_stats: bool = True) -> list[dict]:
         """Land data files invisibly; return add-actions with per-file
@@ -755,6 +778,7 @@ class TxTable:
                 "mode": "append",
                 "add": [],
                 "set_stats": set_stats,
+                "op": "ANALYZE",
             }
             if self._try_publish(entry):
                 return entry["version"]
@@ -819,6 +843,7 @@ class TxTable:
         set_dv: dict[str, list[int]] | None = None,
         cluster_by: list[str] | None = None,
         target_files: int | None = None,
+        op: str | None = None,
     ) -> int:
         """Write ``df`` and publish it as one atomic commit; returns the
         committed version. ``mode='overwrite'`` replaces the snapshot;
@@ -908,6 +933,8 @@ class TxTable:
                     discard()
                     raise CommitConflict(f"{self.path}: {why}")
             entry = {"version": version, "mode": mode, "add": adds, "remove": sorted(remove_set)}
+            if op is not None:
+                entry["op"] = op
             if set_dv:
                 entry["set_dv"] = {f: sorted(ps) for f, ps in set_dv.items()}
             if schema_json is not None:
@@ -1147,7 +1174,7 @@ class TxTable:
         if not touched and base < 0:
             if delete_matched or not insert_unmatched:
                 raise FileNotFoundError(f"no committed data under {self.path}")
-            return self.commit(source, mode="append", txn=txn)
+            return self.commit(source, mode="append", txn=txn, op="MERGE")
         if clause_path:
             merged = self._merge_clauses(
                 touched, source, key, delete_matched, update_set,
@@ -1165,6 +1192,7 @@ class TxTable:
             remove=[a["file"] for a in touched],
             base_version=base,
             txn=txn,
+            op="MERGE",
         )
 
     def _merge_clauses(
@@ -1285,6 +1313,7 @@ class TxTable:
             mode="append",
             remove=[a["file"] for a in touched],
             base_version=latest,
+            op="DELETE",
         )
 
     def _delete_dv(self, touched: list[dict], where: list[tuple], base: int) -> int | None:
@@ -1336,6 +1365,7 @@ class TxTable:
                 "mode": "append",
                 "add": [],
                 "set_dv": {f: sorted(ps) for f, ps in set_dv.items()},
+                "op": "DELETE (DV)",
             }
             interleaved = [
                 self._read_entry(v) for v in self.versions() if v > base
@@ -1418,6 +1448,7 @@ class TxTable:
             mode="append",
             remove=[a["file"] for a in touched],
             base_version=latest,
+            op="UPDATE",
         )
 
     def _update_dv(
@@ -1479,6 +1510,7 @@ class TxTable:
                 mode="append",
                 base_version=base,
                 set_dv=set_dv,
+                op="UPDATE (DV)",
             )
         finally:
             matched.unpersist()
@@ -1516,6 +1548,7 @@ class TxTable:
             mode="append",
             remove=[a["file"] for a in touched],
             base_version=latest,
+            op="REPLACE WHERE",
         )
 
     def clone(self, target_path: str, version: int | None = None, deep: bool = False) -> "TxTable":
@@ -1561,6 +1594,7 @@ class TxTable:
             "mode": "overwrite",
             "add": cloned,
             "clone_of": {"path": self.path, "version": version},
+            "op": "CLONE",
         }
         if schema_json is not None:
             entry["schema"] = schema_json
@@ -1588,7 +1622,7 @@ class TxTable:
 
         def build(v: int) -> dict:
             entry = {"version": v, "mode": "overwrite", "add": old_adds,
-                     "remove": [], "restore_of": version}
+                     "remove": [], "restore_of": version, "op": "RESTORE"}
             if schema_json is not None:
                 entry["schema"] = schema_json
             return entry
@@ -1667,7 +1701,7 @@ class TxTable:
             base = latest if latest is not None else -1
         files = self.snapshot_files(target_version)
         merged = self.read(target_version)
-        return self.commit(merged, mode="append", remove=files, base_version=base)
+        return self.commit(merged, mode="append", remove=files, base_version=base, op="COMPACT")
 
     def optimize(
         self,
@@ -1737,7 +1771,7 @@ class TxTable:
             )
         else:
             clustered = df.repartition(n_out)
-        return self.commit(clustered, mode="append", remove=files, base_version=base)
+        return self.commit(clustered, mode="append", remove=files, base_version=base, op="OPTIMIZE")
 
     def vacuum(self, keep_from_version: int, retain_ms: int = 3_600_000) -> list[str]:
         """Delete data files not referenced by any snapshot >= the

@@ -730,3 +730,18 @@ def test_cluster_by_commit_prunes_from_first_read(spark, tmp_path):
     assert plan["total"] > 1
     assert plan["scanned"] < plan["total"]
     assert t.read(where=[("k", ">=", 9_900)]).count() == 100
+
+
+def test_describe_history_labels_operations(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv2(spark, 0, 50).coalesce(1))
+    t.merge(_kv2(spark, 40, 60), key=["k"])
+    t.delete([("k", "=", 3)], dv=True)
+    t.update({"v": "v + 1"}, where=[("k", "=", 10)])
+    t.analyze(bloom_cols=["k"])
+    hist = t.describe_history()
+    ops = [h["operation"] for h in hist]
+    assert ops == ["ANALYZE", "UPDATE", "DELETE (DV)", "MERGE", "WRITE"]
+    assert hist[0]["version"] == 4 and hist[-1]["version"] == 0
+    assert hist[2]["dv_rows"] == 1
+    assert all(h["timestamp_ms"] > 0 for h in hist)

@@ -1122,6 +1122,7 @@ class TxTable:
         update_set: dict[str, str] | None = None,
         matched_condition: str | None = None,
         insert_unmatched: bool = True,
+        evolve_schema: bool = False,
     ) -> int:
         """MERGE as ONE atomic remove+add commit. Default clause set is
         the upsert: matched target rows are replaced by their source row
@@ -1178,12 +1179,20 @@ class TxTable:
         if clause_path:
             merged = self._merge_clauses(
                 touched, source, key, delete_matched, update_set,
-                matched_condition, insert_unmatched,
+                matched_condition, insert_unmatched, evolve_schema,
             )
         elif touched:
             target = self._read_adds(touched, self.schema_at())
             kept = target.join(source.select(*key).distinct(), key, "left_anti")
-            merged = kept if delete_matched else kept.unionByName(source)
+            if delete_matched:
+                merged = kept
+            elif evolve_schema:
+                # Delta autoMerge: source-only columns evolve the table
+                # schema (commit records the superset); pre-existing
+                # rows surface them as null via the snapshot schema
+                merged = kept.unionByName(source, allowMissingColumns=True)
+            else:
+                merged = kept.unionByName(source)
         else:
             merged = source.limit(0) if delete_matched else source
         return self.commit(
@@ -1204,6 +1213,7 @@ class TxTable:
         update_set: dict[str, str] | None,
         matched_condition: str | None,
         insert_unmatched: bool,
+        evolve_schema: bool = False,
     ) -> DataFrame:
         """Build the rewritten rows for the refined-clause MERGE. One
         left join target→source carries every clause; fired rows are
@@ -1253,13 +1263,17 @@ class TxTable:
             rows = joined.select(out)
         if insert_unmatched:
             missing = [c for c in cols if c not in source.columns]
-            if missing:
+            if missing and not evolve_schema:
                 raise ValueError(
                     f"MERGE source lacks table columns {missing} required "
-                    "for the not-matched INSERT clause"
+                    "for the not-matched INSERT clause "
+                    "(or pass evolve_schema=True to null-fill)"
                 )
             inserts = source.join(target.select(*key).distinct(), key, "left_anti")
-            rows = rows.unionByName(inserts.select(*cols))
+            if evolve_schema:
+                rows = rows.unionByName(inserts, allowMissingColumns=True)
+            else:
+                rows = rows.unionByName(inserts.select(*cols))
         return rows
 
     #: DV deletes above this many matched rows fall back to the rewrite

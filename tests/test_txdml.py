@@ -274,3 +274,24 @@ def test_merge_clause_txn_idempotent(spark, tmp_path):
     state = sorted((r.k, r.v) for r in t.read().collect())
     t.merge(_kv3(spark, 0, 5, mul=2), key=["k"], update_set={"v": "s.v"}, txn="m1")
     assert sorted((r.k, r.v) for r in t.read().collect()) == state
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: source-only columns evolve the table schema;
+    pre-existing rows surface them as null."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from novlake_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv3(spark, 0, 10))
+    src = _kv3(spark, 5, 15).withColumn("tag", F.lit("new"))
+    with pytest.raises(Exception):  # refused without the flag
+        t.merge(src, key=["k"])
+    t.merge(src, key=["k"], evolve_schema=True)
+    rows = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert set(rows) == set(range(15))
+    assert rows[2] == (20, None)  # untouched row: evolved column is null
+    assert rows[7] == (70, "new")  # replaced by source row
+    assert "tag" in t.schema_at().fieldNames()

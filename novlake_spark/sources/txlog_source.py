@@ -143,6 +143,24 @@ class _PyLog:
         heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
         return max(heads) if heads else None
 
+    def version_at_time(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution — mirrors TxTable.version_at_time
+        (entry ``ts_ms``, falling back to log-file mtime for
+        pre-timestamp entries)."""
+
+        def commit_ms(v: int) -> int:
+            e = self.read_entry(v)
+            if "ts_ms" in e:
+                return int(e["ts_ms"])
+            return int(os.path.getmtime(os.path.join(self._log, f"{v}.json")) * 1000)
+
+        candidates = [v for v in self.versions() if commit_ms(v) <= ts_ms]
+        if not candidates:
+            raise ValueError(
+                f"no commit at or before ts_ms={ts_ms} under {self.path}"
+            )
+        return max(candidates)
+
     def read_entry(self, version: int) -> dict:
         if version not in self._entries:
             with open(os.path.join(self._log, f"{version}.json")) as f:
@@ -314,11 +332,24 @@ def _to_predicates(filters: list[Filter]) -> list[tuple]:
     return preds
 
 
+def _resolve_version(log: _PyLog, options: dict) -> int | None:
+    """Shared batch time-travel resolution: ``version`` wins, else
+    ``timestampMs`` resolves through the commit timestamps."""
+    version = options.get("version")
+    ts = options.get("timestampms")
+    if version is not None and ts is not None:
+        raise ValueError("pass version OR timestampMs, not both")
+    if version is not None:
+        return int(version)
+    if ts is not None:
+        return log.version_at_time(int(ts))
+    return None
+
+
 class _TxLogBatchReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         self._log = _PyLog(options["path"])
-        version = options.get("version")
-        self._adds = self._log.state_at(int(version) if version is not None else None)[0]
+        self._adds = self._log.state_at(_resolve_version(self._log, options))[0]
         self._target = _arrow_schema(schema)
 
     def pushFilters(self, filters: list[Filter]):
@@ -699,8 +730,7 @@ class TxLogDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         log = _PyLog(self.options["path"])
-        version = self.options.get("version")
-        schema = log.schema_at(int(version) if version is not None else None)
+        schema = log.schema_at(_resolve_version(log, self.options))
         if schema is None:
             raise FileNotFoundError(f"no committed schema under {self.options['path']}")
         # All-nullable, like every Spark file source (and evolution pads

@@ -910,7 +910,9 @@ class TxTable:
             # target_files pins the file count (AQE would otherwise
             # coalesce a small commit into one file, defeating pruning
             # tests and hot-key spread); default lets AQE size them.
-            cols = [F.col(c) for c in cluster_by]
+            # Entries are SQL expressions, so Iceberg-style hidden
+            # partitioning transforms work: cluster_by=["date_trunc('day', ts)"]
+            cols = [F.expr(c) for c in cluster_by]
             if target_files:
                 df = df.repartitionByRange(target_files, *cols)
             else:

@@ -381,3 +381,22 @@ def test_pushed_in_filter_prunes_by_bloom(spark, tmp_path):
         .filter(F.col("k").isin(51, 48))
     )
     assert [r.k for r in df.collect()] == [48]
+
+
+def test_batch_timestamp_as_of_option(spark, tmp_path):
+    import time
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "ts"))
+    t.commit(_kv(spark, 0, 10))
+    time.sleep(0.05)
+    between = int(time.time() * 1000)
+    time.sleep(0.05)
+    t.commit(_kv(spark, 10, 30))
+    df = (
+        spark.read.format("txlog")
+        .option("path", t.path)
+        .option("timestampMs", str(between))
+        .load()
+    )
+    assert df.count() == 10

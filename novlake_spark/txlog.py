@@ -1531,6 +1531,36 @@ class TxTable:
         finally:
             matched.unpersist()
 
+    def reorg(self, min_dv_ratio: float = 0.0) -> int:
+        """REORG … APPLY (PURGE): rewrite ONLY the files whose deletion
+        vectors cover more than ``min_dv_ratio`` of their rows,
+        materializing the DVs away. DVs live in log entries, so while
+        each delete's vector is bounded (:attr:`dv_max_rows`), a
+        long-lived hot file accumulates — this is the maintenance valve
+        that keeps log replay light and read-side anti-joins small.
+        Untouched files (no DV, or below the ratio) are carried by
+        reference. Returns the committed version (current one if nothing
+        qualifies)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed data under {self.path}")
+        touched = [
+            a
+            for a in self.snapshot_adds(latest)
+            if a.get("dv")
+            and (not a.get("rows") or len(a["dv"]) / a["rows"] > min_dv_ratio)
+        ]
+        if not touched:
+            return latest
+        live = self._read_adds(touched, self.schema_at(latest))
+        return self.commit(
+            live,
+            mode="append",
+            remove=[a["file"] for a in touched],
+            base_version=latest,
+            op="REORG (PURGE)",
+        )
+
     def replace_where(self, df: DataFrame, where: list[tuple]) -> int:
         """Delta's ``replaceWhere``: atomically replace the predicate
         region with ``df`` — delete-matching plus insert-new in ONE

@@ -223,3 +223,28 @@ def test_dv_update_change_feed_and_replication(spark, tmp_path):
     assert sorted((r.k, r.v) for r in dst.read().collect()) == sorted(
         (r.k, r.v) for r in src.read().collect()
     )
+
+
+def test_reorg_purges_dvs(spark, tmp_path):
+    """reorg() rewrites only DV-carrying files past the ratio,
+    materializing the deletes; light-DV files stay by reference."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, 0, 100).coalesce(1))   # file A: heavy DV soon
+    t.commit(_kv(spark, 100, 200).coalesce(1)) # file B: light DV
+    t.delete([("k", "<", 40)], dv=True)        # 40% of file A
+    t.delete([("k", "=", 150)], dv=True)       # 1% of file B
+    before = {a["file"] for a in t.snapshot_adds()}
+    t.reorg(min_dv_ratio=0.1)
+    adds = t.snapshot_adds()
+    after = {a["file"] for a in adds}
+    # file B survived by reference (still has its small dv); A replaced
+    assert len(before & after) == 1
+    heavy = [a for a in adds if a.get("dv")]
+    assert len(heavy) == 1 and len(heavy[0]["dv"]) == 1
+    assert sorted(r.k for r in t.read().collect()) == [
+        k for k in range(40, 200) if k != 150
+    ]
+    assert t.describe_history()[0]["operation"] == "REORG (PURGE)"
+    # nothing above the ratio anymore: no-op
+    v = t.latest_version()
+    assert t.reorg(min_dv_ratio=0.1) == v

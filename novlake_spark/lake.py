@@ -398,6 +398,14 @@ class Lake:
         rewrite, one atomic commit) — see :meth:`TxTable.update`."""
         return self.tx(path).update(assignments, where)
 
+    def catalog(self, root: str):
+        """Open the persistent file-backed table catalog at ``root`` —
+        the Glue-catalog role of the reference, without the service; see
+        :mod:`novlake_spark.catalog`."""
+        from novlake_spark.catalog import Catalog
+
+        return Catalog(self.spark, root)
+
     def analyze_table(self, path: str, bloom_cols: list[str] | None = None) -> int:
         """ANALYZE a transaction-logged table: retrofit min/max stats and
         requested Bloom filters onto files lacking them, metadata-only —

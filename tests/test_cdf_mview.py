@@ -245,3 +245,30 @@ def test_mview_scopes_rewrite_to_overlapping_files(spark, tmp_path):
     survivors = files_before - set(entry["remove"])
     assert survivors
     assert _view_state(view) == _recompute(src)
+
+
+def test_mview_folds_dv_deletes(spark, tmp_path):
+    """A deletion-vector DELETE on the source flows through the change
+    feed as signed deltas — the view decrements without a base rescan."""
+    import pyspark.sql.functions as F
+
+    from novlake_spark.mview import IncrementalAggView
+    from novlake_spark.txlog import TxTable
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(
+        spark.range(100).select(
+            (F.col("id") % 4).alias("g"), F.col("id").alias("x")
+        )
+    )
+    view = IncrementalAggView(
+        src, str(tmp_path / "mv"), keys=["g"], measures={"sx": ("sum", "x")}
+    )
+    view.refresh()
+    src.delete([("x", "<", 8)], dv=True)  # removes x = 0..7 via DV
+    view.refresh()
+    got = {r.g: r.sx for r in view.read().collect()}
+    expect = {}
+    for x in range(8, 100):
+        expect[x % 4] = expect.get(x % 4, 0) + x
+    assert got == expect

@@ -25,6 +25,8 @@ import uuid
 
 from pyspark.sql import SparkSession
 
+from novlake_spark.txlog import atomic_claim
+
 
 class CatalogConflict(Exception):
     """Lost too many update races (or the entry changed underneath a
@@ -39,47 +41,60 @@ class Catalog:
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(self.root).getFileSystem(spark._jsc.hadoopConfiguration())
 
-    def _doc_path(self):
-        return self._jpath(f"{self.root}/catalog.json")
+    # The document is VERSIONED exactly like the transaction log:
+    # catalog-<N>.json, with N+1 claimed by rename-no-overwrite. A
+    # delete-then-replace single file would be last-writer-wins — two
+    # racing registrations would silently drop one entry (a real bug
+    # the concurrency test caught in the first cut of this module).
+    def _versions(self) -> list[int]:
+        statuses = self._fs.globStatus(self._jpath(f"{self.root}/catalog-*.json")) or []
+        out = []
+        for s in statuses:
+            stem = s.getPath().getName().removeprefix("catalog-").removesuffix(".json")
+            if stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
 
-    def _read(self) -> dict:
-        p = self._doc_path()
-        if not self._fs.exists(p):
-            return {"tables": {}}
-        stream = self._fs.open(p)
+    def _read(self, _retry: bool = True) -> dict:
+        vs = self._versions()
+        if not vs:
+            return {"version": -1, "tables": {}}
+        try:
+            stream = self._fs.open(self._jpath(f"{self.root}/catalog-{vs[-1]}.json"))
+        except Exception:
+            # list→open race with the mutators' lazy retention (4+
+            # updates landed in between): the fresh listing has the
+            # newer document
+            if _retry:
+                return self._read(_retry=False)
+            raise
         try:
             data = bytes(self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
         finally:
             stream.close()
-        return json.loads(data.decode())
+        doc = json.loads(data.decode())
+        doc["version"] = vs[-1]
+        return doc
 
-    def _write(self, doc: dict) -> None:
-        """Atomic replace: write a temp, delete the old doc, rename in.
-        The tiny delete→rename window can lose a RACING update (not the
-        document — the loser's rename fails and it retries), which is
-        why every mutation goes through :meth:`_mutate`'s retry loop."""
+    def _mutate(self, fn, max_retries: int = 20) -> None:
         self._fs.mkdirs(self._jpath(self.root))
-        tmp = self._jpath(f"{self.root}/.tmp-{uuid.uuid4().hex}")
-        out = self._fs.create(tmp, False)
-        try:
-            out.write(bytearray(json.dumps(doc, indent=1).encode()))
-        finally:
-            out.close()
-        dst = self._doc_path()
-        self._fs.delete(dst, False)
-        if not self._fs.rename(tmp, dst):
-            self._fs.delete(tmp, False)
-            raise CatalogConflict(f"lost catalog update race under {self.root}")
-
-    def _mutate(self, fn, max_retries: int = 5) -> None:
         for _ in range(max_retries):
             doc = self._read()
             fn(doc)
+            next_v = doc.pop("version") + 1
+            tmp = self._jpath(f"{self.root}/.tmp-{uuid.uuid4().hex}")
+            out = self._fs.create(tmp, False)
             try:
-                self._write(doc)
+                out.write(bytearray(json.dumps(doc, indent=1).encode()))
+            finally:
+                out.close()
+            dst = self._jpath(f"{self.root}/catalog-{next_v}.json")
+            if atomic_claim(self.spark, self._fs, tmp, dst):
+                for v in self._versions():  # lazy retention: keep a few
+                    if v < next_v - 3:
+                        self._fs.delete(self._jpath(f"{self.root}/catalog-{v}.json"), False)
                 return
-            except CatalogConflict:
-                continue
+            # lost the slot; re-read and retry
         raise CatalogConflict(f"lost {max_retries} catalog update races")
 
     # -- public surface ----------------------------------------------------

@@ -171,7 +171,20 @@ class _PyLog:
         self, version: int | None = None
     ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str]]:
         """(live add-actions, schema json, txn→version, constraints) —
-        checkpoint + entry-tail fold, mirroring ``TxTable._state_at``."""
+        checkpoint + entry-tail fold, mirroring ``TxTable._state_at``.
+
+        A concurrent ``clean_log`` can delete an entry between our
+        listing and our read; one re-resolution retry against the fresh
+        listing (which then includes the newer checkpoint that replaced
+        those entries) makes the race invisible."""
+        try:
+            return self._full_state_once(version)
+        except FileNotFoundError:
+            return self._full_state_once(version)
+
+    def _full_state_once(
+        self, version: int | None = None
+    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str]]:
         vs, cps = self.versions(), self.checkpoints()
         if version is None:
             heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])

@@ -215,6 +215,42 @@ def _bloom_test(b64bits: str, value: str, m: int, k: int) -> bool:
     return True
 
 
+def atomic_claim(spark, fs, tmp, dst) -> bool:
+    """Publish ``tmp``'s content at ``dst``, atomically failing if
+    ``dst`` exists — the commit point of every log/catalog protocol in
+    this package.
+
+    On HDFS (and rename-capable stores) ``fs.rename`` is the right
+    primitive: the namenode makes no-overwrite rename atomic. On the
+    LOCAL filesystem Hadoop's rename is an exists() check followed by
+    POSIX ``renameTo`` — a TOCTOU window in which two racing writers
+    BOTH pass the check and silently overwrite each other (observed:
+    concurrent catalog registrations dropped entries; the same window
+    existed latently in the transaction log's publish). There the claim
+    is an OS hard link instead, which the kernel makes
+    fail-if-exists atomically — the same primitive the pure-Python
+    writer (txlog_source) uses, so JVM and Python writers contend
+    correctly on one directory entry. ``tmp`` is always consumed."""
+    if "Local" in fs.getClass().getName():
+        jvm = spark._jvm
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(dst.toUri().getPath()).toPath(),
+                jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+            )
+            claimed = True
+        except Exception as exc:  # Py4J wraps the Java exception
+            if "FileAlreadyExists" not in str(exc):
+                raise
+            claimed = False
+        fs.delete(tmp, False)
+        return claimed
+    claimed = bool(fs.rename(tmp, dst))
+    if not claimed:
+        fs.delete(tmp, False)
+    return claimed
+
+
 def _is_superset(new: T.StructType, cur: T.StructType) -> bool:
     fields = {f.name: f.dataType for f in new.fields}
     return all(f.name in fields and fields[f.name] == f.dataType for f in cur.fields)
@@ -335,10 +371,9 @@ class TxTable:
             out.write(bytearray(json.dumps(entry).encode()))
         finally:
             out.close()
-        committed = self._fs.rename(tmp, self._log_path(entry["version"]))
-        if not committed:
-            self._fs.delete(tmp, False)
-        return bool(committed)
+        return atomic_claim(
+            self.spark, self._fs, tmp, self._log_path(entry["version"])
+        )
 
     # -- checkpoints ---------------------------------------------------------
     # At 100 TB-scale commit counts, replaying every JSON entry per read
@@ -391,9 +426,8 @@ class TxTable:
             out.write(bytearray(json.dumps(doc).encode()))
         finally:
             out.close()
-        if not self._fs.rename(tmp, self._checkpoint_path(upto)):
-            self._fs.delete(tmp, False)  # a rival already checkpointed it
-        return upto
+        atomic_claim(self.spark, self._fs, tmp, self._checkpoint_path(upto))
+        return upto  # a lost claim means a rival already checkpointed it
 
     def clean_log(self, keep_from_version: int) -> list[int]:
         """Delete log entries no retained snapshot needs: everything at

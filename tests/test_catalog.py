@@ -67,3 +67,26 @@ def test_load_pins_txlog_snapshots(spark, tmp_path):
     with pytest.raises(ValueError, match="time travel"):
         cat.register("p", str(tmp_path / "t" / "data"), fmt="parquet")
         cat.load("p", version=0)
+
+
+def test_concurrent_registrations_all_land(spark, tmp_path):
+    """The retrying atomic-replace means racing registrations never
+    lose each other's entries."""
+    import threading
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    errors = []
+
+    def worker(i):
+        try:
+            Catalog(spark, str(tmp_path / "cat")).register(f"t{i}", f"/p{i}")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert set(cat.tables()) == {f"t{i}" for i in range(6)}

@@ -535,6 +535,7 @@ class _TxFileCommit(WriterCommitMessage):
     rows: int = 0
     stats: dict = field(default_factory=dict)
     bloom: dict = field(default_factory=dict)
+    bytes: int = 0
 
 
 class _WriterCore:
@@ -613,6 +614,7 @@ class _WriterCore:
                 writer.close()
         if rows == 0:
             return _TxFileCommit(None)
+        size = os.path.getsize(path)
         stats = {
             c: [_stat_value(lo.get(c)), _stat_value(hi.get(c))]
             for c in self._stat_cols
@@ -625,7 +627,7 @@ class _WriterCore:
             }
             for c, bits in bloom_bits.items()
         }
-        return _TxFileCommit(name, rows, stats, bloom)
+        return _TxFileCommit(name, rows, stats, bloom, size)
 
     # -- driver side -----------------------------------------------------
     def _adds(self, messages) -> list[dict]:
@@ -633,7 +635,7 @@ class _WriterCore:
         for m in messages:
             if m is None or m.file is None:
                 continue
-            add = {"file": m.file, "rows": m.rows, "stats": m.stats}
+            add = {"file": m.file, "rows": m.rows, "stats": m.stats, "bytes": m.bytes}
             if m.bloom:
                 add["bloom"] = m.bloom
             out.append(add)

@@ -635,6 +635,26 @@ class TxTable:
         kept = [a["file"] for a in adds if file_matches(a, where)]
         return {"total": len(adds), "scanned": len(kept), "files": kept}
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: current-snapshot totals from log metadata
+        alone — files, rows, bytes (None if any add predates size
+        recording), DV'd rows, schema fields, constraints, versions
+        retained. O(log), no data file touched."""
+        adds = self.snapshot_adds()
+        sizes = [a.get("bytes") for a in adds]
+        schema = self.schema_at()
+        return {
+            "path": self.path,
+            "num_files": len(adds),
+            "rows": sum(a.get("rows") or 0 for a in adds),
+            "bytes": sum(sizes) if all(x is not None for x in sizes) else None,
+            "dv_rows": sum(len(a.get("dv", [])) for a in adds),
+            "columns": [f.name for f in schema.fields] if schema else [],
+            "constraints": sorted(self.constraints()),
+            "versions_retained": len(self.versions()),
+            "latest_version": self.latest_version(),
+        }
+
     def history(self) -> list[dict]:
         return [self._read_entry(v) for v in self.versions()]
 
@@ -685,10 +705,11 @@ class TxTable:
         self._fs.mkdirs(self._jpath(f"{self.path}/data"))
         for s in self._fs.globStatus(self._jpath(f"{staging}/*.parquet")) or []:
             orig = s.getPath().getName()
+            size = int(s.getLen())
             name = f"{uuid.uuid4().hex}.parquet"
             if not self._fs.rename(s.getPath(), self._jpath(f"{self.path}/data/{name}")):
                 raise IOError(f"could not stage {s.getPath()}")
-            add = {"file": name}
+            add = {"file": name, "bytes": size}
             if orig in stats_by_file:
                 add.update(stats_by_file[orig])
             adds.append(add)
@@ -1767,11 +1788,22 @@ class TxTable:
                 return version
         raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
-    def compact(self, target_version: int | None = None) -> int:
-        """Rewrite the current snapshot as one commit: add the merged
-        files, remove the old ones — readers at older versions are
-        untouched (their files stay until vacuum). Two concurrent
-        compactions conflict (remove/remove) — exactly one lands."""
+    def compact(
+        self, target_version: int | None = None, small_file_mb: float | None = None
+    ) -> int:
+        """Rewrite the snapshot (or just its small files) as one commit:
+        add the merged files, remove the old ones — readers at older
+        versions are untouched (their files stay until vacuum). Two
+        concurrent compactions conflict (remove/remove) — exactly one
+        lands.
+
+        ``small_file_mb`` is the streaming-sink maintenance shape: ONLY
+        files below the threshold merge (per the ``bytes`` recorded in
+        their add actions; actionless legacy files count as small), the
+        big ones ride by reference — so compacting a table that a sink
+        has peppered with per-batch files costs O(small files), not a
+        full rewrite. No-op (current version) when fewer than two files
+        qualify."""
         # the remove list is derived from target_version, so conflict
         # detection must consider everything committed after IT
         if target_version is not None:
@@ -1779,8 +1811,20 @@ class TxTable:
         else:
             latest = self.latest_version()
             base = latest if latest is not None else -1
-        files = self.snapshot_files(target_version)
-        merged = self.read(target_version)
+        adds = self.snapshot_adds(target_version)
+        if small_file_mb is not None:
+            limit = int(small_file_mb * 1024 * 1024)
+            adds = [a for a in adds if (a.get("bytes") or 0) < limit]
+            if len(adds) < 2:
+                return base
+        files = [a["file"] for a in adds]
+        merged = self._read_adds(adds, self.schema_at(target_version))
+        if small_file_mb is not None:
+            # the whole point is FEWER files: pack the small set into
+            # ~small_file_mb-sized outputs (its combined size is modest
+            # by construction, so this coalesce is cheap)
+            total = sum(a.get("bytes") or 0 for a in adds)
+            merged = merged.coalesce(max(1, total // max(1, int(small_file_mb * 1024 * 1024))))
         return self.commit(merged, mode="append", remove=files, base_version=base, op="COMPACT")
 
     def optimize(

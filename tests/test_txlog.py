@@ -761,3 +761,29 @@ def test_cluster_by_accepts_transforms(spark, tmp_path):
     # file count wobbles — what matters: multiple files, full fidelity
     assert 2 <= len(t.snapshot_adds()) <= 4
     assert t.read().count() == 2_000
+
+
+def test_detail_and_small_file_compaction(spark, tmp_path):
+    """detail() reports snapshot totals from metadata; small-file
+    compaction merges only the per-batch dribble, carrying big files
+    by reference."""
+    import pyspark.sql.functions as F
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv2(spark, 0, 20_000).coalesce(1))  # one big file
+    for i in range(3):  # sink-style dribble: three tiny commits
+        t.commit(_kv2(spark, 20_000 + i * 10, 20_000 + (i + 1) * 10).coalesce(1))
+    d = t.detail()
+    assert d["num_files"] == 4 and d["rows"] == 20_030
+    assert d["bytes"] and d["bytes"] > 0
+    big = {a["file"] for a in t.snapshot_adds() if a["bytes"] > 50_000}
+    assert len(big) == 1
+    t.compact(small_file_mb=0.05)  # 50 KB threshold
+    adds = t.snapshot_adds()
+    assert big <= {a["file"] for a in adds}  # big file untouched
+    assert len(adds) == 2  # big + one merged small
+    assert t.read().count() == 20_030
+    assert t.describe_history()[0]["operation"] == "COMPACT"
+    # below-2-files: no-op
+    v = t.latest_version()
+    assert t.compact(small_file_mb=0.05) == v

@@ -1454,8 +1454,12 @@ class TxTable:
         """A DV delete conflicts with any interleaved commit that
         REMOVED or overwrote one of its files (the rewrite was computed
         without this DV — publishing it against the rewritten snapshot
-        would silently drop the delete). Interleaved ``set_dv`` on the
-        same file is benign: union is idempotent and both deletes win."""
+        would silently drop the delete). Interleaved pure ``set_dv`` on
+        the same file is benign — union is idempotent, both deletes win
+        — but a DV **update** (``set_dv`` plus ``add``: it re-appended
+        updated copies of the vectored rows) is not: those copies live
+        in a file our vector does not cover, so rows we deleted would
+        survive in updated form. That combination conflicts."""
         for e in entries:
             if e["mode"] == "overwrite":
                 return f"table overwritten at version {e['version']}"
@@ -1464,6 +1468,12 @@ class TxTable:
                 return (
                     f"DV-deleted files {sorted(overlap)[:3]} were rewritten "
                     f"at version {e['version']}"
+                )
+            dv_overlap = set(e.get("set_dv") or {}) & dv_files
+            if dv_overlap and e.get("add"):
+                return (
+                    f"files {sorted(dv_overlap)[:3]} were DV-updated at "
+                    f"version {e['version']} (their rows re-added elsewhere)"
                 )
         return None
 

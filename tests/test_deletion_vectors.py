@@ -248,3 +248,16 @@ def test_reorg_purges_dvs(spark, tmp_path):
     # nothing above the ratio anymore: no-op
     v = t.latest_version()
     assert t.reorg(min_dv_ratio=0.1) == v
+
+
+def test_dv_delete_conflicts_with_interleaved_dv_update(spark, tmp_path):
+    """A DV delete computed before a DV UPDATE landed must conflict —
+    the update re-added updated copies of rows outside the delete's
+    vector, so publishing would let 'deleted' rows survive."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, 0, 50).coalesce(1))
+    base = t.latest_version()
+    touched = t.snapshot_adds(base)
+    t.update({"v": "v + 1"}, where=[("k", "=", 7)], dv=True)  # interleaves
+    with pytest.raises(CommitConflict, match="DV-updated"):
+        t._delete_dv(touched, [("k", "=", 7)], base)

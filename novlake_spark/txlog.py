@@ -542,7 +542,6 @@ class TxTable:
             dv_df = self.spark.createDataFrame(
                 dv_rows, "__f string, __idx long"
             )
-            cols = None
             df = (
                 reader.parquet(*[self._data_path(a) for a in dved])
                 .withColumn(

@@ -787,3 +787,36 @@ def test_detail_and_small_file_compaction(spark, tmp_path):
     # below-2-files: no-op
     v = t.latest_version()
     assert t.compact(small_file_mb=0.05) == v
+
+
+def test_maintenance_runbook(spark, tmp_path):
+    """The scheduled-maintenance sequence on a lived-in table: dribbled
+    commits + DV deletes in, fewer files / no heavy DVs / stats+bloom /
+    trimmed log+data out — all while staying readable and correct."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from maintenance import maintain
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(6):  # sink-style dribble
+        t.commit(_kv2(spark, i * 100, (i + 1) * 100).coalesce(1))
+    t.delete([("k", "<", 50)], dv=True)  # heavy DV on the first file
+    expect = sorted(range(50, 600))
+    report = maintain(
+        spark,
+        t.path,
+        keep_versions=2,
+        small_file_mb=1.0,
+        dv_ratio=0.1,
+        bloom_cols=["k"],
+        retain_ms=0,
+    )
+    assert sorted(r.k for r in t.read().collect()) == expect
+    after = report["after"]
+    assert after["num_files"] < report["before"]["num_files"]
+    assert after["dv_rows"] == 0
+    assert all("k" in (a.get("bloom") or {}) for a in t.snapshot_adds())
+    assert isinstance(report["vacuum"], list)
+    # log trimmed: early versions resolved only through the checkpoint
+    assert min(t.versions()) > 0

@@ -400,3 +400,68 @@ def test_batch_timestamp_as_of_option(spark, tmp_path):
         .load()
     )
     assert df.count() == 10
+
+
+def test_stateful_aggregation_over_txlog_stream(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over the txlog source,
+    written exactly-once into a txlog sink — the full lakehouse
+    streaming pipeline with Spark's stateful operators in the middle."""
+    import datetime
+
+    from pyspark.sql import functions as SF
+
+    t = TxTable(spark, str(tmp_path / "ev"))
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=m), f"u{(m // 10) % 2}", float(m))
+        for m in range(0, 120, 10)
+    ]
+    t.commit(spark.createDataFrame(rows, "ts timestamp, user string, v double"))
+    register_txlog_source(spark)
+    out_path = str(tmp_path / "agg")
+
+    def pump():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", t.path)
+            .load()
+            .withWatermark("ts", "30 minutes")
+            .groupBy(SF.window("ts", "1 hour"), "user")
+            .agg(SF.sum("v").alias("sv"), SF.count("*").alias("n"))
+            .select(SF.col("window.start").alias("ws"), "user", "sv", "n")
+            .writeStream.format("txlog")
+            .option("path", out_path)
+            .option("txnAppId", "ev-agg")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .outputMode("append")
+            .start()
+        )
+        # continuous micro-batches + processAllAvailable so the no-data
+        # batch that flushes watermark-closed windows actually runs
+        # (availableNow's single-batch fallback skips it)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    pump()
+    # append mode emits a window only after the watermark passes its
+    # end; a later event advances it, and the NEXT batch flushes
+    t.commit(
+        spark.createDataFrame(
+            [(base + datetime.timedelta(hours=5), "u0", 1.0)],
+            "ts timestamp, user string, v double",
+        )
+    )
+    pump()
+    pump()  # flush batch: state closed by the advanced watermark emits
+    got = {
+        (r.ws.isoformat(), r.user): (r.sv, r.n)
+        for r in TxTable(spark, out_path).read().collect()
+    }
+    oracle = {
+        ("2026-01-01T12:00:00", "u0"): (0 + 20 + 40, 3),
+        ("2026-01-01T12:00:00", "u1"): (10 + 30 + 50, 3),
+        ("2026-01-01T13:00:00", "u0"): (60 + 80 + 100, 3),
+        ("2026-01-01T13:00:00", "u1"): (70 + 90 + 110, 3),
+    }
+    assert got == {(k, u): (float(sv), n) for (k, u), (sv, n) in oracle.items()}

@@ -146,3 +146,73 @@ def test_true_concurrent_commits_all_land(spark, tmp_path):
     assert not errors, errors
     assert t.versions() == list(range(9))  # 1 seed + 8 racing commits
     assert t.read().count() == 1 + 8 * 10
+
+
+def test_chaos_mixed_dml_under_concurrency(spark, tmp_path):
+    """8 threads fire random DML (append / rewrite-delete / DV delete /
+    merge) at one table. Conflicts are ALLOWED to raise CommitConflict —
+    the invariants are: the log stays contiguous with one entry per
+    successful op, every snapshot in history is readable, and replay is
+    deterministic (JVM and Python planners agree at every version)."""
+    import random
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from novlake_spark.sources.txlog_source import _PyLog
+    from novlake_spark.txlog import CommitConflict
+
+    path = str(tmp_path / "t")
+    seed_t = TxTable(spark, path)
+    seed_t.commit(
+        spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    )
+    successes = []
+    hard_errors = []
+
+    def worker(i):
+        rng = random.Random(i)
+        t = TxTable(spark, path)
+        for j in range(3):
+            op = rng.choice(["append", "delete", "dv_delete", "merge"])
+            lo = rng.randrange(0, 400)
+            try:
+                if op == "append":
+                    t.commit(
+                        spark.range(1000 + i * 100 + j * 10, 1000 + i * 100 + j * 10 + 5)
+                        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+                    )
+                elif op == "delete":
+                    t.delete([("k", "=", lo)])
+                elif op == "dv_delete":
+                    t.delete([("k", "=", lo + 1)], dv=True)
+                else:
+                    t.merge(
+                        spark.range(lo, lo + 3).select(
+                            F.col("id").alias("k"), F.lit(-1).alias("v")
+                        ),
+                        key=["k"],
+                    )
+                successes.append((i, j, op))
+            except CommitConflict:
+                pass  # losing a race loudly is correct behavior
+            except Exception as e:  # pragma: no cover
+                hard_errors.append((i, j, op, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not hard_errors, hard_errors
+    t = TxTable(spark, path)
+    versions = t.versions()
+    # contiguous log, exactly one entry per successful commit
+    assert versions == list(range(len(versions)))
+    assert len(versions) == 1 + len(successes)
+    # every retained snapshot resolves identically in both planners and
+    # the latest is readable end-to-end
+    py = _PyLog(path)
+    for v in versions:
+        assert sorted(py.snapshot_files(v)) == sorted(t.snapshot_files(v))
+    assert t.read().count() > 0

@@ -1787,6 +1787,57 @@ class TxTable:
 
         return self._publish_meta(build, max_retries)
 
+    def add_column(self, name: str, dtype: str, max_retries: int = 5) -> int:
+        """ALTER TABLE ADD COLUMN — a metadata-only commit recording the
+        evolved schema. Existing files simply lack the column and the
+        snapshot-schema read surfaces it as null everywhere until rows
+        carrying it are written; no data file is touched."""
+        schema = self.schema_at()
+        if schema is None:
+            raise FileNotFoundError(f"no committed schema under {self.path}")
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        new = T.StructType(
+            schema.fields + [T.StructField(name, T._parse_datatype_string(dtype), True)]
+        )
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "schema": json.dumps(new.jsonValue()), "op": "ADD COLUMN"}
+
+        return self._publish_meta(build, max_retries)
+
+    def drop_column(self, name: str, max_retries: int = 5) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: the recorded schema
+        loses the field and every read (explicit-schema parquet scan)
+        stops projecting it; the bytes stay in the files until their
+        next natural rewrite, exactly Delta's drop semantics without
+        column mapping. RENAME is deliberately absent: physical names
+        are the only column identity this log records, so a safe rename
+        needs field IDs at first write (Iceberg/Delta column mapping) —
+        drop+add under the new name loses data and is not offered as a
+        fake rename. A column referenced by an active CHECK constraint
+        cannot be dropped."""
+        schema = self.schema_at()
+        if schema is None:
+            raise FileNotFoundError(f"no committed schema under {self.path}")
+        if name not in schema.fieldNames():
+            raise KeyError(f"no column {name!r} on {self.path}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        for cname, expr in self.constraints().items():
+            if name in expr:
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint {cname!r}"
+                )
+        new = T.StructType([f for f in schema.fields if f.name != name])
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "schema": json.dumps(new.jsonValue()), "op": "DROP COLUMN"}
+
+        return self._publish_meta(build, max_retries)
+
     def _publish_meta(self, build_entry, max_retries: int = 5) -> int:
         """Publish a data-free (metadata-only) log entry with the usual
         claim-next-version race loop; returns the committed version."""

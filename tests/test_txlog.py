@@ -820,3 +820,37 @@ def test_maintenance_runbook(spark, tmp_path):
     assert isinstance(report["vacuum"], list)
     # log trimmed: early versions resolved only through the checkpoint
     assert min(t.versions()) > 0
+
+
+def test_add_and_drop_column_metadata_only(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv2(spark, 0, 20))
+    files = sorted(os.listdir(str(tmp_path / "t" / "data")))
+    t.add_column("tag", "string")
+    assert sorted(os.listdir(str(tmp_path / "t" / "data"))) == files
+    rows = t.read().collect()
+    assert all(r.tag is None for r in rows) and len(rows) == 20
+    # new writes may carry it; old files still surface null
+    t.commit(_kv2(spark, 20, 25).withColumn("tag", F.lit("x")))
+    vals = {r.k: r.tag for r in t.read().collect()}
+    assert vals[3] is None and vals[22] == "x"
+    # drop hides the column everywhere without touching data files
+    t.drop_column("tag")
+    assert "tag" not in t.read().columns
+    # time travel still sees the pre-drop shape
+    assert "tag" in t.read(version=t.latest_version() - 1).columns
+    with _pytest.raises(KeyError):
+        t.drop_column("tag")
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_column("k", "long")
+    # constraint-referenced columns are protected
+    t.add_constraint("v_pos", "v >= 0")
+    with _pytest.raises(ValueError, match="referenced by CHECK"):
+        t.drop_column("v")
+    ops = [h["operation"] for h in t.describe_history()]
+    assert "ADD COLUMN" in ops and "DROP COLUMN" in ops

@@ -3,6 +3,7 @@ registers every query key with novlake_spark.registry."""
 
 from novlake_spark.inventory import (  # noqa: F401
     aggregates,
+    corpus,
     events,
     functions,
     joins,
@@ -20,6 +21,7 @@ from novlake_spark.inventory import (  # noqa: F401
 
 MODULES = [
     aggregates,
+    corpus,
     events,
     functions,
     joins,

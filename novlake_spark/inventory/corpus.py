@@ -1,0 +1,280 @@
+"""Corpus- and embedding-analytics query keys (SURVEY.md §2 L21–L24).
+
+Round-3 additions: cross-source contamination surface (vocabulary
+overlap), embedding-space QA (nearest-class-centroid confusion,
+norm-distribution checks) and curriculum binning — the corpus-level
+diagnostics a training-data pipeline runs *between* the per-document
+filters (quality/langid/dedup) and the final mix/pack stages.
+
+Cross-engine float discipline (what makes these FULL oracles): every
+vector reduction is a LEFT-TO-RIGHT sequential fold in both engines
+(`F.aggregate` here, `list_reduce` in DuckDB), so the IEEE sums are
+bit-identical; centroid components are rounded to 6 decimals on both
+sides before any distance math so aggregation-order noise in `avg`
+can't leak into the argmin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novlake_spark.registry import register
+from novlake_spark.sources.tables import load_table
+
+
+@register(
+    "q_llm_source_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.source = src_a
+               JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21: pairwise source-vocabulary Jaccard — the corpus-level
+    contamination/redundancy surface ("how much does crawl A share with
+    crawl B?") that decides which sources are worth deduplicating
+    against each other before the expensive document-level passes.
+
+    Scale shape: the expensive object is the distinct (source, token)
+    vocabulary — tokens stream through codegen once and the `distinct`
+    collapses map-side before its single exchange, so the shuffle
+    carries the vocabulary, never the corpus. The token self-join then
+    keys on vocabulary terms; a term present in S sources yields
+    C(S,2) pairs, bounded by the (tiny) source count squared — no
+    quadratic blowup in documents. Union sizes come from
+    inclusion–exclusion (|A∪B| = |A|+|B|−|A∩B|) off a broadcast
+    per-source size table, so no second corpus pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes).alias("sa")
+    sb = F.broadcast(sizes).alias("sb")
+    return (
+        inter.join(sa, F.col("src_a") == F.col("sa.source"))
+        .join(sb, F.col("src_b") == F.col("sb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_emb_centroid_assign",
+    oracle="""
+    WITH cent AS (
+      SELECT label AS cl, list(c ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, round(avg(v), 6) AS c
+            FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim)
+      GROUP BY label
+    ),
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    d AS (
+      SELECT e.vec_id, e.label, cent.cl,
+             list_reduce(list_transform(range(1, 65),
+                                        i -> (emb[i] - cvec[i]) * (emb[i] - cvec[i])),
+                         (a, b) -> a + b) AS dist
+      FROM e CROSS JOIN cent
+    ),
+    best AS (SELECT vec_id, label, min(struct_pack(d := dist, cl := cl)) AS b
+             FROM d GROUP BY vec_id, label)
+    SELECT label, b.cl AS assigned, count(*) AS n_vecs
+    FROM best GROUP BY label, b.cl
+    """,
+)
+def q_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22: nearest-class-centroid assignment confusion matrix — the
+    embedding-space QA check behind nearest-class-mean classification,
+    SemDeDup cell seeding and label-noise audits ("do the vectors
+    actually cluster by their label?").
+
+    Scale shape: centroids are a K·D matrix (bounded driver state, the
+    same contract as the IVF centroids in operators/knn.py) collected
+    from one map-side-combined (label, dim) partial agg; they re-enter
+    the plan as array LITERALS, so the per-vector argmin is pure
+    whole-stage codegen over a broadcast-free scan — vectors are read
+    once and never shuffled. The argmin itself is `array_min` over
+    (dist, label) structs, giving the deterministic label tie-break
+    both engines agree on.
+
+    Cross-engine exactness: centroid components round to 6 decimals on
+    both sides BEFORE the distance fold, and both folds are sequential
+    left-to-right (`F.aggregate` / `list_reduce`), so distances are
+    bit-identical and the confusion counts hash-match.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cents.setdefault(r["label"], {})[r["dim"]] = r["c"]
+
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    candidates = []
+    for label in sorted(cents):
+        comps = cents[label]
+        arr = F.array(*[F.lit(comps[d]) for d in sorted(comps)])
+        diff2 = F.zip_with(vec, arr, lambda x, y: (x - y) * (x - y))
+        dist = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+        candidates.append(F.struct(dist.alias("d"), F.lit(label).alias("cl")))
+    best = F.array_min(F.array(*candidates))
+
+    return (
+        emb.select("label", best["cl"].alias("assigned"))
+        .groupBy("label", "assigned")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+@register(
+    "q_llm_curriculum",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    q AS (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS q1,
+                 quantile_cont(CAST(n_tokens AS DOUBLE), 0.50) AS q2,
+                 quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS q3 FROM t)
+    SELECT bin, count(*) AS n_docs, min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
+    FROM (SELECT CASE WHEN n_tokens <= q1 THEN 1 WHEN n_tokens <= q2 THEN 2
+                      WHEN n_tokens <= q3 THEN 3 ELSE 4 END AS bin, n_tokens
+          FROM t CROSS JOIN q)
+    GROUP BY bin
+    """,
+)
+def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23: length-curriculum binning — assign each document to a
+    token-count quartile and report per-bin stats, the bucketing step
+    of curriculum schedules (short→long) and length-balanced batch mix.
+
+    Deliberately NOT `ntile` over a global window: a total-order window
+    is a single-reducer sort at 100 TB. Instead exact quartile
+    cut-points come from one tiny aggregate (three doubles), re-enter
+    via a broadcast 1-row cross join, and the bin assignment is a
+    map-side CASE — the only exchange left is the 4-group partial agg.
+    Boundary semantics differ from ntile's equal-split by the tie rule
+    (all docs with equal n_tokens land in one bin), which is what a
+    curriculum actually wants. Both engines use linear-interpolation
+    (type-7) quantiles, so cut-points agree exactly; n_tokens is an
+    integer compared against those cut-points, so bin edges can't
+    float-drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    q = t.agg(
+        F.expr(
+            "percentile(CAST(n_tokens AS DOUBLE), array(0.25, 0.5, 0.75))"
+        ).alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q2"), F.col("qs")[2].alias("q3")
+    )
+    binned = t.crossJoin(F.broadcast(q)).select(
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("q1"), F.lit(1))
+        .when(F.col("n_tokens") <= F.col("q2"), F.lit(2))
+        .when(F.col("n_tokens") <= F.col("q3"), F.lit(3))
+        .otherwise(F.lit(4))
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_emb_norm_stats",
+    oracle="""
+    SELECT label, count(*) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(stddev_samp(nrm), 4) AS sd_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           round(avg(c0), 4) AS avg_dim0,
+           round(min(c0), 4) AS min_dim0,
+           round(max(c0), 4) AS max_dim0
+    FROM (SELECT label,
+                 sqrt(list_reduce(list_transform(embedding,
+                                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                  (a, b) -> a + b)) AS nrm,
+                 CAST(embedding[1] AS DOUBLE) AS c0
+          FROM embeddings)
+    GROUP BY label
+    """,
+)
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: per-label embedding-norm distribution + first-component
+    range — the vector-column QA gate a pipeline runs before any
+    cosine-based stage (un-normalized or zero vectors silently corrupt
+    cosine ≡ dot-product shortcuts; this check proves ‖v‖≈1 holds, and
+    the dim-0 stats catch constant/degenerate dimensions).
+
+    Scale shape: the norm is a sequential codegen fold per vector
+    (`F.aggregate`, matching DuckDB's `list_reduce` order for
+    bit-identical sums) — one scan, map-side partial agg, shuffle
+    carries K rows of scalars. min/max/round(…,4) on avg keep the
+    cross-engine hash stable under partial-agg ordering noise.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+    )
+    nrm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    rows = emb.select(
+        "label",
+        nrm.alias("nrm"),
+        F.col("embedding")[0].cast("double").alias("c0"),
+    )
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.stddev_samp("nrm"), 4).alias("sd_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("c0"), 4).alias("avg_dim0"),
+        F.round(F.min("c0"), 4).alias("min_dim0"),
+        F.round(F.max("c0"), 4).alias("max_dim0"),
+    )

@@ -108,6 +108,10 @@ PRIORITY: list[str] = [
     "q_llm_gopher_rules",
     "q_llm_chunk",
     "q_llm_embed_centroid",
+    "q_llm_source_overlap",
+    "q_emb_centroid_assign",
+    "q_llm_curriculum",
+    "q_emb_norm_stats",
     # ---- never-graded WEAK keys (rows-only grade, by design) ----
     "q_agg_approx_percentile",
     "q_llm_dedup_near",

@@ -79,7 +79,9 @@ from novlake_spark.txlog import (
     _BLOOM_M,
     _STAT_TYPES,
     CommitConflict,
+    ProtocolError,
     SchemaMismatch,
+    TxTable,
     _bloom_positions,
     _is_superset,
     _stat_value,
@@ -169,9 +171,10 @@ class _PyLog:
 
     def full_state(
         self, version: int | None = None
-    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str]]:
-        """(live add-actions, schema json, txn→version, constraints) —
-        checkpoint + entry-tail fold, mirroring ``TxTable._state_at``.
+    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str], dict[str, int]]:
+        """(live add-actions, schema json, txn→version, constraints,
+        protocol) — checkpoint + entry-tail fold, mirroring
+        ``TxTable._state_at`` (including its reader-side protocol gate).
 
         A concurrent ``clean_log`` can delete an entry between our
         listing and our read; one re-resolution retry against the fresh
@@ -184,12 +187,13 @@ class _PyLog:
 
     def _full_state_once(
         self, version: int | None = None
-    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str]]:
+    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str], dict[str, int]]:
         vs, cps = self.versions(), self.checkpoints()
+        protocol = {"min_reader": 1, "min_writer": 1}
         if version is None:
             heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
             if not heads:
-                return [], None, {}, {}
+                return [], None, {}, {}, protocol
             upto = max(heads)
         else:
             upto = version
@@ -202,6 +206,7 @@ class _PyLog:
             adds, schema_json = doc["adds"], doc.get("schema")
             txns = dict(doc.get("txns", {}))
             constraints = dict(doc.get("constraints", {}))
+            protocol = dict(doc.get("protocol", protocol))
         else:
             adds, schema_json, txns, constraints = [], None, {}, {}
         entries = [self.read_entry(v) for v in vs if (cp is None or v > cp) and v <= upto]
@@ -213,10 +218,18 @@ class _PyLog:
             constraints.update(e.get("set_constraints", {}))
             for name in e.get("drop_constraints", []):
                 constraints.pop(name, None)
-        return replay_adds(entries, base=adds), schema_json, txns, constraints
+            if "protocol" in e:
+                protocol = dict(e["protocol"])
+        if protocol.get("min_reader", 1) > TxTable.READER_VERSION:
+            raise ProtocolError(
+                f"{self.path} requires min_reader={protocol['min_reader']} "
+                f"but this client supports {TxTable.READER_VERSION}; "
+                "upgrade the client to read this table"
+            )
+        return replay_adds(entries, base=adds), schema_json, txns, constraints, protocol
 
     def state_at(self, version: int | None = None) -> tuple[list[dict], str | None]:
-        adds, schema_json, _, _ = self.full_state(version)
+        adds, schema_json, _, _, _ = self.full_state(version)
         return adds, schema_json
 
     def try_publish(self, entry: dict) -> bool:
@@ -229,6 +242,14 @@ class _PyLog:
         entry."""
         import time as _time
 
+        if entry["version"] > 0:  # version 0 creates the table
+            proto = self.full_state()[4]
+            if proto.get("min_writer", 1) > TxTable.WRITER_VERSION:
+                raise ProtocolError(
+                    f"{self.path} requires min_writer={proto['min_writer']} "
+                    f"but this client supports {TxTable.WRITER_VERSION}; "
+                    "upgrade the client to write this table"
+                )
         entry.setdefault("ts_ms", int(_time.time() * 1000))
         tmp_dir = os.path.join(self._log, "_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
@@ -674,7 +695,7 @@ class _WriterCore:
     def _publish(self, messages, txn: str | None, max_retries: int = 20) -> int:
         adds = self._adds(messages)
         for _ in range(max_retries):
-            _, cur_schema_json, txns, constraints = self._log.full_state()
+            _, cur_schema_json, txns, constraints, _ = self._log.full_state()
             if txn is not None and txn in txns:
                 # replayed batch: the table already has this commit;
                 # this run's landed files are orphans

@@ -72,6 +72,15 @@ class ConstraintViolation(Exception):
     evaluates to FALSE (SQL-standard semantics: NULL passes)."""
 
 
+class ProtocolError(Exception):
+    """The table's protocol action demands a newer reader or writer than
+    this implementation supports. Refusing loudly is the point: a
+    client that silently ignored actions it doesn't understand (a
+    future DV encoding, a new remove semantics) would return wrong rows
+    or publish a commit that corrupts state for every newer client —
+    the exact failure Delta's protocol action exists to prevent."""
+
+
 def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dict]:
     """Fold ordered log entries into the live add-actions (pure function
     — :meth:`TxTable.snapshot_adds` is this over the persisted log).
@@ -304,6 +313,18 @@ class TxTable:
     #: commits accumulate.
     checkpoint_interval: int = 10
 
+    #: Protocol capability of THIS implementation (Delta's protocol
+    #: action, simplified to two integers). Tables carry a
+    #: ``{"protocol": {"min_reader": r, "min_writer": w}}`` action
+    #: (absent = 1/1); state resolution refuses to proceed when
+    #: ``min_reader`` exceeds READER_VERSION and every publish refuses
+    #: when ``min_writer`` exceeds WRITER_VERSION — so an older client
+    #: can never misread actions it doesn't understand or publish a
+    #: commit that ignores invariants a newer feature established.
+    #: Version 2 is current (deletion vectors + column DDL era).
+    READER_VERSION: int = 2
+    WRITER_VERSION: int = 2
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -360,8 +381,20 @@ class TxTable:
 
         Every entry is stamped ``ts_ms`` (commit wall time) here — the
         single choke point all JVM-side publishes pass through — which
-        is what ``TIMESTAMP AS OF`` time travel resolves against.
+        is what ``TIMESTAMP AS OF`` time travel resolves against. Being
+        the choke point also makes it the writer-side protocol gate: a
+        client below the table's ``min_writer`` must not publish at all
+        (its commit could silently break an invariant a newer feature
+        relies on).
         """
+        if entry["version"] > 0:  # version 0 creates the table; nothing to gate
+            proto = self._state_at(None)[4]
+            if proto.get("min_writer", 1) > self.WRITER_VERSION:
+                raise ProtocolError(
+                    f"{self.path} requires min_writer={proto['min_writer']} "
+                    f"but this client supports {self.WRITER_VERSION}; "
+                    "upgrade the client to write this table"
+                )
         entry.setdefault(
             "ts_ms", int(self.spark._jvm.java.lang.System.currentTimeMillis())
         )
@@ -412,7 +445,7 @@ class TxTable:
         upto = self.latest_version() if version is None else version
         if upto is None:
             raise FileNotFoundError(f"nothing to checkpoint under {self.path}")
-        adds, schema_json, txns, constraints = self._state_at(upto)
+        adds, schema_json, txns, constraints, protocol = self._state_at(upto)
         doc = {"version": upto, "adds": adds}
         if schema_json is not None:
             doc["schema"] = schema_json
@@ -420,6 +453,8 @@ class TxTable:
             doc["txns"] = txns
         if constraints:
             doc["constraints"] = constraints
+        if protocol != {"min_reader": 1, "min_writer": 1}:
+            doc["protocol"] = protocol
         tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
         out = self._fs.create(tmp, False)
         try:
@@ -453,19 +488,27 @@ class TxTable:
     # -- snapshot resolution -----------------------------------------------
     def _state_at(
         self, version: int | None = None
-    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str]]:
+    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str], dict[str, int]]:
         """(live add-actions, schema json, txn→version map, constraint
-        name→expr map) at ``version``: nearest checkpoint ≤ version,
-        then fold the entry tail. The txn and constraint maps ride the
-        checkpoint so :meth:`clean_log` never forgets an idempotency
-        marker (a replayed foreachBatch batch must stay a no-op even
-        after its entry is cleaned) or an active CHECK constraint."""
+        name→expr map, protocol) at ``version``: nearest checkpoint ≤
+        version, then fold the entry tail. The txn/constraint/protocol
+        maps ride the checkpoint so :meth:`clean_log` never forgets an
+        idempotency marker (a replayed foreachBatch batch must stay a
+        no-op even after its entry is cleaned), an active CHECK
+        constraint, or a protocol upgrade.
+
+        Raises :class:`ProtocolError` when the folded protocol demands a
+        reader newer than this implementation — enforced HERE, the one
+        choke point every snapshot/DML/CDF/maintenance consumer resolves
+        state through, so no code path can act on actions it might not
+        fully understand."""
         vs = self.versions()
         cps = self.checkpoints()
+        protocol = {"min_reader": 1, "min_writer": 1}
         if version is None:
             heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
             if not heads:
-                return [], None, {}, {}
+                return [], None, {}, {}, protocol
             upto = max(heads)
         else:
             upto = version
@@ -477,6 +520,7 @@ class TxTable:
             adds, schema_json = doc["adds"], doc.get("schema")
             txns = dict(doc.get("txns", {}))
             constraints = dict(doc.get("constraints", {}))
+            protocol = dict(doc.get("protocol", protocol))
         else:
             adds, schema_json, txns, constraints = [], None, {}, {}
         entries = [self._read_entry(v) for v in vs if (cp is None or v > cp) and v <= upto]
@@ -488,7 +532,15 @@ class TxTable:
             constraints.update(e.get("set_constraints", {}))
             for name in e.get("drop_constraints", []):
                 constraints.pop(name, None)
-        return replay_adds(entries, base=adds), schema_json, txns, constraints
+            if "protocol" in e:
+                protocol = dict(e["protocol"])
+        if protocol.get("min_reader", 1) > self.READER_VERSION:
+            raise ProtocolError(
+                f"{self.path} requires min_reader="
+                f"{protocol['min_reader']} but this client supports "
+                f"{self.READER_VERSION}; upgrade the client to read this table"
+            )
+        return replay_adds(entries, base=adds), schema_json, txns, constraints, protocol
 
     def snapshot_adds(self, version: int | None = None) -> list[dict]:
         """Live add-actions (file + stats) at ``version`` (default latest)."""
@@ -502,6 +554,49 @@ class TxTable:
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints: name → SQL boolean expression."""
         return self._state_at(None)[3]
+
+    def protocol(self) -> dict[str, int]:
+        """The table's current protocol action (min_reader/min_writer);
+        ``{"min_reader": 1, "min_writer": 1}`` when never upgraded."""
+        return self._state_at(None)[4]
+
+    def upgrade_protocol(
+        self,
+        min_reader: int | None = None,
+        min_writer: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Raise the table's protocol requirement (metadata-only
+        commit). Monotone only — a downgrade would un-protect actions
+        already in the log — and capped at what THIS client itself
+        supports, so you cannot brick your own table with a version
+        nothing can read yet."""
+        cur = self.protocol()
+        new = {
+            "min_reader": max(cur["min_reader"], min_reader or 1),
+            "min_writer": max(cur["min_writer"], min_writer or 1),
+        }
+        if min_reader is not None and min_reader < cur["min_reader"]:
+            raise ValueError(
+                f"protocol downgrade min_reader {cur['min_reader']}→{min_reader}"
+            )
+        if min_writer is not None and min_writer < cur["min_writer"]:
+            raise ValueError(
+                f"protocol downgrade min_writer {cur['min_writer']}→{min_writer}"
+            )
+        if new["min_reader"] > self.READER_VERSION or new["min_writer"] > self.WRITER_VERSION:
+            raise ValueError(
+                f"cannot require {new} beyond this client's own support "
+                f"(reader {self.READER_VERSION}, writer {self.WRITER_VERSION})"
+            )
+        if new == cur:
+            return self.latest_version()
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "protocol": new, "op": "UPGRADE PROTOCOL"}
+
+        return self._publish_meta(build, max_retries)
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
         """File names live at ``version`` (default: latest), by log replay."""
@@ -650,6 +745,7 @@ class TxTable:
             "dv_rows": sum(len(a.get("dv", [])) for a in adds),
             "columns": [f.name for f in schema.fields] if schema else [],
             "constraints": sorted(self.constraints()),
+            "protocol": self.protocol(),
             "versions_retained": len(self.versions()),
             "latest_version": self.latest_version(),
         }
@@ -704,6 +800,12 @@ class TxTable:
         self._fs.mkdirs(self._jpath(f"{self.path}/data"))
         for s in self._fs.globStatus(self._jpath(f"{staging}/*.parquet")) or []:
             orig = s.getPath().getName()
+            if collect_stats and orig not in stats_by_file:
+                # zero-row partition file (the stats job groups every
+                # EXISTING row by file, so absence == empty). Committing
+                # it would bloat the log and every scan's file list with
+                # schema-only stubs — one per idle partition per commit.
+                continue
             size = int(s.getLen())
             name = f"{uuid.uuid4().hex}.parquet"
             if not self._fs.rename(s.getPath(), self._jpath(f"{self.path}/data/{name}")):
@@ -1879,12 +1981,15 @@ class TxTable:
                 return base
         files = [a["file"] for a in adds]
         merged = self._read_adds(adds, self.schema_at(target_version))
-        if small_file_mb is not None:
-            # the whole point is FEWER files: pack the small set into
-            # ~small_file_mb-sized outputs (its combined size is modest
-            # by construction, so this coalesce is cheap)
-            total = sum(a.get("bytes") or 0 for a in adds)
-            merged = merged.coalesce(max(1, total // max(1, int(small_file_mb * 1024 * 1024))))
+        # the whole point is FEWER files: pack into ~target-sized
+        # outputs. coalesce (not repartition) — a partition-count cut
+        # with NO shuffle, so compaction streams scan→write. Full
+        # compactions default to 128 MB targets (the usual
+        # maxPartitionBytes-aligned size); small-file mode packs to the
+        # caller's threshold.
+        target_mb = small_file_mb if small_file_mb is not None else 128.0
+        total = sum(a.get("bytes") or 0 for a in adds)
+        merged = merged.coalesce(max(1, total // max(1, int(target_mb * 1024 * 1024))))
         return self.commit(merged, mode="append", remove=files, base_version=base, op="COMPACT")
 
     def optimize(
@@ -1956,6 +2061,36 @@ class TxTable:
         else:
             clustered = df.repartition(n_out)
         return self.commit(clustered, mode="append", remove=files, base_version=base, op="OPTIMIZE")
+
+    def fsck(self, repair: bool = False) -> list[str]:
+        """FSCK [REPAIR]: list the current snapshot's add-actions whose
+        data file is MISSING from storage (a failed object-store
+        multipart op, a manual delete, an over-eager external cleaner
+        — the one corruption a log-first design can't prevent, only
+        detect). With ``repair=True``, publish one metadata commit
+        removing the dangling references so every subsequent read
+        succeeds again instead of failing mid-scan; the rows those
+        files held are gone either way and the repair makes that
+        explicit in history (op ``FSCK REPAIR``) rather than implicit
+        in a scan error.
+
+        Note: a change-feed window that spans the repaired commit will
+        (correctly) refuse to materialize row-level deletes for files
+        whose bytes no longer exist.
+        """
+        missing = [
+            a["file"]
+            for a in self.snapshot_adds()
+            if not self._fs.exists(self._jpath(self._data_path(a)))
+        ]
+        if repair and missing:
+
+            def build(v: int) -> dict:
+                return {"version": v, "mode": "append", "add": [],
+                        "remove": missing, "op": "FSCK REPAIR"}
+
+            self._publish_meta(build)
+        return missing
 
     def vacuum(self, keep_from_version: int, retain_ms: int = 3_600_000) -> list[str]:
         """Delete data files not referenced by any snapshot >= the

@@ -73,9 +73,12 @@ def test_dv_fallback_to_rewrite_above_cap(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.commit(_kv(spark, 0, 100))
     t.dv_max_rows = 3
-    before = _files_on_disk(t.path)
+    before = set(t.snapshot_files())
     t.delete([("k", "<", 50)], dv=True)  # 50 matches > cap: rewrite path
-    assert _files_on_disk(t.path) != before
+    # rewrite semantics, not DV: the touched files left the snapshot
+    # (fully-deleted files produce no replacement at all — zero-row
+    # outputs are never committed), and no deletion vector exists
+    assert set(t.snapshot_files()) != before
     assert not any(a.get("dv") for a in t.snapshot_adds())
     assert t.read().count() == 50
 

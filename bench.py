@@ -54,6 +54,8 @@ HEADLINE = [
     "q_sample_reservoir",
     "q_llm_gopher_rules",
     "q_llm_chunk",
+    "q_llm_source_overlap",
+    "q_emb_centroid_assign",
 ]
 
 

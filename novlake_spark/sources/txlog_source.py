@@ -171,10 +171,13 @@ class _PyLog:
 
     def full_state(
         self, version: int | None = None
-    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str], dict[str, int]]:
+    ) -> tuple[
+        list[dict], str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]
+    ]:
         """(live add-actions, schema json, txn→version, constraints,
-        protocol) — checkpoint + entry-tail fold, mirroring
-        ``TxTable._state_at`` (including its reader-side protocol gate).
+        protocol, identity watermarks) — checkpoint + entry-tail fold,
+        mirroring ``TxTable._state_at`` (including its reader-side
+        protocol gate).
 
         A concurrent ``clean_log`` can delete an entry between our
         listing and our read; one re-resolution retry against the fresh
@@ -187,13 +190,16 @@ class _PyLog:
 
     def _full_state_once(
         self, version: int | None = None
-    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str], dict[str, int]]:
+    ) -> tuple[
+        list[dict], str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]
+    ]:
         vs, cps = self.versions(), self.checkpoints()
         protocol = {"min_reader": 1, "min_writer": 1}
+        identity: dict[str, int] = {}
         if version is None:
             heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
             if not heads:
-                return [], None, {}, {}, protocol
+                return [], None, {}, {}, protocol, identity
             upto = max(heads)
         else:
             upto = version
@@ -207,6 +213,7 @@ class _PyLog:
             txns = dict(doc.get("txns", {}))
             constraints = dict(doc.get("constraints", {}))
             protocol = dict(doc.get("protocol", protocol))
+            identity = dict(doc.get("identity", {}))
         else:
             adds, schema_json, txns, constraints = [], None, {}, {}
         entries = [self.read_entry(v) for v in vs if (cp is None or v > cp) and v <= upto]
@@ -220,16 +227,18 @@ class _PyLog:
                 constraints.pop(name, None)
             if "protocol" in e:
                 protocol = dict(e["protocol"])
+            for c, w in e.get("identity", {}).items():
+                identity[c] = max(identity.get(c, int(w)), int(w))
         if protocol.get("min_reader", 1) > TxTable.READER_VERSION:
             raise ProtocolError(
                 f"{self.path} requires min_reader={protocol['min_reader']} "
                 f"but this client supports {TxTable.READER_VERSION}; "
                 "upgrade the client to read this table"
             )
-        return replay_adds(entries, base=adds), schema_json, txns, constraints, protocol
+        return replay_adds(entries, base=adds), schema_json, txns, constraints, protocol, identity
 
     def state_at(self, version: int | None = None) -> tuple[list[dict], str | None]:
-        adds, schema_json, _, _, _ = self.full_state(version)
+        adds, schema_json = self.full_state(version)[:2]
         return adds, schema_json
 
     def try_publish(self, entry: dict) -> bool:
@@ -695,7 +704,7 @@ class _WriterCore:
     def _publish(self, messages, txn: str | None, max_retries: int = 20) -> int:
         adds = self._adds(messages)
         for _ in range(max_retries):
-            _, cur_schema_json, txns, constraints, _ = self._log.full_state()
+            _, cur_schema_json, txns, constraints, _, identity = self._log.full_state()
             if txn is not None and txn in txns:
                 # replayed batch: the table already has this commit;
                 # this run's landed files are orphans
@@ -709,6 +718,15 @@ class _WriterCore:
                 raise NotImplementedError(
                     f"table {self._log.path} has CHECK constraints "
                     f"{sorted(constraints)}; write through TxTable.commit"
+                )
+            if identity:
+                # identity allocation + watermark advance live in
+                # TxTable.commit; a Python-side commit would hand out
+                # colliding ids. Refuse rather than corrupt.
+                self._discard(messages)
+                raise NotImplementedError(
+                    f"table {self._log.path} has identity column "
+                    f"{sorted(identity)}; write through TxTable.commit"
                 )
             schema_action = self._schema_action(cur_schema_json)
             latest = self._log.latest_version()

@@ -445,7 +445,7 @@ class TxTable:
         upto = self.latest_version() if version is None else version
         if upto is None:
             raise FileNotFoundError(f"nothing to checkpoint under {self.path}")
-        adds, schema_json, txns, constraints, protocol = self._state_at(upto)
+        adds, schema_json, txns, constraints, protocol, identity = self._state_at(upto)
         doc = {"version": upto, "adds": adds}
         if schema_json is not None:
             doc["schema"] = schema_json
@@ -455,6 +455,8 @@ class TxTable:
             doc["constraints"] = constraints
         if protocol != {"min_reader": 1, "min_writer": 1}:
             doc["protocol"] = protocol
+        if identity:
+            doc["identity"] = identity
         tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
         out = self._fs.create(tmp, False)
         try:
@@ -488,14 +490,17 @@ class TxTable:
     # -- snapshot resolution -----------------------------------------------
     def _state_at(
         self, version: int | None = None
-    ) -> tuple[list[dict], str | None, dict[str, int], dict[str, str], dict[str, int]]:
+    ) -> tuple[
+        list[dict], str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]
+    ]:
         """(live add-actions, schema json, txn→version map, constraint
-        name→expr map, protocol) at ``version``: nearest checkpoint ≤
-        version, then fold the entry tail. The txn/constraint/protocol
-        maps ride the checkpoint so :meth:`clean_log` never forgets an
-        idempotency marker (a replayed foreachBatch batch must stay a
-        no-op even after its entry is cleaned), an active CHECK
-        constraint, or a protocol upgrade.
+        name→expr map, protocol, identity watermarks) at ``version``:
+        nearest checkpoint ≤ version, then fold the entry tail. The
+        txn/constraint/protocol/identity maps ride the checkpoint so
+        :meth:`clean_log` never forgets an idempotency marker (a
+        replayed foreachBatch batch must stay a no-op even after its
+        entry is cleaned), an active CHECK constraint, a protocol
+        upgrade, or an allocated id range.
 
         Raises :class:`ProtocolError` when the folded protocol demands a
         reader newer than this implementation — enforced HERE, the one
@@ -505,10 +510,11 @@ class TxTable:
         vs = self.versions()
         cps = self.checkpoints()
         protocol = {"min_reader": 1, "min_writer": 1}
+        identity: dict[str, int] = {}
         if version is None:
             heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
             if not heads:
-                return [], None, {}, {}, protocol
+                return [], None, {}, {}, protocol, identity
             upto = max(heads)
         else:
             upto = version
@@ -521,6 +527,7 @@ class TxTable:
             txns = dict(doc.get("txns", {}))
             constraints = dict(doc.get("constraints", {}))
             protocol = dict(doc.get("protocol", protocol))
+            identity = dict(doc.get("identity", {}))
         else:
             adds, schema_json, txns, constraints = [], None, {}, {}
         entries = [self._read_entry(v) for v in vs if (cp is None or v > cp) and v <= upto]
@@ -534,13 +541,18 @@ class TxTable:
                 constraints.pop(name, None)
             if "protocol" in e:
                 protocol = dict(e["protocol"])
+            # watermarks fold as a MAX, never last-wins: a commit that
+            # only re-adds old rows (compaction) must not regress the
+            # high-water mark a later allocation depends on
+            for c, w in e.get("identity", {}).items():
+                identity[c] = max(identity.get(c, int(w)), int(w))
         if protocol.get("min_reader", 1) > self.READER_VERSION:
             raise ProtocolError(
                 f"{self.path} requires min_reader="
                 f"{protocol['min_reader']} but this client supports "
                 f"{self.READER_VERSION}; upgrade the client to read this table"
             )
-        return replay_adds(entries, base=adds), schema_json, txns, constraints, protocol
+        return replay_adds(entries, base=adds), schema_json, txns, constraints, protocol, identity
 
     def snapshot_adds(self, version: int | None = None) -> list[dict]:
         """Live add-actions (file + stats) at ``version`` (default latest)."""
@@ -559,6 +571,58 @@ class TxTable:
         """The table's current protocol action (min_reader/min_writer);
         ``{"min_reader": 1, "min_writer": 1}`` when never upgraded."""
         return self._state_at(None)[4]
+
+    def identity(self) -> dict[str, int]:
+        """Identity columns: column → current high-water mark (the
+        largest value any commit has allocated or observed)."""
+        return self._state_at(None)[5]
+
+    def set_identity(self, col: str, start: int = 1, max_retries: int = 5) -> int:
+        """Declare ``col`` as the table's identity column (Delta's
+        ``GENERATED BY DEFAULT AS IDENTITY``): appends that DON'T carry
+        the column get monotonically increasing BIGINT values allocated
+        at commit time; appends that do carry it keep their values and
+        only advance the watermark.
+
+        Values are unique and increasing but GAPPY (same contract Delta
+        documents): allocation is ``high_water + 1 +
+        monotonically_increasing_id()``, so each partition starts at its
+        own 2^33-aligned offset and the watermark advances to the max
+        actually written (recorded from the commit's own file stats —
+        no extra job). Gap-free sequences would need a total order =
+        single-reducer sort per commit; wrong trade at scale.
+
+        If the column already exists its type must be integral and the
+        watermark starts at max(existing values, start-1) — from add-
+        action stats, O(log), no data scan. One identity column per
+        table."""
+        cur = self.identity()
+        if cur and col not in cur:
+            raise ValueError(
+                f"{self.path} already has identity column {sorted(cur)[0]!r}"
+            )
+        hw = start - 1
+        schema = self.schema_at()
+        if schema is not None and col in schema.fieldNames():
+            if not isinstance(schema[col].dataType, (T.IntegerType, T.LongType)):
+                raise ValueError(
+                    f"identity column {col!r} must be integral, is "
+                    f"{schema[col].dataType.simpleString()}"
+                )
+            for a in self.snapshot_adds():
+                stats = (a.get("stats") or {}).get(col)
+                if stats is None:
+                    raise ValueError(
+                        f"file {a['file']} has no stats for {col!r}; run "
+                        "analyze() first so the watermark can seed from max"
+                    )
+                hw = max(hw, int(stats[1]))
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "identity": {col: hw}, "op": "SET IDENTITY"}
+
+        return self._publish_meta(build, max_retries)
 
     def upgrade_protocol(
         self,
@@ -746,6 +810,7 @@ class TxTable:
             "columns": [f.name for f in schema.fields] if schema else [],
             "constraints": sorted(self.constraints()),
             "protocol": self.protocol(),
+            "identity": self.identity(),
             "versions_retained": len(self.versions()),
             "latest_version": self.latest_version(),
         }
@@ -1055,6 +1120,28 @@ class TxTable:
         if base_version is None:
             latest = self.latest_version()
             base_version = latest if latest is not None else -1
+        # Identity allocation: rows WITHOUT the declared column get
+        # high_water + 1 + monotonically_increasing_id() — unique,
+        # increasing, gappy (see set_identity). id_base remembers the
+        # log tail the watermark was read at: an interleaved identity
+        # advance after it means a rival allocated from the same
+        # watermark, and since our values are already baked into
+        # written files, that race must CONFLICT, not rebase.
+        identity = self.identity()
+        id_assigned = False
+        id_base = self.latest_version() if identity else None
+        if identity:
+            if not collect_stats:
+                raise ValueError(
+                    "identity tables need collect_stats=True (the "
+                    "watermark advances from the commit's file stats)"
+                )
+            for c, hw in identity.items():
+                if c not in df.columns:
+                    df = df.withColumn(
+                        c, F.lit(int(hw) + 1) + F.monotonically_increasing_id()
+                    )
+                    id_assigned = True
         schema_json = self._check_schema(df, mode)
         if cluster_by:
             # Ingest-time clustering: range-partition + sort the commit
@@ -1090,7 +1177,32 @@ class TxTable:
                 if why is not None:
                     discard()
                     raise CommitConflict(f"{self.path}: {why}")
+            if id_assigned:
+                rivals = [
+                    self._read_entry(v)
+                    for v in vs
+                    if id_base is None or v > id_base
+                ]
+                if any("identity" in e for e in rivals):
+                    discard()
+                    raise CommitConflict(
+                        f"{self.path}: an interleaved commit advanced the "
+                        "identity watermark this commit allocated from; "
+                        "its ids may collide — retry the whole operation"
+                    )
             entry = {"version": version, "mode": mode, "add": adds, "remove": sorted(remove_set)}
+            if identity:
+                advanced = {}
+                for c, hw in identity.items():
+                    highs = [
+                        int(a["stats"][c][1])
+                        for a in adds
+                        if (a.get("stats") or {}).get(c) is not None
+                    ]
+                    if highs and max(highs) > int(hw):
+                        advanced[c] = max(highs)
+                if advanced:
+                    entry["identity"] = advanced
             if op is not None:
                 entry["op"] = op
             if set_dv:

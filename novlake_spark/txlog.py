@@ -206,6 +206,10 @@ def file_matches(add: dict, predicates: list[tuple]) -> bool:
 _BLOOM_M = 8192  # bits per file per column (1 KiB)
 _BLOOM_K = 4
 
+#: Constraint-name prefix marking a generated column's backing CHECK
+#: constraint (``__gen__price = CHECK (price <=> (qty * unit))``).
+_GEN_PREFIX = "__gen__"
+
 
 def _bloom_positions(value: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
     """Python-side probe positions; mirrors the SQL in _write_data."""
@@ -623,6 +627,56 @@ class TxTable:
                     "identity": {col: hw}, "op": "SET IDENTITY"}
 
         return self._publish_meta(build, max_retries)
+
+    def generated_columns(self) -> dict[str, str]:
+        """Generated columns: column → SQL expression. Stored alongside
+        the CHECK constraints (a generated column IS a constraint —
+        ``col <=> (expr)`` — plus commit-time computation), so it rides
+        the same checkpoint/clean_log plumbing with zero new state."""
+        out = {}
+        for name, expr in self.constraints().items():
+            if name.startswith(_GEN_PREFIX):
+                col = name.removeprefix(_GEN_PREFIX)
+                out[col] = expr.removeprefix(f"{col} <=> (").removesuffix(")")
+        return out
+
+    def set_generated(self, col: str, expr: str, max_retries: int = 5) -> int:
+        """Declare ``col`` as GENERATED ALWAYS AS (``expr``) — Delta's
+        generated columns. Commits that DON'T carry the column get it
+        computed server-side; commits that DO carry it are validated
+        against the expression (null-safe equality) and rejected on
+        mismatch, so the invariant "col == expr(row)" holds for every
+        committed row — which is what lets a query planner substitute
+        the expression for the column (Delta uses this for partition
+        pruning on ``date_trunc`` -style derived partition keys).
+
+        Implemented as a CHECK constraint ``col <=> (expr)`` plus
+        commit-time computation — enforcement and metadata plumbing
+        (checkpoints, clean_log, conflict surface) are shared with
+        :meth:`add_constraint` rather than duplicated."""
+        if col in self.identity():
+            raise ValueError(f"{col!r} is an identity column")
+        schema = self.schema_at()
+        if (
+            schema is not None
+            and col not in schema.fieldNames()
+            and self.snapshot_adds()
+        ):
+            raise ValueError(
+                f"{col!r} does not exist on {self.path} and the table has "
+                "rows; backfill first (update/overwrite with the computed "
+                "column), then declare it generated"
+            )
+        return self.add_constraint(
+            f"{_GEN_PREFIX}{col}", f"{col} <=> ({expr})", max_retries
+        )
+
+    def drop_generated(self, col: str, max_retries: int = 5) -> int:
+        """Stop generating/validating ``col`` (the column itself and its
+        existing values stay — only the rule goes)."""
+        if col not in self.generated_columns():
+            raise KeyError(f"no generated column {col!r} on {self.path}")
+        return self.drop_constraint(f"{_GEN_PREFIX}{col}", max_retries)
 
     def upgrade_protocol(
         self,
@@ -1106,6 +1160,17 @@ class TxTable:
         # Conflict detection below treats those files like removes.
         dv_set = set(set_dv or {})
         active = self.constraints()
+        # generated columns compute BEFORE validation: a df lacking the
+        # column gets it from the expression (then trivially passes its
+        # backing CHECK); a df carrying it is validated against the
+        # expression by that same CHECK — one enforcement path
+        for name, cexpr in active.items():
+            if name.startswith(_GEN_PREFIX):
+                gcol = name.removeprefix(_GEN_PREFIX)
+                if gcol not in df.columns:
+                    # the CHECK is "col <=> (expr)"; strip to the expr
+                    gexpr = cexpr.removeprefix(f"{gcol} <=> ")
+                    df = df.withColumn(gcol, F.expr(gexpr))
         if active:
             self._validate_constraints(df, active)
 

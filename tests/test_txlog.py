@@ -817,6 +817,7 @@ def test_maintenance_runbook(spark, tmp_path):
     assert after["num_files"] < report["before"]["num_files"]
     assert after["dv_rows"] == 0
     assert all("k" in (a.get("bloom") or {}) for a in t.snapshot_adds())
+    assert report["fsck"] == []  # no dangling references on a healthy table
     assert isinstance(report["vacuum"], list)
     # log trimmed: early versions resolved only through the checkpoint
     assert min(t.versions()) > 0

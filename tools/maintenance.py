@@ -1,6 +1,8 @@
 """One-shot table maintenance: the job you schedule nightly per
 transaction-logged table. Runs, in dependency order:
 
+0. ``fsck``          — REPORT dangling file references (repair is a
+   human decision: it acknowledges data loss)
 1. ``checkpoint``    — fold the log so reads stay O(1 + tail)
 2. ``compact``       — merge small files (streaming-sink dribble)
 3. ``reorg``         — materialize heavy deletion vectors away
@@ -53,6 +55,7 @@ def maintain(
         except CommitConflict as exc:  # a live writer won; try next run
             report[name] = f"skipped: {exc}"
 
+    step("fsck", lambda: t.fsck())  # report-only: dangling refs need a human call
     step("checkpoint", lambda: t.checkpoint())
     step("compact_small", lambda: t.compact(small_file_mb=small_file_mb))
     step("reorg_dv", lambda: t.reorg(min_dv_ratio=dv_ratio))

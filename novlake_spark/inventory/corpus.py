@@ -226,6 +226,63 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_emb_gram",
+    oracle="""
+    WITH e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+                      generate_subscripts(embedding, 1) - 1 AS i, vec_id
+               FROM embeddings)
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           round(avg(a.v * b.v), 6) AS e_xy,
+           count(*) AS n_vecs
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25: upper-triangle Gram / second-moment matrix E[x_i·x_j] of the
+    embedding column — the one-pass sufficient statistic behind PCA,
+    whitening, and covariance-drift monitoring (cov = E[xy] − μ_i·μ_j,
+    with μ from the centroid key [[q_llm_embed_centroid]]).
+
+    Scale shape: the D(D+1)/2 products per vector are generated INSIDE
+    codegen (nested `transform` over a `slice`, no join, no second
+    scan), and the (i, j) hash aggregate collapses map-side, so the
+    single exchange carries D²/2 partial sums per task — never rows.
+    At this fixture's D=64 that is 2,080 cells; for D in the thousands
+    the right variant is a per-partition NumPy matmul in `mapInPandas`
+    tree-reduced to the driver — same output, fewer flops per cell —
+    which is exactly the `knn.py` IVF trade documented there.
+
+    DuckDB mirrors with an index self-join; round(…,6) absorbs
+    partial-agg ordering noise in the mean.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pairs = F.flatten(
+        F.transform(
+            vec,
+            lambda x, i: F.transform(
+                F.slice(vec, i + 1, F.size(vec)),
+                lambda y, j: F.struct(
+                    i.alias("i"), (i + j).alias("j"), (x * y).alias("xy")
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.i").cast("long").alias("dim_i"),
+            F.col("p.j").cast("long").alias("dim_j"),
+        )
+        .agg(
+            F.round(F.avg("p.xy"), 6).alias("e_xy"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@register(
     "q_emb_norm_stats",
     oracle="""
     SELECT label, count(*) AS n_vecs,

@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "q_emb_centroid_assign",
     "q_llm_curriculum",
     "q_emb_norm_stats",
+    "q_emb_gram",
     # ---- never-graded WEAK keys (rows-only grade, by design) ----
     "q_agg_approx_percentile",
     "q_llm_dedup_near",

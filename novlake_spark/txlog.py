@@ -823,12 +823,13 @@ class TxTable:
                 raise ValueError("pass version OR timestamp_ms, not both")
             version = self.version_at_time(timestamp_ms)
         adds = self.snapshot_adds(version)
-        if not adds:
-            raise FileNotFoundError(f"no committed data under {self.path}")
         if where:
             adds = [a for a in adds if file_matches(a, where)]
         schema = self.schema_at(version)
         if not adds:
+            # a recorded schema means the table EXISTS (possibly
+            # legitimately empty — e.g. a full delete); only a table
+            # with no schema at all was never committed to
             if schema is None:
                 raise FileNotFoundError(f"no committed data under {self.path}")
             return self.spark.createDataFrame([], schema)

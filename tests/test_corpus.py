@@ -6,6 +6,7 @@ import re
 from novlake_spark import plans
 from novlake_spark.inventory.corpus import (
     q_emb_centroid_assign,
+    q_emb_gram,
     q_emb_norm_stats,
     q_llm_curriculum,
     q_llm_source_overlap,
@@ -69,6 +70,34 @@ def test_curriculum_has_no_global_sort(spark, sf_small):
     plan = plans.explain_str(q_llm_curriculum(spark, sf_small))
     assert "Window" not in plan, plan
     assert not re.search(r"Sort \(\d+\)[^\n]*global=true", plan), plan
+
+
+def test_gram_matrix_shape_and_psd_necessaries(spark, sf_small):
+    rows = q_emb_gram(spark, sf_small).collect()
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    assert len(rows) == dim * (dim + 1) // 2  # strict upper triangle + diag
+    by_cell = {(r["dim_i"], r["dim_j"]): r for r in rows}
+    diag_sum = 0.0
+    for (i, j), r in by_cell.items():
+        assert i <= j and r["n_vecs"] == n
+        if i == j:
+            assert r["e_xy"] >= 0  # E[x²] — necessary for PSD
+            diag_sum += r["e_xy"]
+        else:
+            # Cauchy–Schwarz: |E[xy]| <= sqrt(E[x²] E[y²])
+            bound = (by_cell[(i, i)]["e_xy"] * by_cell[(j, j)]["e_xy"]) ** 0.5
+            assert abs(r["e_xy"]) <= bound + 1e-6
+    # unit vectors ⇒ trace of the second-moment matrix == 1
+    assert abs(diag_sum - 1.0) < 1e-3
+
+
+def test_gram_single_exchange(spark, sf_small):
+    """Products are generated inside codegen and partially aggregated
+    map-side — the plan's only exchange is the (i, j) hash agg."""
+    plan = plans.explain_str(q_emb_gram(spark, sf_small))
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
 
 
 def test_norm_stats_confirms_unit_vectors(spark, sf_small):

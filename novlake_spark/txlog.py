@@ -131,7 +131,7 @@ _STAT_TYPES = (
     T.DateType, T.TimestampType, T.TimestampNTZType,
 )
 
-_SKIP_OPS = {"=", "<", "<=", ">", ">="}
+_SKIP_OPS = {"=", "<", "<=", ">", ">=", "in"}
 
 
 def _stat_value(v):
@@ -172,6 +172,32 @@ def file_matches(add: dict, predicates: list[tuple]) -> bool:
             b = blooms[col]
             if not _bloom_test(b["bits"], str(val), b["m"], b["k"]):
                 return False  # a zero bit proves the value is absent
+        if op == "in":
+            # the file matches if ANY listed value could be present:
+            # each candidate must survive the range check and (when a
+            # Bloom filter exists) the membership probe
+            cand = list(val)
+            if col in stats and stats[col][0] is not None:
+                lo, hi = stats[col]
+                cand = [
+                    v
+                    for v in cand
+                    if not (_comparable(lo, v) and _comparable(hi, v))
+                    or lo <= v <= hi
+                ]
+            elif col in stats:
+                return False  # all-null column: no equality can match
+            if col in blooms:
+                b = blooms[col]
+                cand = [
+                    v
+                    for v in cand
+                    if not (isinstance(v, (int, str)) and not isinstance(v, bool))
+                    or _bloom_test(b["bits"], str(v), b["m"], b["k"])
+                ]
+            if not cand:
+                return False
+            continue
         if col not in stats:
             continue
         lo, hi = stats[col]
@@ -282,9 +308,12 @@ def _pred_column(where: list[tuple]):
     }
     cond = None
     for col, op, val in where:
-        if op not in ops:
+        if op == "in":
+            term = F.col(col).isin(list(val))
+        elif op in ops:
+            term = ops[op](F.col(col), F.lit(val))
+        else:
             raise ValueError(f"unsupported op {op!r}")
-        term = ops[op](F.col(col), F.lit(val))
         cond = term if cond is None else cond & term
     return cond if cond is not None else F.lit(True)
 
@@ -838,6 +867,9 @@ class TxTable:
         # applied inside _read_adds
         df = self._read_adds(adds, schema)
         for col, op, val in where or []:
+            if op == "in":
+                df = df.filter(F.col(col).isin(list(val)))
+                continue
             spark_op = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
             df = df.filter(f"`{col}` {spark_op} {val!r}")
         return df
@@ -2270,10 +2302,15 @@ class TxTable:
             self._publish_meta(build)
         return missing
 
-    def vacuum(self, keep_from_version: int, retain_ms: int = 3_600_000) -> list[str]:
+    def vacuum(
+        self, keep_from_version: int, retain_ms: int = 3_600_000, dry_run: bool = False
+    ) -> list[str]:
         """Delete data files not referenced by any snapshot >= the
         retention horizon. Time travel before the horizon stops working
-        — same contract as Delta's VACUUM.
+        — same contract as Delta's VACUUM. ``dry_run=True`` lists what
+        WOULD be deleted without touching storage (Delta's ``VACUUM …
+        DRY RUN``) — the audit step before an irreversible delete, and
+        the cheap way to measure orphaned bytes from aborted commits.
 
         ``retain_ms`` protects in-flight commits: ``_write_data`` lands
         files in ``data/`` BEFORE the log entry publishes, so an
@@ -2299,6 +2336,7 @@ class TxTable:
                 continue
             if now_ms - s.getModificationTime() < retain_ms:
                 continue  # possibly an in-flight commit's file
-            self._fs.delete(s.getPath(), False)
+            if not dry_run:
+                self._fs.delete(s.getPath(), False)
             removed.append(name)
         return removed

@@ -74,7 +74,10 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert len(t.snapshot_files()) < n_before or n_before == 1
     # old files survive for time travel until vacuumed
     assert sorted(r.x for r in t.read(version=2).collect()) == [1, 2, 3]
+    preview = t.vacuum(keep_from_version=cv, retain_ms=0, dry_run=True)
+    assert preview and t.read(version=2).count() == 3  # nothing deleted yet
     removed = t.vacuum(keep_from_version=cv, retain_ms=0)  # quiesced table
+    assert sorted(removed) == sorted(preview)  # dry run predicted exactly
     assert removed  # pre-compaction files are gone
     assert sorted(r.x for r in t.read().collect()) == [1, 2, 3]
     with pytest.raises(Exception):
@@ -302,6 +305,29 @@ def test_predicate_read_plans_only_matching_files(spark, tmp_path):
     # residual filter still applies row-level inside the admitted file
     out2 = t.read(where=[("x", "=", 105)])
     assert [r.x for r in out2.collect()] == [105]
+
+
+def test_in_list_read_prunes_and_scopes_dml(spark, tmp_path):
+    """IN-list point lookups prune on the JVM path too (range check +
+    Bloom probe per listed value), and the same tuple grammar scopes
+    DML row filters — parity with the Python source's pushFilters."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.bloom_cols = ["x"]
+    for lo in (0, 100, 200, 300):
+        df = spark.createDataFrame([(lo + i,) for i in range(10)], "x long")
+        t.commit(df.coalesce(1))
+    plan = t.scan_plan([("x", "in", [5, 7])])  # both in file 1
+    assert plan["total"] == 4 and plan["scanned"] == 1
+    # range admits file 1, bloom rejects the absent values inside it
+    assert t.scan_plan([("x", "in", [50, 60])])["scanned"] == 0
+    out = t.read(where=[("x", "in", [5, 205])])
+    assert len(out.inputFiles()) == 2  # one per matching range
+    assert sorted(r.x for r in out.collect()) == [5, 205]
+    # DML with an IN scope: deletes exactly the listed keys
+    t.delete([("x", "in", [3, 301])])
+    remaining = {r.x for r in t.read().collect()}
+    assert 3 not in remaining and 301 not in remaining
+    assert len(remaining) == 38
 
 
 def test_file_skipping_is_conservative(spark, tmp_path):

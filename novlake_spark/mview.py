@@ -134,9 +134,9 @@ class IncrementalAggView:
             ]
             touched = [a for a in adds if file_matches(a, preds)]
         if touched:
-            cur = self.source.spark.read.parquet(
-                *[f"{self.view.path}/data/{a['file']}" for a in touched]
-            )
+            # via _read_adds so the view table's schema contract (and a
+            # hypothetical column mapping on it) is honored
+            cur = self.view._read_adds(touched, self.view.schema_at())
         else:
             cur = self.view.read(base).limit(0)
         # combine: full outer on keys, add signed delta to running state.

@@ -83,7 +83,9 @@ from novlake_spark.txlog import (
     SchemaMismatch,
     TxTable,
     _bloom_positions,
+    _is_mapped,
     _is_superset,
+    _phys_map,
     _stat_value,
     file_matches,
     replay_adds,
@@ -312,18 +314,24 @@ def _arrow_schema(spark_schema: T.StructType) -> pa.Schema:
     return to_arrow_schema(spark_schema)
 
 
-def _aligned_batches(path: str | None, target: pa.Schema, dv=(), dv_mode="exclude"):
+def _aligned_batches(
+    path: str | None, target: pa.Schema, dv=(), dv_mode="exclude", phys=None
+):
     """Stream one parquet file batch-by-batch (never the whole file in
     memory) aligned to the declared source schema: pre-evolution files
     surface post-evolution columns as nulls (the log's snapshot-schema
     contract), dropped columns are not delivered, and physical/logical
-    type drift is cast. Deletion-vector positions are dropped
-    (``exclude``) or isolated (``only``) by tracking the running row
-    offset per batch. Yields Arrow batches."""
+    type drift is cast. ``phys`` maps logical→physical column names on
+    column-mapped tables (files spell the physical name, the yielded
+    batches spell the logical one). Deletion-vector positions are
+    dropped (``exclude``) or isolated (``only``) by tracking the
+    running row offset per batch. Yields Arrow batches."""
     if path is None:
         return
+    phys = phys or {}
     pf = pq.ParquetFile(path)
-    present = [f.name for f in target if f.name in pf.schema_arrow.names]
+    names = {f.name: phys.get(f.name, f.name) for f in target}
+    present = [p for p in names.values() if p in pf.schema_arrow.names]
     dv_set = set(dv)
     offset = 0
     for batch in pf.iter_batches(columns=present):
@@ -340,8 +348,9 @@ def _aligned_batches(path: str | None, target: pa.Schema, dv=(), dv_mode="exclud
                 continue
         cols = []
         for field in target:
-            if field.name in batch.schema.names:
-                col = batch.column(field.name)
+            pname = names[field.name]
+            if pname in batch.schema.names:
+                col = batch.column(pname)
                 if col.type != field.type:
                     col = col.cast(field.type)
                 cols.append(col)
@@ -392,13 +401,23 @@ def _resolve_version(log: _PyLog, options: dict) -> int | None:
 class _TxLogBatchReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         self._log = _PyLog(options["path"])
-        self._adds = self._log.state_at(_resolve_version(self._log, options))[0]
+        version = _resolve_version(self._log, options)
+        adds, schema_json = self._log.state_at(version)
+        self._adds = adds
         self._target = _arrow_schema(schema)
+        # logical→physical names on column-mapped tables (file columns
+        # and stats/Bloom keys are physical; this source's output and
+        # pushed filters are logical)
+        self._phys = _phys_map(
+            None if schema_json is None else T.StructType.fromJson(json.loads(schema_json))
+        )
 
     def pushFilters(self, filters: list[Filter]):
         from pyspark.sql.datasource import In
 
-        preds = _to_predicates(filters)
+        preds = [
+            (self._phys.get(c, c), op, v) for c, op, v in _to_predicates(filters)
+        ]
         if preds:
             self._adds = [a for a in self._adds if file_matches(a, preds)]
         for f in filters:
@@ -413,7 +432,7 @@ class _TxLogBatchReader(DataSourceReader):
                     for v in f.value
                 )
             ):
-                col = f.attribute[0]
+                col = self._phys.get(f.attribute[0], f.attribute[0])
                 self._adds = [
                     a
                     for a in self._adds
@@ -433,7 +452,8 @@ class _TxLogBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):
         yield from _aligned_batches(
-            partition.path, self._target, partition.dv, partition.dv_mode
+            partition.path, self._target, partition.dv, partition.dv_mode,
+            phys=self._phys,
         )
 
 
@@ -474,6 +494,8 @@ class _TxLogStreamReader(DataSourceStreamReader):
         self._ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         base_fields = schema.fields[:-2] if self._cdf else schema.fields
         self._base_arrow = _arrow_schema(T.StructType(base_fields))
+        log_schema = self._log.schema_at()
+        self._phys = _phys_map(log_schema)  # logical→physical (mapped tables)
         start = str(options.get("startingversion", "0"))
         if start.lower() == "latest":
             latest = self._log.latest_version()
@@ -537,7 +559,8 @@ class _TxLogStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePartition):
         for batch in _aligned_batches(
-            partition.path, self._base_arrow, partition.dv, partition.dv_mode
+            partition.path, self._base_arrow, partition.dv, partition.dv_mode,
+            phys=self._phys,
         ):
             if not self._cdf:
                 yield batch
@@ -727,6 +750,17 @@ class _WriterCore:
                 raise NotImplementedError(
                     f"table {self._log.path} has identity column "
                     f"{sorted(identity)}; write through TxTable.commit"
+                )
+            if cur_schema_json is not None and _is_mapped(
+                T.StructType.fromJson(json.loads(cur_schema_json))
+            ):
+                # column-mapped tables write files under PHYSICAL names;
+                # this writer landed logical-named files. Refuse rather
+                # than publish files every reader would misbind.
+                self._discard(messages)
+                raise NotImplementedError(
+                    f"table {self._log.path} has column mapping enabled; "
+                    "write through TxTable.commit"
                 )
             schema_action = self._schema_action(cur_schema_json)
             latest = self._log.latest_version()

@@ -295,6 +295,57 @@ def _is_superset(new: T.StructType, cur: T.StructType) -> bool:
     return all(f.name in fields and fields[f.name] == f.dataType for f in cur.fields)
 
 
+# -- column mapping -------------------------------------------------------
+# With mapping enabled (enable_column_mapping, protocol >= 2/2), each
+# schema field carries a STABLE physical name in its metadata
+# ({"physical": ...}); parquet files and add-action stats/Bloom keys use
+# physical names, the API surface uses logical names. RENAME COLUMN is
+# then a metadata-only logical relabel; physical ids are never reused
+# (new fields mint col-<uuid>), so dropping a column and re-adding its
+# name can never resurrect old bytes — the failure Delta's column
+# mapping exists to prevent. Unmapped tables have identity mappings and
+# every helper below no-ops on them.
+
+
+def _phys_name(field: T.StructField) -> str:
+    return (field.metadata or {}).get("physical", field.name)
+
+
+def _is_mapped(schema: T.StructType | None) -> bool:
+    return schema is not None and any("physical" in (f.metadata or {}) for f in schema.fields)
+
+
+def _phys_map(schema: T.StructType | None) -> dict[str, str]:
+    """logical → physical column names (identity when unmapped)."""
+    if schema is None:
+        return {}
+    return {f.name: _phys_name(f) for f in schema.fields}
+
+
+def _phys_schema(schema: T.StructType | None) -> T.StructType | None:
+    """The schema as parquet files spell it (physical field names)."""
+    if schema is None or not _is_mapped(schema):
+        return schema
+    return T.StructType(
+        [T.StructField(_phys_name(f), f.dataType, f.nullable) for f in schema.fields]
+    )
+
+
+def _phys_where(where: list[tuple] | None, schema: T.StructType | None) -> list[tuple]:
+    """Predicate tuples with columns translated to physical names — the
+    spelling add-action stats and Bloom filters are keyed by."""
+    if not where:
+        return []
+    m = _phys_map(schema)
+    return [(m.get(col, col), op, val) for col, op, val in where]
+
+
+def _strip_meta(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
+    )
+
+
 def _pred_column(where: list[tuple]):
     """Conjunction of ``(column, op, value)`` predicates as a Column —
     the row-level twin of :func:`file_matches` (same tuple grammar, so
@@ -642,8 +693,9 @@ class TxTable:
                     f"identity column {col!r} must be integral, is "
                     f"{schema[col].dataType.simpleString()}"
                 )
+            pcol = _phys_map(schema).get(col, col)
             for a in self.snapshot_adds():
-                stats = (a.get("stats") or {}).get(col)
+                stats = (a.get("stats") or {}).get(pcol)
                 if stats is None:
                     raise ValueError(
                         f"file {a['file']} has no stats for {col!r}; run "
@@ -771,7 +823,9 @@ class TxTable:
         scan stays one pass with no shuffle of the data side."""
         reader = self.spark.read
         if schema is not None:
-            reader = reader.schema(schema)
+            # files are written under PHYSICAL names (column mapping);
+            # the logical relabel happens once at the end of this method
+            reader = reader.schema(_phys_schema(schema))
         plain = [a for a in adds if not a.get("dv")]
         dved = [a for a in adds if a.get("dv")]
         parts: list[DataFrame] = []
@@ -803,6 +857,10 @@ class TxTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if _is_mapped(schema):
+            out = out.select(
+                *[F.col(_phys_name(f)).alias(f.name) for f in schema.fields]
+            )
         return out
 
     def schema_at(self, version: int | None = None) -> T.StructType | None:
@@ -852,9 +910,10 @@ class TxTable:
                 raise ValueError("pass version OR timestamp_ms, not both")
             version = self.version_at_time(timestamp_ms)
         adds = self.snapshot_adds(version)
-        if where:
-            adds = [a for a in adds if file_matches(a, where)]
         schema = self.schema_at(version)
+        if where:
+            preds = _phys_where(where, schema)  # stats are keyed physically
+            adds = [a for a in adds if file_matches(a, preds)]
         if not adds:
             # a recorded schema means the table EXISTS (possibly
             # legitimately empty — e.g. a full delete); only a table
@@ -877,7 +936,8 @@ class TxTable:
     def scan_plan(self, where: list[tuple], version: int | None = None) -> dict:
         """Debug/introspection: how many files the stats admit vs total."""
         adds = self.snapshot_adds(version)
-        kept = [a["file"] for a in adds if file_matches(a, where)]
+        preds = _phys_where(where, self.schema_at(version))
+        kept = [a["file"] for a in adds if file_matches(a, preds)]
         return {"total": len(adds), "scanned": len(kept), "files": kept}
 
     def detail(self) -> dict:
@@ -929,7 +989,12 @@ class TxTable:
         return out
 
     # -- commits -----------------------------------------------------------
-    def _write_data(self, df: DataFrame, collect_stats: bool = True) -> list[dict]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        collect_stats: bool = True,
+        bloom_cols: list[str] | None = None,
+    ) -> list[dict]:
         """Land data files invisibly; return add-actions with per-file
         row counts and per-column min/max stats.
 
@@ -946,7 +1011,8 @@ class TxTable:
         stats_by_file: dict[str, dict] = {}
         if collect_stats:
             stats_by_file = self._file_stats(
-                self.spark.read.parquet(staging), self.bloom_cols
+                self.spark.read.parquet(staging),
+                self.bloom_cols if bloom_cols is None else bloom_cols,
             )
         adds = []
         self._fs.mkdirs(self._jpath(f"{self.path}/data"))
@@ -1056,8 +1122,9 @@ class TxTable:
         if latest is None:
             raise FileNotFoundError(f"no committed data under {self.path}")
         schema = self.schema_at(latest)
+        pm = _phys_map(schema)
         eligible = {
-            f.name
+            pm.get(f.name, f.name)  # stats/bloom keys are physical
             for f in (schema.fields if schema is not None else [])
             if f.name in wanted
             and isinstance(
@@ -1075,9 +1142,10 @@ class TxTable:
             return latest
         reader = self.spark.read
         if schema is not None:
-            reader = reader.schema(schema)
+            reader = reader.schema(_phys_schema(schema))
         stats = self._file_stats(
-            reader.parquet(*[self._data_path(a) for a in todo]), wanted
+            reader.parquet(*[self._data_path(a) for a in todo]),
+            [pm.get(c, c) for c in wanted],
         )
         set_stats = {a["file"]: stats[a["file"]] for a in todo if a["file"] in stats}
         for _ in range(max_retries):
@@ -1094,17 +1162,20 @@ class TxTable:
 
     def _check_schema(self, df: DataFrame, mode: str) -> str | None:
         """Validate an append against the recorded schema; return the
-        schema JSON to record in the entry (None = unchanged)."""
+        schema JSON to record in the entry (None = unchanged).
+        Comparison ignores field metadata (the physical-name mapping
+        lives there); any evolved schema re-attaches the mapping so a
+        recorded evolution can never wipe it."""
         new = df.schema
-        if mode == "overwrite":
-            return json.dumps(new.jsonValue())
         cur = self.schema_at()
+        if mode == "overwrite":
+            return json.dumps(self._attach_mapping(new, cur).jsonValue())
         if cur is None:
             return json.dumps(new.jsonValue())
-        if new == cur:
+        if _strip_meta(new) == _strip_meta(cur):
             return None
         if _is_superset(new, cur):
-            return json.dumps(new.jsonValue())  # additive evolution
+            return json.dumps(self._attach_mapping(new, cur).jsonValue())  # additive evolution
         missing = [f.name for f in cur.fields if f.name not in new.fieldNames()]
         changed = [
             f.name for f in cur.fields
@@ -1114,6 +1185,25 @@ class TxTable:
             f"append to {self.path} incompatible with table schema: "
             f"missing columns {missing}, changed types {changed}"
         )
+
+    def _attach_mapping(self, new: T.StructType, cur: T.StructType | None) -> T.StructType:
+        """On a column-mapped table, carry each surviving field's
+        physical name into the evolved schema and mint a fresh
+        ``col-<uuid>`` physical for NEW fields — a dropped-then-readded
+        logical name therefore binds to a new physical id and can never
+        resurrect the dropped column's bytes."""
+        if cur is None or not _is_mapped(cur):
+            return new
+        by_name = {f.name: f for f in cur.fields}
+        fields = []
+        for f in new.fields:
+            old = by_name.get(f.name)
+            meta = dict(f.metadata or {})
+            meta["physical"] = (
+                _phys_name(old) if old is not None else f"col-{uuid.uuid4().hex[:12]}"
+            )
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, meta))
+        return T.StructType(fields)
 
     def _logical_conflict(self, entries: list[dict], remove_set: set[str]) -> str | None:
         """A commit that REMOVES files conflicts with any interleaved
@@ -1259,7 +1349,22 @@ class TxTable:
             else:
                 df = df.repartitionByRange(*cols)
             df = df.sortWithinPartitions(*cols)
-        adds = self._write_data(df, collect_stats=collect_stats)
+        # column mapping: everything above (constraints, generated
+        # columns, identity, schema check, clustering) speaks logical
+        # names; the files and their stats/Bloom keys speak PHYSICAL
+        eff_schema = (
+            T.StructType.fromJson(json.loads(schema_json))
+            if schema_json is not None
+            else self.schema_at()
+        )
+        phys_bloom = None
+        if _is_mapped(eff_schema):
+            df = df.select(
+                *[F.col(f.name).alias(_phys_name(f)) for f in eff_schema.fields]
+            )
+            pm = _phys_map(eff_schema)
+            phys_bloom = [pm.get(c, c) for c in self.bloom_cols]
+        adds = self._write_data(df, collect_stats=collect_stats, bloom_cols=phys_bloom)
 
         def discard() -> None:
             for a in adds:  # unpublished files are invisible; remove them
@@ -1291,11 +1396,13 @@ class TxTable:
             entry = {"version": version, "mode": mode, "add": adds, "remove": sorted(remove_set)}
             if identity:
                 advanced = {}
+                id_pm = _phys_map(eff_schema)
                 for c, hw in identity.items():
+                    pc = id_pm.get(c, c)  # stats are keyed physically
                     highs = [
-                        int(a["stats"][c][1])
+                        int(a["stats"][pc][1])
                         for a in adds
-                        if (a.get("stats") or {}).get(c) is not None
+                        if (a.get("stats") or {}).get(pc) is not None
                     ]
                     if highs and max(highs) > int(hw):
                         advanced[c] = max(highs)
@@ -1385,7 +1492,7 @@ class TxTable:
             schema = self.schema_at(v - 1) if v > 0 else None
             reader = self.spark.read
             if schema is not None:
-                reader = reader.schema(schema)
+                reader = reader.schema(_phys_schema(schema))
             dv_rows = [(f, int(p)) for f, ps in set_dv.items() for p in ps]
             df = (
                 reader.parquet(*[self._data_path(a) for a in adds])
@@ -1394,17 +1501,21 @@ class TxTable:
                 )
                 .withColumn("__idx", F.col("_metadata.row_index"))
             )
-            cols = [c for c in df.columns if c not in ("__f", "__idx")]
-            parts.append(
-                df.join(
-                    F.broadcast(
-                        self.spark.createDataFrame(dv_rows, "__f string, __idx long")
-                    ),
-                    ["__f", "__idx"],
-                    "inner",
+            hit = df.join(
+                F.broadcast(
+                    self.spark.createDataFrame(dv_rows, "__f string, __idx long")
+                ),
+                ["__f", "__idx"],
+                "inner",
+            )
+            if _is_mapped(schema):
+                hit = hit.select(
+                    *[F.col(_phys_name(f)).alias(f.name) for f in schema.fields]
                 )
-                .select(*cols)
-                .withColumn("_change_type", F.lit("delete"))
+            else:
+                hit = hit.select(*[c for c in df.columns if c not in ("__f", "__idx")])
+            parts.append(
+                hit.withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_version", F.lit(v))
             )
 
@@ -1477,8 +1588,13 @@ class TxTable:
         schema = self.schema_at(latest)
         reader = self.spark.read
         if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*[self._data_path(a) for a in add_files]), latest
+            reader = reader.schema(_phys_schema(schema))
+        out = reader.parquet(*[self._data_path(a) for a in add_files])
+        if _is_mapped(schema):
+            out = out.select(
+                *[F.col(_phys_name(f)).alias(f.name) for f in schema.fields]
+            )
+        return out, latest
 
     # -- table services ----------------------------------------------------
     def merge(
@@ -1539,6 +1655,7 @@ class TxTable:
         preds = []
         if bounds["lo"] is not None:
             preds = [(k0, ">=", _stat_value(bounds["lo"])), (k0, "<=", _stat_value(bounds["hi"]))]
+        preds = _phys_where(preds, self.schema_at(base) if base >= 0 else None)
         touched = [a for a in adds if file_matches(a, preds)]
         if not touched and base < 0:
             if delete_matched or not insert_unmatched:
@@ -1681,7 +1798,9 @@ class TxTable:
         if latest is None:
             raise FileNotFoundError(f"no committed data under {self.path}")
         adds = self.snapshot_adds(latest)
-        touched = [a for a in adds if file_matches(a, where)]
+        touched = [
+            a for a in adds if file_matches(a, _phys_where(where, self.schema_at(latest)))
+        ]
         if not touched:
             return latest
         if dv:
@@ -1709,10 +1828,10 @@ class TxTable:
         schema = self.schema_at(base)
         reader = self.spark.read
         if schema is not None:
-            reader = reader.schema(schema)
+            reader = reader.schema(_phys_schema(schema))
         scan = (
             reader.parquet(*[self._data_path(a) for a in touched])
-            .filter(_pred_column(where).eqNullSafe(F.lit(True)))
+            .filter(_pred_column(_phys_where(where, schema)).eqNullSafe(F.lit(True)))
             .select(
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
                 F.col("_metadata.row_index").alias("__idx"),
@@ -1817,7 +1936,11 @@ class TxTable:
         if latest is None:
             raise FileNotFoundError(f"no committed data under {self.path}")
         adds = self.snapshot_adds(latest)
-        touched = [a for a in adds if file_matches(a, where or [])]
+        touched = [
+            a
+            for a in adds
+            if file_matches(a, _phys_where(where or [], self.schema_at(latest)))
+        ]
         if not touched:
             return latest
         if dv:
@@ -1858,14 +1981,14 @@ class TxTable:
         schema = self.schema_at(base)
         reader = self.spark.read
         if schema is not None:
-            reader = reader.schema(schema)
+            reader = reader.schema(_phys_schema(schema))
         scan = (
             reader.parquet(*[self._data_path(a) for a in touched])
             .withColumn(
                 "__f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
             )
             .withColumn("__idx", F.col("_metadata.row_index"))
-            .filter(_pred_column(where).eqNullSafe(F.lit(True)))
+            .filter(_pred_column(_phys_where(where, schema)).eqNullSafe(F.lit(True)))
         )
         existing = [(a["file"], int(p)) for a in touched for p in a.get("dv", [])]
         if existing:
@@ -1895,6 +2018,12 @@ class TxTable:
                 if r["__f"] in by_name:
                     set_dv.setdefault(r["__f"], []).append(int(r["__idx"]))
             updated = matched.drop("__f", "__idx")
+            if _is_mapped(schema):
+                # the scan spoke physical names; assignments (and the
+                # commit below) speak logical
+                updated = updated.select(
+                    *[F.col(_phys_name(f)).alias(f.name) for f in schema.fields]
+                )
             for c, expr in assignments.items():
                 updated = updated.withColumn(c, F.expr(expr).cast(known[c]))
             return self.commit(
@@ -1958,7 +2087,9 @@ class TxTable:
         if latest is None:
             return self.commit(df, mode="append")
         adds = self.snapshot_adds(latest)
-        touched = [a for a in adds if file_matches(a, where)]
+        touched = [
+            a for a in adds if file_matches(a, _phys_where(where, self.schema_at(latest)))
+        ]
         if touched:
             old = self._read_adds(touched, self.schema_at(latest))
             kept = old.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
@@ -2103,14 +2234,19 @@ class TxTable:
         """ALTER TABLE ADD COLUMN — a metadata-only commit recording the
         evolved schema. Existing files simply lack the column and the
         snapshot-schema read surfaces it as null everywhere until rows
-        carrying it are written; no data file is touched."""
+        carrying it are written; no data file is touched. On a
+        column-mapped table the new field mints a fresh physical id."""
         schema = self.schema_at()
         if schema is None:
             raise FileNotFoundError(f"no committed schema under {self.path}")
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
-        new = T.StructType(
-            schema.fields + [T.StructField(name, T._parse_datatype_string(dtype), True)]
+        new = self._attach_mapping(
+            T.StructType(
+                schema.fields
+                + [T.StructField(name, T._parse_datatype_string(dtype), True)]
+            ),
+            schema,
         )
 
         def build(v: int) -> dict:
@@ -2119,17 +2255,99 @@ class TxTable:
 
         return self._publish_meta(build, max_retries)
 
+    def enable_column_mapping(self, max_retries: int = 5) -> int:
+        """Switch the table to name-mapped columns (Delta's column
+        mapping, ``nameMapping`` flavor): every field gets a STABLE
+        physical name (its current name; later additions mint
+        ``col-<uuid>``), parquet files and stats/Bloom keys use physical
+        names, and the API keeps speaking logical names. This is what
+        makes :meth:`rename_column` a safe metadata-only operation.
+
+        Existing files need no rewrite — their columns already carry
+        what becomes their physical name. The same commit raises the
+        protocol to 2/2 atomically: a pre-mapping client misreads a
+        renamed table (it would bind logical names to physical
+        columns), so it MUST be gated out, and the protocol action is
+        exactly that gate."""
+        schema = self.schema_at()
+        if schema is None:
+            raise FileNotFoundError(f"no committed schema under {self.path}")
+        if _is_mapped(schema):
+            return self.latest_version()
+        mapped = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    {**(f.metadata or {}), "physical": f.name},
+                )
+                for f in schema.fields
+            ]
+        )
+        proto = self.protocol()
+        new_proto = {
+            "min_reader": max(2, proto["min_reader"]),
+            "min_writer": max(2, proto["min_writer"]),
+        }
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "schema": json.dumps(mapped.jsonValue()),
+                    "protocol": new_proto, "op": "ENABLE COLUMN MAPPING"}
+
+        return self._publish_meta(build, max_retries)
+
+    def rename_column(self, old: str, new: str, max_retries: int = 5) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only, requires
+        :meth:`enable_column_mapping` first. The logical name changes;
+        the physical name in every file (old and future) is untouched,
+        so all snapshots keep reading correctly. Columns referenced by
+        CHECK constraints, generated-column expressions, or an identity
+        declaration must shed those rules first (their expressions and
+        watermark keys store the logical name)."""
+        schema = self.schema_at()
+        if schema is None:
+            raise FileNotFoundError(f"no committed schema under {self.path}")
+        if not _is_mapped(schema):
+            raise ValueError(
+                f"{self.path} does not have column mapping; call "
+                "enable_column_mapping() first (a rename without stable "
+                "physical names would misbind existing files)"
+            )
+        if old not in schema.fieldNames():
+            raise KeyError(f"no column {old!r} on {self.path}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        for cname, expr in self.constraints().items():
+            if old in expr:
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint {cname!r}"
+                )
+        if old in self.identity():
+            raise ValueError(f"{old!r} is the identity column; not renamable")
+        renamed = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name,
+                              f.dataType, f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+
+        def build(v: int) -> dict:
+            return {"version": v, "mode": "append", "add": [], "remove": [],
+                    "schema": json.dumps(renamed.jsonValue()), "op": "RENAME COLUMN"}
+
+        return self._publish_meta(build, max_retries)
+
     def drop_column(self, name: str, max_retries: int = 5) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only: the recorded schema
         loses the field and every read (explicit-schema parquet scan)
         stops projecting it; the bytes stay in the files until their
-        next natural rewrite, exactly Delta's drop semantics without
-        column mapping. RENAME is deliberately absent: physical names
-        are the only column identity this log records, so a safe rename
-        needs field IDs at first write (Iceberg/Delta column mapping) —
-        drop+add under the new name loses data and is not offered as a
-        fake rename. A column referenced by an active CHECK constraint
-        cannot be dropped."""
+        next natural rewrite, exactly Delta's drop semantics. For
+        RENAME, enable column mapping first (:meth:`rename_column`) —
+        without it, names in files are the only column identity, and on
+        a MAPPED table re-adding a dropped name mints a fresh physical
+        id, so the dropped bytes can never resurrect. A column
+        referenced by an active CHECK constraint cannot be dropped."""
         schema = self.schema_at()
         if schema is None:
             raise FileNotFoundError(f"no committed schema under {self.path}")

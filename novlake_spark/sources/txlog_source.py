@@ -211,6 +211,13 @@ class _PyLog:
         if cp is not None:
             with open(os.path.join(self._log, f"checkpoint-{cp}.json")) as f:
                 doc = json.load(f)
+            if doc.get("adds_parquet"):
+                from novlake_spark.txlog import _decode_checkpoint_parquet
+
+                with open(
+                    os.path.join(self._log, f"checkpoint-{cp}.parquet"), "rb"
+                ) as f:
+                    doc["adds"] = _decode_checkpoint_parquet(f.read())
             adds, schema_json = doc["adds"], doc.get("schema")
             txns = dict(doc.get("txns", {}))
             constraints = dict(doc.get("constraints", {}))

@@ -346,6 +346,33 @@ def _strip_meta(schema: T.StructType) -> T.StructType:
     )
 
 
+def _decode_checkpoint_parquet(data: bytes) -> list[dict]:
+    """Rebuild add-action dicts from a parquet checkpoint sidecar's
+    bytes (shared by the JVM-FS and pure-Python read paths)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(io.BytesIO(data))
+    adds: list[dict] = []
+    for row in table.to_pylist():
+        add: dict = {"file": row["file"]}
+        if row["bytes"] is not None:
+            add["bytes"] = int(row["bytes"])
+        if row["rows"] is not None:
+            add["rows"] = int(row["rows"])
+        if row["path"] is not None:
+            add["path"] = row["path"]
+        if row["dv"] is not None:
+            add["dv"] = [int(p) for p in row["dv"]]
+        if row["stats"] is not None:
+            add["stats"] = json.loads(row["stats"])
+        if row["bloom"] is not None:
+            add["bloom"] = json.loads(row["bloom"])
+        adds.append(add)
+    return adds
+
+
 def _pred_column(where: list[tuple]):
     """Conjunction of ``(column, op, value)`` predicates as a Column —
     the row-level twin of :func:`file_matches` (same tuple grammar, so
@@ -514,18 +541,39 @@ class TxTable:
         return sorted(out)
 
     def _read_checkpoint(self, version: int) -> dict:
-        stream = self._fs.open(self._checkpoint_path(version))
+        doc = json.loads(self._read_bytes(self._checkpoint_path(version)).decode())
+        if doc.get("adds_parquet"):
+            doc["adds"] = _decode_checkpoint_parquet(
+                self._read_bytes(
+                    self._jpath(f"{self.path}/_log/checkpoint-{version}.parquet")
+                )
+            )
+        return doc
+
+    def _read_bytes(self, jpath) -> bytes:
+        stream = self._fs.open(jpath)
         try:
-            data = bytes(self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            return bytes(self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
         finally:
             stream.close()
-        return json.loads(data.decode())
+
+    #: Above this many live add-actions a checkpoint stores its add
+    #: list as a columnar PARQUET sidecar (checkpoint-N.parquet) instead
+    #: of inline JSON — Delta's parquet-checkpoint move. At ~200 B of
+    #: JSON per add, a million-file table would otherwise pay ~200 MB
+    #: of JSON parse on every cold state resolution; the sidecar is
+    #: compressed, columnar, and read via Arrow. Discovery is unchanged
+    #: (the .json document stays the claim point and carries everything
+    #: except the add list), so mixed-era checkpoints coexist.
+    parquet_checkpoint_rows: int = 10_000
 
     def checkpoint(self, version: int | None = None) -> int:
         """Write a checkpoint of the state at ``version`` (default
         latest). Idempotent and atomic (same tmp+rename protocol as log
-        entries; a racing duplicate simply loses the rename). Returns
-        the checkpointed version."""
+        entries; a racing duplicate simply loses the rename — and since
+        both rivals checkpoint the SAME immutable state, either copy is
+        correct, including the parquet sidecar). Returns the
+        checkpointed version."""
         upto = self.latest_version() if version is None else version
         if upto is None:
             raise FileNotFoundError(f"nothing to checkpoint under {self.path}")
@@ -541,6 +589,9 @@ class TxTable:
             doc["protocol"] = protocol
         if identity:
             doc["identity"] = identity
+        if len(adds) >= self.parquet_checkpoint_rows:
+            self._write_checkpoint_parquet(upto, adds)
+            doc = {**doc, "adds": [], "adds_parquet": True}
         tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
         out = self._fs.create(tmp, False)
         try:
@@ -549,6 +600,45 @@ class TxTable:
             out.close()
         atomic_claim(self.spark, self._fs, tmp, self._checkpoint_path(upto))
         return upto  # a lost claim means a rival already checkpointed it
+
+    def _write_checkpoint_parquet(self, version: int, adds: list[dict]) -> None:
+        """The columnar add-list sidecar: one row per add action, nested
+        stats/bloom JSON-encoded per row (they are opaque to columnar
+        pruning anyway). Written driver-side via Arrow — the add list is
+        driver state by construction — through the same tmp +
+        atomic-claim protocol as every other log artifact."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "file": [a["file"] for a in adds],
+                "bytes": [a.get("bytes") for a in adds],
+                "rows": [a.get("rows") for a in adds],
+                "path": [a.get("path") for a in adds],
+                "dv": pa.array(
+                    [a.get("dv") for a in adds], pa.list_(pa.int64())
+                ),
+                "stats": [
+                    json.dumps(a["stats"]) if "stats" in a else None for a in adds
+                ],
+                "bloom": [
+                    json.dumps(a["bloom"]) if "bloom" in a else None for a in adds
+                ],
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(table, buf, compression="zstd")
+        tmp = self._jpath(f"{self.path}/_log/_tmp/{uuid.uuid4().hex}")
+        out = self._fs.create(tmp, False)
+        try:
+            out.write(bytearray(buf.getvalue()))
+        finally:
+            out.close()
+        dst = self._jpath(f"{self.path}/_log/checkpoint-{version}.parquet")
+        atomic_claim(self.spark, self._fs, tmp, dst)  # rival's copy is identical
 
     def clean_log(self, keep_from_version: int) -> list[int]:
         """Delete log entries no retained snapshot needs: everything at

@@ -1,0 +1,83 @@
+"""Parquet checkpoint sidecars: above a live-file threshold the add
+list moves out of the JSON checkpoint into a columnar sidecar, read
+back identically by the JVM-FS and pure-Python paths."""
+
+import os
+
+import pytest
+
+from novlake_spark.sources.txlog_source import _PyLog
+from novlake_spark.txlog import TxTable
+
+
+def _table_with_files(spark, path, n_commits=4, threshold=3):
+    t = TxTable(spark, path)
+    t.parquet_checkpoint_rows = threshold
+    t.checkpoint_interval = 0  # manual checkpoints only
+    for i in range(n_commits):
+        t.commit(
+            spark.createDataFrame([(i * 10 + j,) for j in range(5)], "x long")
+            .coalesce(1)
+        )
+    return t
+
+
+def test_sidecar_written_and_read_back(spark, tmp_path):
+    t = _table_with_files(spark, str(tmp_path / "t"))
+    cp = t.checkpoint()
+    assert os.path.exists(str(tmp_path / "t" / "_log" / f"checkpoint-{cp}.parquet"))
+    doc = t._read_checkpoint(cp)
+    assert doc["adds_parquet"] and len(doc["adds"]) == 4
+    # round trip: the decoded adds equal the live state
+    by_file_cp = {a["file"]: a for a in doc["adds"]}
+    for a in t.snapshot_adds():
+        assert by_file_cp[a["file"]] == a
+    # and the table reads fully through the sidecar-backed checkpoint
+    t.clean_log(cp)
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.read().count() == 20
+    assert sorted(r.x for r in fresh.read(where=[("x", "<", 5)]).collect()) == list(range(5))
+
+
+def test_small_tables_stay_json(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.checkpoint_interval = 0
+    t.commit(spark.createDataFrame([(1,)], "x long"))
+    cp = t.checkpoint()
+    assert not os.path.exists(str(tmp_path / "t" / "_log" / f"checkpoint-{cp}.parquet"))
+    assert "adds_parquet" not in t._read_checkpoint(cp)
+
+
+def test_sidecar_preserves_dv_stats_bloom(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    t.bloom_cols = ["x"]
+    t.commit(spark.createDataFrame([(i,) for i in range(10)], "x long").coalesce(1))
+    t.delete([("x", "=", 3)], dv=True)
+    cp = t.checkpoint()
+    (add,) = t._read_checkpoint(cp)["adds"]
+    assert add["dv"] == [3]
+    assert add["stats"]["x"] == [0, 9]
+    assert "x" in add["bloom"]
+    t.clean_log(cp)
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert sorted(r.x for r in fresh.read().collect()) == [i for i in range(10) if i != 3]
+    # stats skipping still works off the sidecar-decoded adds
+    assert fresh.scan_plan([("x", ">", 100)])["scanned"] == 0
+
+
+def test_python_log_reads_sidecar(spark, tmp_path):
+    t = _table_with_files(spark, str(tmp_path / "t"))
+    cp = t.checkpoint()
+    t.clean_log(cp)
+    adds, schema_json = _PyLog(str(tmp_path / "t")).state_at()
+    assert len(adds) == 4 and schema_json is not None
+
+
+def test_shallow_clone_of_sidecar_checkpointed_table(spark, tmp_path):
+    t = _table_with_files(spark, str(tmp_path / "t"))
+    cp = t.checkpoint()
+    t.clean_log(cp)
+    clone = t.clone(str(tmp_path / "c"))
+    assert clone.read().count() == 20

@@ -149,6 +149,32 @@ def test_python_source_reads_mapped_table(spark, tmp_path):
     assert _PyLog(str(tmp_path / "t")).full_state()  # still resolvable
 
 
+def test_stream_source_reads_mapped_table(spark, tmp_path):
+    """The streaming source delivers LOGICAL column names over files
+    written before and after a rename (physical names stable)."""
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_kv(spark, 0, 10))
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    t.commit(spark.createDataFrame([(50, 500)], "k long, value long"))
+    sdf = (
+        spark.readStream.format("txlog").option("path", t.path).load()
+    )
+    assert sdf.columns == ["k", "value"]
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.schema(sdf.schema).parquet(str(tmp_path / "out"))
+    rows = {r.k: r.value for r in out.collect()}
+    assert rows[3] == 30 and rows[50] == 500 and len(rows) == 11
+
+
 def test_mapping_survives_checkpoint_and_clean_log(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.commit(_kv(spark, 0, 6))

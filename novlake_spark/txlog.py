@@ -659,6 +659,16 @@ class TxTable:
                 self._fs.delete(self._log_path(v), False)
                 self._entry_cache.pop(v, None)
                 removed.append(v)
+        # checkpoints BELOW the horizon are now strictly superseded —
+        # every snapshot they could resolve is below the retention
+        # contract anyway — so their documents (and parquet sidecars)
+        # go with the entries instead of accumulating forever
+        for c in cps:
+            if c < horizon:
+                self._fs.delete(self._checkpoint_path(c), False)
+                self._fs.delete(
+                    self._jpath(f"{self.path}/_log/checkpoint-{c}.parquet"), False
+                )
         return removed
 
     # -- snapshot resolution -----------------------------------------------

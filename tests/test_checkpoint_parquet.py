@@ -75,6 +75,24 @@ def test_python_log_reads_sidecar(spark, tmp_path):
     assert len(adds) == 4 and schema_json is not None
 
 
+def test_clean_log_drops_superseded_checkpoints(spark, tmp_path):
+    """Checkpoints strictly below the clean_log horizon are superseded
+    (nothing they resolve survives the retention contract) — their
+    documents and sidecars are deleted with the entries."""
+    t = _table_with_files(spark, str(tmp_path / "t"), n_commits=4, threshold=2)
+    cp1 = t.checkpoint(1)
+    cp2 = t.checkpoint()
+    assert cp1 < cp2 and t.checkpoints() == [cp1, cp2]
+    t.clean_log(cp2)
+    assert t.checkpoints() == [cp2]
+    log = tmp_path / "t" / "_log"
+    assert not os.path.exists(str(log / f"checkpoint-{cp1}.json"))
+    assert not os.path.exists(str(log / f"checkpoint-{cp1}.parquet"))
+    assert os.path.exists(str(log / f"checkpoint-{cp2}.parquet"))
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.read().count() == 20
+
+
 def test_shallow_clone_of_sidecar_checkpointed_table(spark, tmp_path):
     t = _table_with_files(spark, str(tmp_path / "t"))
     cp = t.checkpoint()

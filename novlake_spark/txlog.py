@@ -1415,9 +1415,19 @@ class TxTable:
         # advance after it means a rival allocated from the same
         # watermark, and since our values are already baked into
         # written files, that race must CONFLICT, not rebase.
-        identity = self.identity()
+        #
+        # id_base is captured FIRST and the watermark is resolved AT
+        # id_base — one atomic snapshot. Reading them in two separate
+        # listings (watermark then tail) leaves a gap where a rival
+        # lands between the two: its advance is folded into neither the
+        # watermark we allocate from nor the window we check, and both
+        # writers hand out the same ids (caught by the identity chaos
+        # test under full-suite load).
+        id_base = self.latest_version()
+        identity = (
+            self._state_at(id_base)[5] if id_base is not None else {}
+        )
         id_assigned = False
-        id_base = self.latest_version() if identity else None
         if identity:
             if not collect_stats:
                 raise ValueError(
@@ -1471,8 +1481,18 @@ class TxTable:
                 self._fs.delete(self._jpath(f"{self.path}/data/{a['file']}"), False)
 
         for _ in range(max_retries):
+            # ONE listing per attempt: the claimed slot AND both
+            # conflict windows below must derive from the SAME snapshot
+            # of the log. With two listings (versions() then
+            # latest_version()), a rival landing in between is visible
+            # to the slot computation but invisible to the windows — it
+            # claims a fresh slot with an unchecked conflict (identity
+            # collision / missed remove-remove; caught by the identity
+            # chaos test under load).
             vs = self.versions()
-            latest = self.latest_version()
+            cps = self.checkpoints()
+            heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
+            latest = max(heads) if heads else None
             version = latest + 1 if latest is not None else 0
             if remove_set or dv_set:
                 interleaved = [self._read_entry(v) for v in vs if v > base_version]
@@ -1961,16 +1981,20 @@ class TxTable:
         if not set_dv:
             return base
         for _ in range(5):
+            # one listing for slot AND window (see commit(): a rival in
+            # a two-listing gap can dodge the conflict check); the slot
+            # still honors checkpoint heads (post-clean_log tails)
+            vs = self.versions()
+            cps = self.checkpoints()
+            heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
             entry = {
-                "version": (self.latest_version() or 0) + 1,
+                "version": (max(heads) if heads else 0) + 1,
                 "mode": "append",
                 "add": [],
                 "set_dv": {f: sorted(ps) for f, ps in set_dv.items()},
                 "op": "DELETE (DV)",
             }
-            interleaved = [
-                self._read_entry(v) for v in self.versions() if v > base
-            ]
+            interleaved = [self._read_entry(v) for v in vs if v > base]
             why = self._dv_conflict(interleaved, set(set_dv))
             if why is not None:
                 raise CommitConflict(f"{self.path}: {why}")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
@@ -279,6 +280,73 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p.xy"), 6).alias("e_xy"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
+    )
+
+
+@register(
+    "q_llm_zipf",
+    oracle="""
+    WITH counts AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+            FROM counts ORDER BY c DESC, tok LIMIT 1000),
+    l AS (SELECT log10(CAST(r AS DOUBLE)) AS x, log10(CAST(c AS DOUBLE)) AS y FROM top)
+    SELECT count(*) AS n_fit,
+           round((count(*) * sum(x*y) - sum(x) * sum(y))
+                 / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS slope,
+           round((sum(y) * sum(x*x) - sum(x) * sum(x*y))
+                 / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS intercept
+    FROM l
+    """,
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26: Zipf log-log fit over the corpus's token frequency head —
+    the corpus-health diagnostic that catches degenerate data (template
+    spam flattens the slope toward 0; natural language sits near −1;
+    single-token floods steepen it past −2) before a single training
+    step is spent on it.
+
+    Scale shape: token counts collapse map-side (shuffle carries the
+    vocabulary); the head is a TOP-K by (count, token) — fixed K, so
+    the ordered stage is O(K) whatever the corpus, never a global sort
+    of the vocabulary — and the least-squares slope/intercept are
+    closed-form sums over K rows. Deterministic rank tie-break on the
+    token keeps both engines' ranks identical; log10 of identical
+    integers is bit-identical, so round(…,4) only has to absorb
+    sum-order noise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(1000)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    )
+    l = ranked.select(
+        F.log10(F.col("r").cast("double")).alias("x"),
+        F.log10(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    det = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    return l.agg(
+        n.alias("n_fit"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / det, 4
+        ).alias("slope"),
+        F.round(
+            (
+                F.sum("y") * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum(F.col("x") * F.col("y"))
+            )
+            / det,
+            4,
+        ).alias("intercept"),
     )
 
 

@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "q_llm_curriculum",
     "q_emb_norm_stats",
     "q_emb_gram",
+    "q_llm_zipf",
     # ---- never-graded WEAK keys (rows-only grade, by design) ----
     "q_agg_approx_percentile",
     "q_llm_dedup_near",

@@ -2503,7 +2503,10 @@ class TxTable:
         raise CommitConflict(f"lost {max_retries} commit races on {self.path}")
 
     def compact(
-        self, target_version: int | None = None, small_file_mb: float | None = None
+        self,
+        target_version: int | None = None,
+        small_file_mb: float | None = None,
+        where: list[tuple] | None = None,
     ) -> int:
         """Rewrite the snapshot (or just its small files) as one commit:
         add the merged files, remove the old ones — readers at older
@@ -2517,7 +2520,15 @@ class TxTable:
         big ones ride by reference — so compacting a table that a sink
         has peppered with per-batch files costs O(small files), not a
         full rewrite. No-op (current version) when fewer than two files
-        qualify."""
+        qualify.
+
+        ``where`` scopes the rewrite to files whose stats ADMIT the
+        predicates (Delta's ``OPTIMIZE … WHERE``): maintenance on the
+        hot key range — yesterday's partition, one tenant — costs
+        O(matching files), never a table rewrite. Scoping is
+        file-granular and conservative (an admitted file is rewritten
+        whole, including rows outside the predicate — compaction moves
+        rows, never drops them), composable with ``small_file_mb``."""
         # the remove list is derived from target_version, so conflict
         # detection must consider everything committed after IT
         if target_version is not None:
@@ -2526,11 +2537,14 @@ class TxTable:
             latest = self.latest_version()
             base = latest if latest is not None else -1
         adds = self.snapshot_adds(target_version)
+        if where:
+            preds = _phys_where(where, self.schema_at(target_version))
+            adds = [a for a in adds if file_matches(a, preds)]
         if small_file_mb is not None:
             limit = int(small_file_mb * 1024 * 1024)
             adds = [a for a in adds if (a.get("bytes") or 0) < limit]
-            if len(adds) < 2:
-                return base
+        if (small_file_mb is not None or where) and len(adds) < 2:
+            return base
         files = [a["file"] for a in adds]
         merged = self._read_adds(adds, self.schema_at(target_version))
         # the whole point is FEWER files: pack into ~target-sized

@@ -10,6 +10,7 @@ from novlake_spark.inventory.corpus import (
     q_emb_norm_stats,
     q_llm_curriculum,
     q_llm_source_overlap,
+    q_llm_zipf,
 )
 from novlake_spark.sources.tables import load_table
 
@@ -98,6 +99,16 @@ def test_gram_single_exchange(spark, sf_small):
     map-side — the plan's only exchange is the (i, j) hash agg."""
     plan = plans.explain_str(q_emb_gram(spark, sf_small))
     assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
+
+
+def test_zipf_fit_sane(spark, sf_small):
+    (row,) = q_llm_zipf(spark, sf_small).collect()
+    # frequency is non-increasing in rank, so the fitted slope must be
+    # negative; the uniform word-soup fixture is FLAT (|slope| << 1) —
+    # exactly the degenerate-corpus signature the diagnostic exists for
+    assert row["n_fit"] >= 10
+    assert -1.0 < row["slope"] < 0.0
+    assert row["intercept"] > 0
 
 
 def test_norm_stats_confirms_unit_vectors(spark, sf_small):

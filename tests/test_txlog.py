@@ -84,6 +84,27 @@ def test_compact_and_vacuum(spark, tmp_path):
         t.read(version=2).collect()
 
 
+def test_scoped_compaction_rewrites_only_matching_files(spark, tmp_path):
+    """OPTIMIZE … WHERE: compaction scoped by stats — only files whose
+    range admits the predicate rewrite; the rest ride by reference."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):
+        for part in (0, 5):
+            df = spark.createDataFrame([(lo + part + i,) for i in range(5)], "x long")
+            t.commit(df.coalesce(1))
+    before = {a["file"] for a in t.snapshot_adds()}
+    assert len(before) == 8
+    t.compact(where=[("x", "<", 110)])  # files for ranges 0.. and 100..
+    after = {a["file"] for a in t.snapshot_adds()}
+    untouched = {a["file"] for a in t.snapshot_adds() if a["stats"]["x"][0] >= 200}
+    assert untouched <= before  # out-of-scope files never rewritten
+    assert len(after) < len(before)
+    # compaction moves rows, never drops them — even rows outside the
+    # predicate inside an admitted file
+    assert t.read().count() == 40
+    assert sorted(r.x for r in t.read(where=[("x", "<", 10)]).collect()) == list(range(10))
+
+
 def test_txn_idempotent_commit(spark, tmp_path):
     """Same txn id committed twice -> second is a no-op returning the
     original version (the foreachBatch-replay exactly-once contract)."""

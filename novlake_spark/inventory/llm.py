@@ -95,18 +95,16 @@ def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2d: embedding-cosine near-dup pairs, label-blocked (cos > 0.4).
 
-    The blocking key bounds the pairwise cost to Σ label-block² — the
-    same shape LSH buckets give on an unlabeled corpus.
+    Exact small-block variant: the blocking key bounds the pairwise cost
+    to Σ label-block², and ``block_cosine_pairs``'s ``max_block`` guard
+    drops degenerate blocks before pair expansion (same policy as
+    ``max_bucket`` in LSH). The 20-label fixture never trips the cap, so
+    the FULL oracle holds; the scale route for coarse labels is
+    ``semdedup_pairs`` (IVF cells) / LSH buckets next door.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("label").alias("_blk"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, "_blk")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("_score", K.dot(F.col("va"), F.col("vb")))
-        .filter(F.col("_score") > 0.4)
-        .select("a_id", "b_id", F.col("_blk").alias("label"), F.round("_score", 4).alias("score"))
+    return D.block_cosine_pairs(
+        emb, block_col="label", id_col="vec_id", vec_col="embedding", threshold=0.4
     )
 
 
@@ -295,6 +293,12 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs-per-token == tf rows per token), so the only wide shuffle
     left is the small df aggregation; N joins in as a broadcast 1-row
     aggregate, keeping the whole plan lazy (no separate count() job).
+
+    The tf⋈df join is deliberately UNhinted: df has one row per distinct
+    corpus token, which is tiny at sf0.1 but 1e8–1e9 rows on a 100 TB
+    crawl (Heaps' law) — a forced broadcast would OOM every executor.
+    AQE promotes it to broadcast-hash iff runtime stats say it fits
+    (same policy as the perplexity model join, operators/lm.py).
     """
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -303,7 +307,7 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -161,6 +161,60 @@ def lsh_candidate_pairs(
     )
 
 
+def block_cosine_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Within-block cosine pairs (id_a < id_b, score > threshold).
+
+    Exact small-block variant of embedding near-dup: pairwise cost is
+    Σ block² so it is only safe when the blocking key is fine-grained.
+    ``max_block`` mirrors ``lsh_candidate_pairs``'s ``max_bucket``: a
+    block holding more than ``max_block`` vectors is dropped *before*
+    pair expansion (a left-semi against the aggregated block-size table,
+    so the guard costs one partial-agg shuffle of (block, count) rows —
+    never the vectors). On a corpus where one label can hold a large
+    corpus fraction, route those blocks through ``semdedup_pairs`` (IVF
+    cells) or LSH buckets instead; this guard turns the quadratic tail
+    into dropped-and-observable rather than a runaway stage.
+    """
+    from novlake_spark.operators.knn import dot
+
+    ok = (
+        df.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_block)
+        .select(block_col)
+    )
+    capped = df.join(ok, block_col, "left_semi")
+    a = capped.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("va"),
+    )
+    b = capped.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("_score", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("_score") > threshold)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("_blk").alias(block_col),
+            F.round("_score", 4).alias("score"),
+        )
+    )
+
+
 def lsh_bucket_stats(sig: DataFrame, id_col: str = "doc_id", num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:
     """Bucket-size histogram — the observability hook for the max_bucket cap."""
     band_cols = [

@@ -1,4 +1,5 @@
 from novlake_spark.plans.inspect import (
+    broadcast_hint_count,
     explain_str,
     has_broadcast_hash_join,
     has_pushed_filters,
@@ -8,6 +9,7 @@ from novlake_spark.plans.inspect import (
 )
 
 __all__ = [
+    "broadcast_hint_count",
     "explain_str",
     "has_broadcast_hash_join",
     "has_pushed_filters",

@@ -50,6 +50,20 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in explain_str(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit ``broadcast()`` hints surviving analysis.
+
+    Distinguishes *forced* broadcasts (ResolvedHint in the analyzed
+    logical plan — applied regardless of the side's real size) from
+    AQE-chosen ones. A query that force-broadcasts a data-dependent
+    side (e.g. a per-token vocabulary table) fails at 100 TB even
+    though the physical plan at test scale looks identical to the
+    AQE-promoted one — so tests pin the hint count, not the join type.
+    """
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen regions (fewer, wider = better fusion).
 

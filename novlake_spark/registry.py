@@ -20,71 +20,14 @@ _ORACLES: dict[str, str] = {}
 _WEAK: set[str] = set()
 
 #: The correctness driver grades roughly the FIRST 50 keys in the order
-#: ``queries()`` yields them. Rounds 1+2 banked 80/154 keys green
-#: (CORRECTNESS_r01/r02); this head is rotated each round onto the
-#: never-driver-graded remainder so coverage accumulates. Round-3 head =
-#: all 67 never-graded FULL-oracle keys (every one already hash-passes
-#: ``tools/verify_local.py`` at sf0.01), then the 7 never-graded WEAK
-#: keys, then the 80 already-green keys in their round-2 order.
+#: ``queries()`` yields them. Rounds 1–3 banked 130/166 distinct keys
+#: green (CORRECTNESS_r01/r02/r03); this head is rotated each round onto
+#: the never-driver-graded remainder so coverage accumulates. Round-4
+#: head = the final 36 never-graded keys (28 FULL-oracle — every one
+#: already hash-passes ``tools/verify_local.py`` at sf0.01 — then the 8
+#: WEAK rows-only keys), completing driver-verified coverage at 166/166.
 PRIORITY: list[str] = [
-    # TPC-H shapes never graded (q1/q3/q5/q18 already green r1/r2)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # F: windows never graded
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_cumsum",
-    "q_win_first_last",
-    "q_win_nth_value",
-    "q_win_percent_rank",
-    # subqueries / CTE / reshape
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_cte",
-    "q_pivot",
-    "q_unpivot",
-    # time series
-    "q_ts_resample",
-    "q_ts_locf",
-    "q_ts_gapfill",
-    "q_ts_interpolate",
-    # sampling / corpus mixing
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_sample_split",
-    "q_mix_corpus",
-    # profiling / analytics
-    "q_profile_table",
-    "q_profile_skew",
-    "q_market_basket",
-    # misc §2 rows never graded
-    "q_set_union",
-    "q_util_preview",
-    "q_filter_in_between_like",
-    "q_fn_struct",
-    "q_udf_grouped_map",
-    "q_udf_mapinpandas",
-    "q_stream_interval_join",
-    "q_multimodal_bytes",
-    # L: LLM-pipeline FULL keys never graded
-    "q_llm_pii_scrub",
-    "q_llm_span_dedup",
+    # L: LLM-pipeline FULL keys never driver-graded
     "q_llm_jaccard_pairs",
     "q_llm_dedup_embed",
     "q_llm_cosine_pairs",
@@ -102,7 +45,6 @@ PRIORITY: list[str] = [
     "q_llm_shuffle_det",
     "q_llm_curation",
     "q_llm_inverted_index",
-    # new FULL keys added during round 3 (grade after the block above)
     "q_llm_quality_logreg",
     "q_sample_reservoir",
     "q_llm_gopher_rules",
@@ -122,8 +64,58 @@ PRIORITY: list[str] = [
     "q_llm_knn_ivf",
     "q_llm_bpe_train",
     "q_llm_bpe_encode",
-    "q_llm_semdedup",  # new WEAK key added during round 3
-    # ---- already driver-green in r1/r2, kept in round-2 order ----
+    "q_llm_semdedup",
+    # ---- already driver-green in r1/r2/r3, stable order ----
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_cumsum",
+    "q_win_first_last",
+    "q_win_nth_value",
+    "q_win_percent_rank",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_cte",
+    "q_pivot",
+    "q_unpivot",
+    "q_ts_resample",
+    "q_ts_locf",
+    "q_ts_gapfill",
+    "q_ts_interpolate",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sample_split",
+    "q_mix_corpus",
+    "q_profile_table",
+    "q_profile_skew",
+    "q_market_basket",
+    "q_set_union",
+    "q_util_preview",
+    "q_filter_in_between_like",
+    "q_fn_struct",
+    "q_udf_grouped_map",
+    "q_udf_mapinpandas",
+    "q_stream_interval_join",
+    "q_multimodal_bytes",
+    "q_llm_pii_scrub",
+    "q_llm_span_dedup",
     "q_scd2_build",
     "q_project_compute",
     "q_filter_bool",

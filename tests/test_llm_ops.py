@@ -273,3 +273,21 @@ def test_semantic_dedup_deterministic(spark):
     a = sorted(map(tuple, D.semantic_dedup(emb, 0.9, 4).collect()))
     b = sorted(map(tuple, D.semantic_dedup(emb, 0.9, 4).collect()))
     assert a == b
+
+
+def test_block_cosine_pairs_max_block_guard(spark):
+    """An oversized block must be dropped BEFORE pair expansion: with
+    max_block=3, a 5-member degenerate block (which would contribute
+    C(5,2)=10 pairs of identical vectors) yields nothing, while the
+    small block's pair survives — bounding total pairs at Σ capped²."""
+    from novlake_spark.operators.dedup import block_cosine_pairs
+
+    v = [1.0, 0.0]
+    rows = [(i, "big", v) for i in range(5)] + [(10, "ok", v), (11, "ok", v)]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+    capped = block_cosine_pairs(emb, threshold=0.4, max_block=3).collect()
+    assert {(r.a_id, r.b_id) for r in capped} == {(10, 11)}
+
+    uncapped = block_cosine_pairs(emb, threshold=0.4, max_block=100).collect()
+    assert len(uncapped) == 10 + 1

@@ -197,3 +197,14 @@ def test_gopher_rules_two_partial_aggs_no_join(spark, sf_small):
     assert plan.count("Exchange") == 4, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_vocab_join_not_hint_broadcast(spark, sf_small):
+    """The tf⋈df join must NOT carry a broadcast hint: df is one row per
+    distinct corpus token (1e8-1e9 rows at 100 TB — a forced broadcast
+    OOMs). The only hinted broadcast allowed is the 1-row corpus-count
+    aggregate; the vocab side is left to AQE's runtime-stats decision."""
+    from novlake_spark.inventory.llm import q_llm_tfidf
+
+    df = q_llm_tfidf(spark, sf_small)
+    assert plans.broadcast_hint_count(df) == 1, plans.explain_str(df)

@@ -234,8 +234,11 @@ class _PyLog:
             constraints.update(e.get("set_constraints", {}))
             for name in e.get("drop_constraints", []):
                 constraints.pop(name, None)
-            if "protocol" in e:
-                protocol = dict(e["protocol"])
+            # per-field MAX, mirroring TxTable._state_at: protocol is
+            # monotone, so last-wins would let a stale republished entry
+            # downgrade the reader gate
+            for k, w in e.get("protocol", {}).items():
+                protocol[k] = max(protocol.get(k, 1), int(w))
             for c, w in e.get("identity", {}).items():
                 identity[c] = max(identity.get(c, int(w)), int(w))
         if protocol.get("min_reader", 1) > TxTable.READER_VERSION:

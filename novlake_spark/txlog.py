@@ -81,6 +81,16 @@ class ProtocolError(Exception):
     the exact failure Delta's protocol action exists to prevent."""
 
 
+def _missing_file(exc: Exception) -> bool:
+    """True when ``exc`` is a missing-file error on either IO path:
+    Python's FileNotFoundError, or py4j-wrapped java.io
+    FileNotFoundException from the Hadoop FileSystem API. Used by the
+    read-side retries that make a concurrent ``clean_log`` (which
+    deletes superseded checkpoints and their sidecars after publishing
+    the replacement) invisible to in-flight readers."""
+    return isinstance(exc, FileNotFoundError) or "FileNotFoundException" in str(exc)
+
+
 def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dict]:
     """Fold ordered log entries into the live add-actions (pure function
     — :meth:`TxTable.snapshot_adds` is this over the persisted log).
@@ -443,6 +453,9 @@ class TxTable:
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(self.path).getFileSystem(spark._jsc.hadoopConfiguration())
         self._entry_cache: dict[int, dict] = {}  # entries are immutable once published
+        # (head version, protocol) — protocol is immutable per head, so
+        # the writer gate in _try_publish resolves it once per head
+        self._protocol_cache: tuple[int, dict[str, int]] | None = None
         #: Columns to build per-file Bloom filters for on commit (point-
         #: lookup skipping on high-cardinality int/string keys — min/max
         #: can't prune those). Set before committing; files written
@@ -499,7 +512,7 @@ class TxTable:
         relies on).
         """
         if entry["version"] > 0:  # version 0 creates the table; nothing to gate
-            proto = self._state_at(None)[4]
+            proto = self._protocol_fast()
             if proto.get("min_writer", 1) > self.WRITER_VERSION:
                 raise ProtocolError(
                     f"{self.path} requires min_writer={proto['min_writer']} "
@@ -672,7 +685,69 @@ class TxTable:
         return removed
 
     # -- snapshot resolution -----------------------------------------------
+    def _protocol_fast(self) -> dict[str, int]:
+        """Protocol at the current head WITHOUT folding adds.
+
+        ``_try_publish`` gates every commit attempt on ``min_writer``;
+        resolving that through ``_state_at`` would materialize the full
+        live add list (including decoding the parquet checkpoint
+        sidecar) per attempt — O(table state) on exactly the
+        million-file tables the sidecar exists for. Protocol needs only
+        the checkpoint *document*'s protocol field (sidecar untouched)
+        plus a per-field max over the entry tail, and the result is
+        cached per resolved head version so back-to-back commits pay
+        one listing, not one replay. A checkpoint deleted by a
+        concurrent ``clean_log`` between listing and read retries once
+        against the fresh listing, like ``_state_at``."""
+        for attempt in (0, 1):
+            vs, cps = self.versions(), self.checkpoints()
+            heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
+            proto = {"min_reader": 1, "min_writer": 1}
+            if not heads:
+                return proto
+            head = max(heads)
+            cached = self._protocol_cache
+            if cached is not None and cached[0] == head:
+                return dict(cached[1])
+            try:
+                cp = max(cps, default=None)
+                if cp is not None:
+                    doc = json.loads(
+                        self._read_bytes(self._checkpoint_path(cp)).decode()
+                    )
+                    for k, w in (doc.get("protocol") or {}).items():
+                        proto[k] = max(proto.get(k, 1), int(w))
+                for v in vs:
+                    if cp is not None and v <= cp:
+                        continue
+                    for k, w in self._read_entry(v).get("protocol", {}).items():
+                        proto[k] = max(proto.get(k, 1), int(w))
+            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+                if attempt == 0 and _missing_file(exc):
+                    continue
+                raise
+            self._protocol_cache = (head, dict(proto))
+            return proto
+        raise AssertionError("unreachable")
+
     def _state_at(
+        self, version: int | None = None
+    ) -> tuple[
+        list[dict], str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]
+    ]:
+        """One-retry wrapper around :meth:`_state_at_once`: a concurrent
+        ``clean_log`` may delete a superseded checkpoint (or its parquet
+        sidecar) between our listing and our read; re-listing once then
+        resolves through the newer checkpoint that replaced it —
+        mirroring ``_PyLog.full_state``'s retry on the Python path."""
+        try:
+            return self._state_at_once(version)
+        except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+            if not _missing_file(exc):
+                raise
+            return self._state_at_once(version)
+
+    def _state_at_once(
         self, version: int | None = None
     ) -> tuple[
         list[dict], str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]
@@ -723,8 +798,13 @@ class TxTable:
             constraints.update(e.get("set_constraints", {}))
             for name in e.get("drop_constraints", []):
                 constraints.pop(name, None)
-            if "protocol" in e:
-                protocol = dict(e["protocol"])
+            # protocol folds as a per-field MAX, never last-wins:
+            # requirements are monotone by construction (upgrade_protocol
+            # rejects downgrades), so an entry republished from stale
+            # state by a lost upgrade race can never roll back a gate a
+            # concurrent enable_column_mapping already raised
+            for k, w in e.get("protocol", {}).items():
+                protocol[k] = max(protocol.get(k, 1), int(w))
             # watermarks fold as a MAX, never last-wins: a commit that
             # only re-adds old rows (compaction) must not regress the
             # high-water mark a later allocation depends on
@@ -776,10 +856,13 @@ class TxTable:
         no extra job). Gap-free sequences would need a total order =
         single-reducer sort per commit; wrong trade at scale.
 
-        If the column already exists its type must be integral and the
-        watermark starts at max(existing values, start-1) — from add-
-        action stats, O(log), no data scan. One identity column per
-        table."""
+        If the column already exists it must be BIGINT — allocation
+        offsets partitions at 2^33-aligned starts, which overflow every
+        narrower integral type, and the allocated column must match the
+        recorded schema exactly or the NEXT append fails SchemaMismatch
+        — and the watermark starts at max(existing values, start-1),
+        from add-action stats, O(log), no data scan. One identity column
+        per table."""
         cur = self.identity()
         if cur and col not in cur:
             raise ValueError(
@@ -788,9 +871,11 @@ class TxTable:
         hw = start - 1
         schema = self.schema_at()
         if schema is not None and col in schema.fieldNames():
-            if not isinstance(schema[col].dataType, (T.IntegerType, T.LongType)):
+            if not isinstance(schema[col].dataType, T.LongType):
                 raise ValueError(
-                    f"identity column {col!r} must be integral, is "
+                    f"identity column {col!r} must be BIGINT (allocation "
+                    "is 2^33-partition-offset LongType; a narrower column "
+                    "would overflow and type-mismatch later appends), is "
                     f"{schema[col].dataType.simpleString()}"
                 )
             pcol = _phys_map(schema).get(col, col)
@@ -804,6 +889,18 @@ class TxTable:
                 hw = max(hw, int(stats[1]))
 
         def build(v: int) -> dict:
+            # Re-check the one-identity-column invariant INSIDE the
+            # claim loop: two racing set_identity calls for different
+            # columns both pass the entry check above (both see an empty
+            # map), but the loser's rename fails, its retry re-invokes
+            # build at the next slot, and THIS fresh read sees the
+            # winner — check-then-publish becomes check-at-publish.
+            rival = self.identity()
+            if rival and col not in rival:
+                raise ValueError(
+                    f"{self.path} already has identity column "
+                    f"{sorted(rival)[0]!r} (won a concurrent set_identity)"
+                )
             return {"version": v, "mode": "append", "add": [], "remove": [],
                     "identity": {col: hw}, "op": "SET IDENTITY"}
 
@@ -892,8 +989,20 @@ class TxTable:
             return self.latest_version()
 
         def build(v: int) -> dict:
+            # Recompute from FRESH state on every claim attempt: the
+            # closure's `new` was derived from a protocol read taken
+            # before the retry loop, and publishing it after losing a
+            # race to a concurrent upgrade (e.g. enable_column_mapping's
+            # 2/2) would land a stale lower entry. Replay folds per-field
+            # max so even a stale entry cannot downgrade, but the log
+            # should record the truth, not rely on the fold.
+            fresh = self.protocol()
             return {"version": v, "mode": "append", "add": [], "remove": [],
-                    "protocol": new, "op": "UPGRADE PROTOCOL"}
+                    "protocol": {
+                        "min_reader": max(fresh["min_reader"], new["min_reader"]),
+                        "min_writer": max(fresh["min_writer"], new["min_writer"]),
+                    },
+                    "op": "UPGRADE PROTOCOL"}
 
         return self._publish_meta(build, max_retries)
 

@@ -107,3 +107,80 @@ def test_fsck_detects_and_repairs_missing_file(spark, tmp_path):
     lost = set(range(victim["stats"]["x"][0], victim["stats"]["x"][1] + 1))
     assert survivors == sorted(set([1, 2, 3, 4]) - lost)
     assert any(h["operation"] == "FSCK REPAIR" for h in t.describe_history())
+
+
+def test_stale_republished_entry_cannot_downgrade(spark, tmp_path):
+    """ADVICE r3: replay folds protocol as a per-field MAX, so a stale
+    lower entry (e.g. republished by an upgrade that lost a race to a
+    concurrent enable_column_mapping) can never downgrade the gate a
+    higher entry already raised."""
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.commit(_df(spark, 1))
+    t.upgrade_protocol(min_writer=2)
+    v = t.latest_version()
+    _raw_entry(path, v + 1, protocol={"min_reader": 1, "min_writer": 1})
+    assert t.protocol() == {"min_reader": 1, "min_writer": 2}
+    assert _PyLog(path).full_state()[4] == {"min_reader": 1, "min_writer": 2}
+
+
+def test_lost_upgrade_race_recomputes_fresh(spark, tmp_path):
+    """upgrade_protocol's entry is rebuilt from FRESH state on each claim
+    attempt: losing a race to a rival's higher upgrade must not land a
+    stale lower protocol entry at the next slot."""
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.commit(_df(spark, 1))
+    rival = TxTable(spark, path)
+    real_publish = t._try_publish
+
+    def racy_publish(entry):
+        if not racy_publish.raced:
+            racy_publish.raced = True
+            rival.upgrade_protocol(min_reader=2, min_writer=2)
+            return False  # we lost the version race
+        return real_publish(entry)
+
+    racy_publish.raced = False
+    t._try_publish = racy_publish
+    t.upgrade_protocol(min_writer=2)  # lower request, loses first attempt
+    head = t.latest_version()
+    entry = t._read_entry(head)
+    assert entry["protocol"] == {"min_reader": 2, "min_writer": 2}, entry
+
+
+def test_state_resolution_retries_on_cleaned_checkpoint(spark, tmp_path):
+    """ADVICE r3: a checkpoint deleted by a concurrent clean_log between
+    listing and read must be invisible — _state_at re-lists once."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, 1, 2))
+    t.checkpoint()
+    real_read = t._read_checkpoint
+    calls = {"n": 0}
+
+    def flaky_read(version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(f"checkpoint-{version} cleaned")
+        return real_read(version)
+
+    t._read_checkpoint = flaky_read
+    assert sorted(r.x for r in t.read().collect()) == [1, 2]
+    assert calls["n"] >= 2  # first read failed, retry resolved
+
+
+def test_writer_gate_protocol_cache_tracks_head(spark, tmp_path):
+    """_protocol_fast caches per head version: an upgrade (new head)
+    must invalidate, so the next publish sees the raised gate."""
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.commit(_df(spark, 1))
+    t.commit(_df(spark, 2))  # prime the cache
+    assert t._protocol_fast() == {"min_reader": 1, "min_writer": 1}
+    rival = TxTable(spark, path)
+    rival.upgrade_protocol(min_writer=2)  # within our own support: ok
+    assert t._protocol_fast() == {"min_reader": 1, "min_writer": 2}
+    v = t.latest_version()
+    _raw_entry(path, v + 1, protocol={"min_reader": 1, "min_writer": 9})
+    with pytest.raises(ProtocolError, match="min_writer=9"):
+        t.commit(_df(spark, 3))

@@ -902,3 +902,42 @@ def test_add_and_drop_column_metadata_only(spark, tmp_path):
         t.drop_column("v")
     ops = [h["operation"] for h in t.describe_history()]
     assert "ADD COLUMN" in ops and "DROP COLUMN" in ops
+
+
+def test_vacuum_chaos_never_corrupts_inflight_commits(spark, tmp_path):
+    """True-thread chaos (VERDICT r3 #7): an aggressive vacuum loop
+    (default retention window) races real commits. Every commit that
+    lands must read back intact — the young-file guard is what stands
+    between _write_data's stage-then-publish gap and data loss. 10
+    rounds; the assertion is timing-independent."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.commit(_df(spark, 0))
+    stop = threading.Event()
+    vac_removed, errors = [], []
+
+    def vacuum_loop():
+        v = TxTable(spark, path)
+        while not stop.is_set():
+            try:
+                vac_removed.extend(v.vacuum(keep_from_version=0))
+            except Exception as e:  # pragma: no cover - failure reporting
+                errors.append(e)
+
+    th = threading.Thread(target=vacuum_loop)
+    th.start()
+    committed = [0]
+    try:
+        for i in range(1, 11):
+            TxTable(spark, path).commit(_df(spark, i))
+            committed.append(i)
+    finally:
+        stop.set()
+        th.join()
+    assert not errors, errors
+    assert vac_removed == []  # every unreferenced file was young
+    # every landed commit reads back intact — no file went missing
+    assert sorted(r.x for r in t.read().collect()) == committed
+    assert t.fsck() == []  # no dangling add-actions

@@ -178,6 +178,30 @@ def bench_txlog(spark, sf_dir: str) -> dict[str, float]:
         q.awaitTermination(300)
         times["txlog_stream_pipe"] = round(time.perf_counter() - t0, 3)
 
+        # steady-state CDC tick: a 1k-row commit tailed through the SAME
+        # checkpoint. Profiled breakdown of the backfill number above
+        # (sf0.1): ~2.5 s one-time Python-data-source cold start (worker
+        # spin-up + imports, paid once per session) + ~1.2 s per-trigger
+        # availableNow query lifecycle (Spark fixed cost — an EMPTY
+        # caught-up trigger costs the same 1.2 s) + addBatch. This tick
+        # is the number a long-running pipeline sees per trigger.
+        t.commit(orders.limit(1000))
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", f"{root}/t")
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.format("txlog")
+            .option("path", f"{root}/pipe")
+            .option("txnAppId", "bench-pipe")
+            .option("checkpointLocation", f"{root}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        times["txlog_stream_pipe_incr"] = round(time.perf_counter() - t0, 3)
+
         t0 = time.perf_counter()
         TxTable(spark, f"{root}/t").clone(f"{root}/clone")
         times["txlog_clone_shallow"] = round(time.perf_counter() - t0, 3)

@@ -16,15 +16,17 @@ the data is, and the output schema is declared up front so Catalyst
 plans downstream operators normally.
 
 Codec honesty: PIL/ffmpeg/librosa are NOT available in this
-environment, so compressed-format ``decode_image`` raises
-``NotImplementedError`` unless given ``fake=True`` (a deterministic,
-structure-preserving stub) — the Spark-side plumbing (schemas,
-batching, partitioning, UDF signatures) is real and fully tested
-either way. TWO modalities round-trip GENUINELY with pure stdlib:
-audio (RIFF/WAV via ``wave`` — :func:`decode_wav`) and uncompressed
-images (BMP + PPM parsed byte-by-byte — :func:`decode_image_stdlib`,
-with :func:`encode_bmp`/:func:`decode_bmp`/:func:`encode_ppm`/
-:func:`decode_ppm` as pure, Spark-free functions underneath).
+environment, so ``decode_image`` for formats we have no parser for
+(JPEG/GIF/video frames) raises ``NotImplementedError`` unless given
+``fake=True`` (a deterministic, structure-preserving stub) — the
+Spark-side plumbing (schemas, batching, partitioning, UDF signatures)
+is real and fully tested either way. TWO modalities round-trip
+GENUINELY with pure stdlib: audio (RIFF/WAV via ``wave`` —
+:func:`decode_wav`) and images — uncompressed BMP 24bpp + PPM P6
+parsed byte-by-byte AND real compressed PNG (zlib inflate, CRC check,
+full 5-filter unfiltering — :func:`encode_png`/:func:`decode_png`) —
+via :func:`decode_image_stdlib`, with the codecs as pure, Spark-free
+functions underneath.
 """
 
 from __future__ import annotations
@@ -229,6 +231,125 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (H, W, 3) → PNG bytes (8-bit truecolor, filter 0
+    per scanline, one zlib IDAT) — pure stdlib ``zlib``/``struct``, no
+    codec library. A minimal but spec-conformant writer: any PNG reader
+    decodes its output."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse one scanline's PNG filter (spec §9: None/Sub/Up/Average/
+    Paeth). Up is vectorized; Sub/Average/Paeth carry a left-neighbor
+    dependence so they run as a per-byte loop — fine at feature-extract
+    batch sizes, and encoders that matter here emit filter 0 anyway."""
+    if f == 0:
+        return line
+    if f == 2:
+        return ((line.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+    cur = line.astype(np.int32)
+    pv = prev.astype(np.int32)
+    n = len(cur)
+    if f == 1:
+        for x in range(bpp, n):
+            cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+    elif f == 3:
+        for x in range(n):
+            left = cur[x - bpp] if x >= bpp else 0
+            cur[x] = (cur[x] + ((left + pv[x]) >> 1)) & 0xFF
+    elif f == 4:
+        for x in range(n):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = pv[x]
+            c = pv[x - bpp] if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[x] = (cur[x] + pred) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter type {f}")
+    return cur.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → RGB uint8 array (H, W, 3) — pure stdlib ``zlib``
+    inflate + full 5-filter unfiltering (:func:`_png_unfilter`), CRC
+    verified per chunk. Handles the dominant web shapes: 8-bit
+    truecolor (color type 2) and truecolor+alpha (6, alpha dropped);
+    palette/grayscale/16-bit/interlaced raise ``ValueError`` (curation
+    callers quarantine). This retires the round-3 ``fake=True`` stub
+    for the most common compressed image format."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = color_type = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG shape: depth={depth} color={color_type} "
+                    f"interlace={interlace} (8-bit truecolor/RGBA only)"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG pixel data truncated: {len(raw)} != {h * (stride + 1)}")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        prev = _png_unfilter(raw[off], line, prev, ch)
+        out[y] = prev
+    px = out.reshape(h, w, ch)
+    return np.ascontiguousarray(px[:, :, :3])  # drop alpha if present
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """RGB uint8 array (H, W, 3) → binary PPM (P6) bytes."""
     h, w, _ = pixels.shape
@@ -260,9 +381,10 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataFrame:
-    """Media table whose image payloads are REAL encoded BMP/PPM bytes
-    (alternating), with deterministic per-image gradient pixels — the
-    image twin of :func:`synthesize_wav`."""
+    """Media table whose image payloads are REAL encoded BMP/PPM/PNG
+    bytes (rotating), with deterministic per-image gradient pixels —
+    the image twin of :func:`synthesize_wav`."""
+    encoders = [("bmp", encode_bmp), ("ppm", encode_ppm), ("png", encode_png)]
     rows = []
     for i in range(n):
         w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
@@ -270,15 +392,15 @@ def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataF
         base = rng.randint(0, 64, size=(h, w, 3)).astype(np.uint8)
         ramp = np.linspace(0, 191, w, dtype=np.uint8)[None, :, None]
         px = (base + ramp).astype(np.uint8)
-        fmt = "bmp" if i % 2 == 0 else "ppm"
-        payload = encode_bmp(px) if fmt == "bmp" else encode_ppm(px)
-        rows.append((i, "image", payload, (w, h, None, None, fmt)))
+        fmt, enc = encoders[i % 3]
+        rows.append((i, "image", enc(px), (w, h, None, None, fmt)))
     return spark.createDataFrame(rows, media_schema)
 
 
 def decode_image_stdlib(df: DataFrame) -> DataFrame:
-    """REAL image decode for the uncompressed formats the stdlib can
-    parse (BMP 24bpp, PPM P6) — no ``fake=`` escape hatch needed.
+    """REAL image decode for the formats the stdlib can parse — BMP
+    24bpp, PPM P6, and compressed PNG (8-bit truecolor/RGBA) — no
+    ``fake=`` escape hatch needed.
 
     Same contract as :func:`decode_wav`: bytes → decode → numpy
     features inside mapInPandas, Arrow-batched, constant memory;
@@ -303,6 +425,8 @@ def decode_image_stdlib(df: DataFrame) -> DataFrame:
                         px = decode_bmp(data)
                     elif data[:2] == b"P6":
                         px = decode_ppm(data)
+                    elif data[:8] == _PNG_SIG:
+                        px = decode_png(data)
                     else:
                         continue
                 except (ValueError, IndexError):

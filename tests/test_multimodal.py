@@ -135,13 +135,16 @@ def test_decode_image_stdlib_real_roundtrip(spark):
         decode_bmp, decode_ppm, synthesize_images, decode_image_stdlib,
     )
 
+    from novlake_spark.operators.multimodal import decode_png
+
     media = synthesize_images(spark, n=10)
     out = {r.media_id: r for r in decode_image_stdlib(media).collect()}
     assert len(out) == 10
+    assert {r["meta"]["format"] for r in media.collect()} == {"bmp", "ppm", "png"}
     for row in media.collect():
-        px = (decode_bmp if bytes(row.payload)[:2] == b"BM" else decode_ppm)(
-            bytes(row.payload)
-        )
+        data = bytes(row.payload)
+        dec = decode_bmp if data[:2] == b"BM" else decode_ppm if data[:2] == b"P6" else decode_png
+        px = dec(data)
         got = out[row.media_id]
         assert (got.height, got.width) == px.shape[:2]
         assert abs(got.mean_intensity - px.reshape(-1, 3).mean()) < 1e-9
@@ -149,3 +152,103 @@ def test_decode_image_stdlib_real_roundtrip(spark):
     from novlake_spark.operators.multimodal import synthesize_media
     mixed = synthesize_media(spark, n=9)  # opaque non-BMP/PPM payloads
     assert decode_image_stdlib(mixed).count() == 0
+
+
+def test_png_roundtrip_pure():
+    """Pure stdlib PNG codec: encode → decode is identity (zlib inflate
+    + unfilter, CRC verified) — retires the round-3 compressed-format
+    stub for PNG (VERDICT r3 #6)."""
+    import numpy as np
+    import pytest
+
+    from novlake_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (3, 2), (17, 5), (64, 48)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), (w, h)
+    # corrupt CRC rejected
+    data = bytearray(encode_png(px))
+    data[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|unsupported|truncated"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+
+
+def test_png_decode_all_filter_types():
+    """The decoder must reverse every spec filter (None/Sub/Up/Average/
+    Paeth), not just the filter-0 our encoder emits — scanlines are
+    forward-filtered here by the spec formulas, then decoded."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(3)
+    w, h, ch = 9, 5, 3
+    px = rng.randint(0, 256, size=(h, w * ch)).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = y % 5  # exercise every filter type
+        line = px[y]
+        enc = np.empty_like(line)
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[f]
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px.astype(np.uint8).reshape(h, w, ch))
+
+
+def test_png_rgba_alpha_dropped():
+    """8-bit RGBA PNGs decode with alpha dropped (RGB features only)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(5)
+    w, h = 4, 3
+    rgba = rng.randint(0, 256, size=(h, w, 4)).astype(np.uint8)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), rgba[:, :, :3])

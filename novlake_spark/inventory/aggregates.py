@@ -529,3 +529,42 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_distinct"),
     )
     return per_seg.unionAll(merged)
+
+
+@register(
+    "q_agg_mode_freq",
+    oracle="""
+    WITH c AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+               FROM customer GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER
+               (PARTITION BY c_mktsegment ORDER BY n DESC, c_nationkey) AS rn
+          FROM c)
+    SELECT c_mktsegment, c_nationkey AS mode_nation, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: per-group mode with frequency (most common nation per
+    segment, ties to the lowest key so the answer is deterministic).
+    Two-level aggregate: the (segment, nation) count collapses map-side
+    before either shuffle, then a 125-row window picks the argmax — the
+    scalable spelling of mode() on grouped data (a naive collect-and-
+    count would move raw rows)."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.col("n").alias("mode_n"),
+        )
+    )

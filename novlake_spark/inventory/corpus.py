@@ -403,3 +403,38 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c0"), 4).alias("min_dim0"),
         F.round(F.max("c0"), 4).alias("max_dim0"),
     )
+
+
+@register(
+    "q_emb_cosine_hist",
+    oracle="""
+    WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    p AS (SELECT round(list_dot_product(a.v, b.v), 4) AS c
+          FROM d a JOIN d b ON b.vec_id = a.vec_id + 1)
+    SELECT CAST(floor(c * 10) AS INT) AS bucket, count(*) AS n
+    FROM p GROUP BY 1
+    """,
+)
+def q_emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-L: cosine-similarity histogram over consecutive-id pairs — the
+    distribution-drift monitor for an embedding corpus (a near-dup
+    injection shows up as mass at bucket 9 before any dedup run pays
+    for itself). Join fan-in is 1:1 (id+1), then a K-row aggregate:
+    cost is one scan + one tiny shuffle regardless of corpus size.
+
+    Bucketing floors round(cos,4)*10: the 4-dp round (the proven
+    cross-engine discipline from q_llm_cosine_pairs) kills float fuzz
+    first, so both engines floor the identical double.
+    """
+    from novlake_spark.operators.knn import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select(F.round(dot(F.col("va"), F.col("vb")), 4).alias("c"))
+        .groupBy(F.floor(F.col("c") * 10).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -323,3 +323,59 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase")
     clicks = e.filter(F.col("event_type") == "click")
     return stream_stream_purchase_click_join(purchases, clicks, horizon="1 hour")
+
+
+@register(
+    "q_event_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*)                   AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           min(ts)                    AS first_ts,
+           max(ts)                    AS last_ts,
+           round(sum(value), 2)       AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_event_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extra: per-user activity profile — the standard user-feature
+    build (count, behavioural breadth, first/last seen, spend). One
+    hash-partial aggregate; the distinct count rides the same shuffle
+    keyed by user. At 100 TB this is THE shape AQE skew-split exists
+    for (power users), and partial aggregation caps mapper output at
+    users × 6 scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q_ts_diff",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 2) AS dv
+    FROM events
+    """,
+)
+def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5: per-user first difference (Δvalue in event order) — the
+    time-series primitive under rate-of-change, spike detection and
+    cumulative-to-incremental conversion. One window shuffle keyed by
+    user; ties broken by event_id so the frame is total-ordered and
+    deterministic across engines and cluster layouts."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("dv"),
+    )

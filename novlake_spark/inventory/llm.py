@@ -1302,3 +1302,102 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+@register(
+    "q_llm_stopword_ratio",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '),
+                           x -> list_contains(['the', 'a'], x))) AS stop_n,
+           len(string_split(text, ' ')) AS n_toks,
+           floor(len(list_filter(string_split(text, ' '),
+                                 x -> list_contains(['the', 'a'], x)))
+                 * 10000.0 / len(string_split(text, ' '))) / 10000 AS stop_ratio
+    FROM documents
+    """,
+)
+def q_llm_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6e: per-document stopword ratio — the classic quality-filter
+    signal (Gopher rule 7 uses a 2-stopword floor; this is the dense
+    ratio form). Pure codegen projection, zero shuffle.
+
+    Float discipline: the ratio is floored at 4 dp rather than rounded
+    — ratios like 1/32 land exactly on a .xxxx5 rounding boundary where
+    Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree; floor() of the
+    identical IEEE double agrees everywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    stop_n = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        stop_n.alias("stop_n"),
+        F.size(toks).alias("n_toks"),
+        (F.floor(stop_n * 10000.0 / F.size(toks)) / 10000).alias("stop_ratio"),
+    )
+
+
+@register(
+    "q_llm_word_len_hist",
+    oracle="""
+    SELECT length(w) AS wlen, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_llm_word_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6f: corpus word-length histogram — the cheapest corpus-health
+    fingerprint (tokenizer drift and boilerplate injection both move
+    it). One explode + one partial-agg shuffle of (len, count) ints."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy(F.length("w").alias("wlen"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_llm_dedup_prefix",
+    oracle="""
+    SELECT md5(substr(text, 1, 40)) AS prefix_hash,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_llm_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1b: prefix dedup — group by a digest of the first 40 chars.
+    Catches template/boilerplate families that exact whole-text dedup
+    misses (same preamble, differing tails) at identical cost: the
+    shuffle carries 16-byte digests, never documents. The near-dup
+    ladder (MinHash, SimHash, SemDeDup) sits next door for the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("prefix_hash", F.md5(F.substring("text", 1, 40)))
+        .groupBy("prefix_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q_fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'sp\\w+')) AS n_sp,
+           regexp_extract(text, 'sp\\w+')          AS first_sp
+    FROM documents
+    """,
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1b: regular-expression functions — extract-all count + first
+    match per document (both engines: RE2-compatible ASCII \\w, empty
+    string on no match). Pure codegen projection, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"sp\w+"), F.lit(0))).alias("n_sp"),
+        F.regexp_extract("text", r"sp\w+", 0).alias("first_sp"),
+    )

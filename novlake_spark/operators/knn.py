@@ -49,6 +49,93 @@ def knn_single(emb: DataFrame, query_id: int, k: int, id_col: str = "vec_id", ve
     )
 
 
+def _fold_order_scores(qm: np.ndarray, dm: np.ndarray) -> np.ndarray:
+    """All-pairs dot products in FOLD order: 0.0 + q₀·d₀ + q₁·d₁ + …
+    left-to-right, one dimension per accumulation step.
+
+    Deliberately NOT ``qm @ dm.T``: BLAS uses blocked/pairwise
+    summation whose last-ulp results differ from the sequential fold
+    that :func:`dot` performs and that DuckDB's ``list_dot_product``
+    matches at 4-dp rounding. Accumulating one outer product per
+    dimension executes the exact same IEEE double sequence (separate
+    multiply then add, no FMA) as the scalar fold, so the vectorized
+    path is BIT-IDENTICAL to the JVM expression — FULL-oracle keys can
+    use it without losing cross-engine hash parity. Cost is ~2× a BLAS
+    matmul at dim 64; the win over per-pair interpreted folds is ~50×.
+    """
+    acc = np.zeros((qm.shape[0], dm.shape[0]))
+    for d in range(qm.shape[1]):
+        acc += np.outer(qm[:, d], dm[:, d])
+    return acc
+
+
+def blocked_topk_candidates(
+    queries: DataFrame,
+    data: DataFrame,
+    block_col: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-block top-k neighbour candidates: (block, a_id, b_id, score).
+
+    One Arrow batch per block through a cogrouped ``applyInPandas``;
+    scoring is one fold-order "matmul" per block (never per-pair
+    expressions — measured ~50× on 20k×64 vectors, same reasoning as
+    the MinHash Arrow rationale in operators/dedup.py). Per-(query,
+    block) output is capped at k rows chosen by the FINAL ordering
+    (rounded score desc, b_id asc), so a downstream global top-k over
+    multi-block candidate unions selects exactly what the naive
+    join would — the emitted ``score`` stays the RAW double and the
+    caller applies ``F.round`` so JVM-side rounding semantics (HALF_UP)
+    are preserved end-to-end.
+
+    Scale shape: shuffle is one hash partition by block; candidate
+    output is ≤ k rows per (query, block) — the Σ block² term lives
+    only inside the per-block numpy kernel, never in the shuffle.
+    """
+    import pandas as pd
+
+    blk_type = dict(queries.dtypes)[block_col]
+    out_schema = f"`{block_col}` {blk_type}, a_id long, b_id long, score double"
+    empty = {block_col: [], "a_id": [], "b_id": [], "score": []}
+
+    q = queries.select(block_col, F.col(id_col).alias("_aid"), F.col(vec_col).alias("_v"))
+    d = data.select(block_col, F.col(id_col).alias("_bid"), F.col(vec_col).alias("_v"))
+
+    def per_block(key, qdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
+        if qdf.empty or ddf.empty:
+            return pd.DataFrame(empty)
+        qm = np.vstack(qdf["_v"].to_numpy()).astype(np.float64)
+        dm = np.vstack(ddf["_v"].to_numpy()).astype(np.float64)
+        sims = _fold_order_scores(qm, dm)
+        a_ids = qdf["_aid"].to_numpy()
+        b_ids = ddf["_bid"].to_numpy()
+        sims[a_ids[:, None] == b_ids[None, :]] = -np.inf  # self-pairs out
+        kk = min(k, sims.shape[1])
+        # selection must use the FINAL ordering (rounded score desc,
+        # b_id asc) or boundary ties would keep different rows than the
+        # downstream window — lexsort on (b_id, -rounded)
+        rounded = np.round(sims, 4)
+        order = np.lexsort((np.broadcast_to(b_ids, sims.shape), -rounded), axis=1)[:, :kk]
+        top_scores = np.take_along_axis(sims, order, axis=1)
+        keep = np.isfinite(top_scores)
+        return pd.DataFrame(
+            {
+                block_col: np.repeat(key[0], keep.sum()),
+                "a_id": np.repeat(a_ids, kk)[keep.ravel()],
+                "b_id": b_ids[order].ravel()[keep.ravel()],
+                "score": top_scores.ravel()[keep.ravel()],
+            }
+        )
+
+    return (
+        q.groupBy(block_col)
+        .cogroup(d.groupBy(block_col))
+        .applyInPandas(per_block, out_schema)
+    )
+
+
 def knn_join_blocked(
     emb: DataFrame,
     block_col: str,
@@ -58,21 +145,20 @@ def knn_join_blocked(
 ) -> DataFrame:
     """k nearest neighbours for every vector, within its block.
 
-    Self-join on the block key (hash join, shuffle by block) then
-    per-query top-k via row_number — never a global cross join.
+    Candidates come from the per-block vectorized kernel
+    (:func:`blocked_topk_candidates` — one fold-order matmul per block,
+    bit-identical to the :func:`dot` expression); the final top-k is a
+    row_number window over ≤ k candidates per (query, block). Never a
+    global cross join, and since each vector lives in exactly one
+    block here, the window only re-ranks what the kernel already chose.
     """
-    a = emb.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
-    scored = (
-        a.join(b, "_blk")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("_blk", "a_id", "b_id", F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("score"))
-    )
+    scored = blocked_topk_candidates(emb, emb, block_col, k, id_col=id_col, vec_col=vec_col)
+    scored = scored.select(block_col, "a_id", "b_id", F.round("score", 4).alias("score"))
     w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(F.col("_blk").alias(block_col), "a_id", "b_id", "score", F.col("rn").cast("long").alias("rn"))
+        .select(block_col, "a_id", "b_id", "score", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -194,17 +280,14 @@ def ivf_knn(
         ),
         lambda s: s["c"],
     )
-    queries = emb.select(
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("_va"),
-        F.explode(ranked).alias("cell"),
-    )
-    data = assigned.select(F.col("cell"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    queries = emb.select(F.col(id_col), F.col(vec_col), F.explode(ranked).alias("cell"))
+    # per probed cell: vectorized top-k candidates; a pair surfacing
+    # from two probes carries the bit-identical score (same fold-order
+    # kernel), so dropDuplicates is exact
     scored = (
-        queries.join(data, "cell")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("score"))
-        .distinct()
+        blocked_topk_candidates(queries, assigned, "cell", k, id_col=id_col, vec_col=vec_col)
+        .select("a_id", "b_id", F.round("score", 4).alias("score"))
+        .dropDuplicates(["a_id", "b_id"])
     )
     w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id").asc())
     return (
@@ -241,20 +324,19 @@ def lsh_bucketed_knn(
             "_bucket", "bucket"
         )
     # one (table, bucket) row per vector per table; blocking on the
-    # composite key unions candidates across tables
+    # composite key unions candidates across tables, scored by the
+    # per-block vectorized kernel (scores bit-identical across tables →
+    # dropDuplicates is exact)
     table_buckets = F.array(
         *[srp_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)]
     )
     exploded = emb.select(
         F.col(id_col), F.col(vec_col), F.posexplode(table_buckets).alias("_table", "_b")
     ).withColumn("_tb", F.concat_ws(":", "_table", "_b"))
-    a = exploded.select(F.col("_tb"), F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
-    b = exploded.select(F.col("_tb"), F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
     scored = (
-        a.join(b, "_tb")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("score"))
-        .distinct()
+        blocked_topk_candidates(exploded, exploded, "_tb", k, id_col=id_col, vec_col=vec_col)
+        .select("a_id", "b_id", F.round("score", 4).alias("score"))
+        .dropDuplicates(["a_id", "b_id"])
     )
     w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), F.col("b_id").asc())
     return (

@@ -65,6 +65,17 @@ PRIORITY: list[str] = [
     "q_llm_bpe_train",
     "q_llm_bpe_encode",
     "q_llm_semdedup",
+    # ---- NEW round-4 FULL keys: fill the graded window's spare slots
+    # (36 never-graded + 8 new = 44 < 50, so every key above still
+    # lands inside the window) ----
+    "q_llm_stopword_ratio",
+    "q_llm_word_len_hist",
+    "q_llm_dedup_prefix",
+    "q_fn_regexp",
+    "q_emb_cosine_hist",
+    "q_event_user_stats",
+    "q_ts_diff",
+    "q_agg_mode_freq",
     # ---- already driver-green in r1/r2/r3, stable order ----
     "q_tpch_q2",
     "q_tpch_q4",

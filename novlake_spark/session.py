@@ -99,6 +99,10 @@ def get_session(
     else:
         builder = builder.master("local[*]")
     builder = builder.config("spark.ui.enabled", "false")
+    # In local mode the driver JVM IS the executor; Spark's 1g default
+    # GC-thrashes 32 concurrent tasks at the sf1 rehearsal scale. Only
+    # effective before JVM start, ignored when spark-submit sets it.
+    builder = builder.config("spark.driver.memory", "16g")
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for key, value in DYNAMIC_CONFS.items():
         builder = builder.config(key, value)

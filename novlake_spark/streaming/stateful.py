@@ -46,11 +46,11 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     a single opaque state tuple.
 
     Environment note: this API's state-server protocol needs
-    ``google.protobuf`` (absent in this sandbox, no network to install)
-    plus the RocksDB state store provider; the test skips when protobuf
-    is missing and ``running_user_totals`` (applyInPandasWithState)
-    remains the exercised J7 path — exactly the fallback SURVEY.md §7.4
-    planned."""
+    ``google.protobuf`` (absent in this sandbox, no network to install;
+    re-checked rounds 3 AND 4 — still absent) plus the RocksDB state
+    store provider; the test skips when protobuf is missing and
+    ``running_user_totals`` (applyInPandasWithState) remains the
+    exercised J7 path — exactly the fallback SURVEY.md §7.4 planned."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class RunningTotals(StatefulProcessor):

@@ -67,7 +67,12 @@ def main() -> int:
     spark = get_session("novlake-verify", shuffle_partitions=int(os.environ.get("VERIFY_SHUFFLE", "8")))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver fixtures are single files; tools/gen_sf.py rehearsal
+        # fixtures are Spark-written directories — accept both
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
     for key in keys:

@@ -181,8 +181,17 @@ def block_cosine_pairs(
     corpus fraction, route those blocks through ``semdedup_pairs`` (IVF
     cells) or LSH buckets instead; this guard turns the quadratic tail
     into dropped-and-observable rather than a runaway stage.
+
+    Scoring runs as one fold-order matmul per block inside
+    ``applyInPandas`` (``knn._fold_order_scores`` — the exact IEEE
+    sequence of the JVM fold, so the FULL oracle's 4-dp hash parity
+    survives the fast path), never per-pair interpreted ``F.aggregate``
+    lambdas: same measured ~50× lesson as the kNN kernel, and only the
+    above-threshold pairs leave the block worker.
     """
-    from novlake_spark.operators.knn import dot
+    import pandas as pd
+
+    from novlake_spark.operators.knn import _fold_order_scores
 
     ok = (
         df.groupBy(block_col)
@@ -190,29 +199,32 @@ def block_cosine_pairs(
         .filter(F.col("_bn") <= max_block)
         .select(block_col)
     )
-    capped = df.join(ok, block_col, "left_semi")
-    a = capped.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("va"),
+    capped = df.join(ok, block_col, "left_semi").select(
+        block_col, F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
-    b = capped.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("vb"),
-    )
-    return (
-        a.join(b, "_blk")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("_score", dot(F.col("va"), F.col("vb")))
-        .filter(F.col("_score") > threshold)
-        .select(
-            "a_id",
-            "b_id",
-            F.col("_blk").alias(block_col),
-            F.round("_score", 4).alias("score"),
+    blk_type = dict(capped.dtypes)[block_col]
+    out_schema = f"a_id long, b_id long, `{block_col}` {blk_type}, score double"
+    empty = {"a_id": [], "b_id": [], block_col: [], "score": []}
+
+    def per_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        mat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        sims = _fold_order_scores(mat, mat)
+        ids = pdf["_id"].to_numpy()
+        ai, bi = np.nonzero(np.triu(sims > threshold, k=1))  # a_id < b_id
+        return pd.DataFrame(
+            {
+                "a_id": ids[ai],
+                "b_id": ids[bi],
+                block_col: np.repeat(key[0], len(ai)),
+                "score": sims[ai, bi],
+            }
         )
-    )
+
+    pairs = capped.groupBy(block_col).applyInPandas(per_block, out_schema)
+    return pairs.select("a_id", "b_id", block_col, F.round("score", 4).alias("score"))
 
 
 def lsh_bucket_stats(sig: DataFrame, id_col: str = "doc_id", num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:

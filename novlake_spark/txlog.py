@@ -1105,6 +1105,7 @@ class TxTable:
         version: int | None = None,
         where: list[tuple] | None = None,
         timestamp_ms: int | None = None,
+        distributed: bool = False,
     ) -> DataFrame:
         """Read a snapshot. ``where`` is a list of ``(column, op, value)``
         predicates (ops ``= < <= > >=``): files whose min/max stats prove
@@ -1113,16 +1114,29 @@ class TxTable:
         applied as a residual filter for row-level exactness.
         ``timestamp_ms`` is ``TIMESTAMP AS OF``: the snapshot live at
         that wall-clock time (mutually exclusive with ``version``).
+
+        ``distributed=True`` plans the scan via
+        :meth:`_scan_distributed` — the sidecar-backed add list is
+        pruned by a Spark job and the driver holds only the admitted
+        files; falls back to the driver fold when that plan doesn't
+        apply (no sidecar / tail overwrite). Same results either way
+        (pruning is the one shared ``file_matches``), pinned by tests.
         """
         if timestamp_ms is not None:
             if version is not None:
                 raise ValueError("pass version OR timestamp_ms, not both")
             version = self.version_at_time(timestamp_ms)
-        adds = self.snapshot_adds(version)
-        schema = self.schema_at(version)
-        if where:
-            preds = _phys_where(where, schema)  # stats are keyed physically
-            adds = [a for a in adds if file_matches(a, preds)]
+        adds = schema = None
+        if distributed and where:
+            out = self._scan_distributed(where, version)
+            if out is not None:
+                adds, schema = out
+        if adds is None:
+            adds = self.snapshot_adds(version)
+            schema = self.schema_at(version)
+            if where:
+                preds = _phys_where(where, schema)  # stats are keyed physically
+                adds = [a for a in adds if file_matches(a, preds)]
         if not adds:
             # a recorded schema means the table EXISTS (possibly
             # legitimately empty — e.g. a full delete); only a table
@@ -1148,6 +1162,136 @@ class TxTable:
         preds = _phys_where(where, self.schema_at(version))
         kept = [a["file"] for a in adds if file_matches(a, preds)]
         return {"total": len(adds), "scanned": len(kept), "files": kept}
+
+    def _checkpoint_doc(self, version: int) -> dict:
+        """Checkpoint JSON document WITHOUT decoding the parquet add-list
+        sidecar — the doc itself stays O(schema + txns + protocol) no
+        matter how many files the table holds."""
+        return json.loads(self._read_bytes(self._checkpoint_path(version)).decode())
+
+    def scan_adds_distributed(
+        self, where: list[tuple], version: int | None = None
+    ) -> list[dict] | None:
+        """Admitted add-actions for ``where``, Spark-pruned (see
+        :meth:`_scan_distributed`); ``None`` when the driver fold is the
+        right plan instead."""
+        out = self._scan_distributed(where, version)
+        return None if out is None else out[0]
+
+    def _scan_distributed(
+        self, where: list[tuple], version: int | None = None
+    ) -> tuple[list[dict], T.StructType | None] | None:
+        """(admitted add-actions, snapshot schema) for ``where`` with the
+        add list pruned BY SPARK instead of the driver — the next rung
+        past the parquet checkpoint sidecar (SCALING.md): on a
+        million-file table, driver memory/CPU holds only O(matching
+        files), never the full live list. The schema rides along because
+        it resolves from the checkpoint DOC + tail without touching the
+        sidecar — the driver-side ``schema_at`` would decode the full
+        add list just to read a schema string.
+
+        How: the sidecar parquet is scanned distributed; ``file_matches``
+        (the same pure function the driver fold uses — one pruning
+        semantics, two executors) runs inside ``mapInPandas`` over its
+        rows; only admitted rows come back. The entry tail past the
+        checkpoint is ≤ ``checkpoint_interval`` commits by construction,
+        so its removes / DV unions / stats retrofits / fresh adds fold
+        driver-side as usual and are applied on top.
+
+        Returns ``None`` when no parquet-backed checkpoint resolves this
+        snapshot, when a tail commit overwrote the table (checkpoint
+        contributes nothing), or when the tail removed so many
+        checkpoint files that shipping the remove set to executors would
+        cost more than the driver fold — the caller then takes the
+        driver path, which IS the right plan for those shapes.
+        """
+        vs, cps = self.versions(), self.checkpoints()
+        if version is None:
+            heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
+            if not heads:
+                return None
+            upto = max(heads)
+        else:
+            upto = version
+        cp = max((c for c in cps if c <= upto), default=None)
+        if cp is None:
+            return None
+        doc = self._checkpoint_doc(cp)
+        if not doc.get("adds_parquet"):
+            return None
+        entries = [self._read_entry(v) for v in vs if v > cp and v <= upto]
+        if any(e["mode"] == "overwrite" for e in entries):
+            return None
+        # schema resolves from the doc + tail (no add fold needed)
+        schema_json = doc.get("schema")
+        for e in entries:
+            if "schema" in e:
+                schema_json = e["schema"]
+        schema = (
+            None if schema_json is None else T.StructType.fromJson(json.loads(schema_json))
+        )
+        preds = _phys_where(where, schema)
+        # tail-side state to overlay on checkpoint rows (all small: the
+        # tail is bounded by checkpoint_interval commits)
+        removed: set[str] = set()
+        dv_overlay: dict[str, set[int]] = {}
+        stats_overlay: dict[str, dict] = {}
+        for e in entries:
+            removed.update(e.get("remove", []))
+            for fname, positions in (e.get("set_dv") or {}).items():
+                dv_overlay.setdefault(fname, set()).update(int(p) for p in positions)
+            for fname, meta in (e.get("set_stats") or {}).items():
+                stats_overlay.setdefault(fname, {}).update(meta)
+        if len(removed) > 100_000:
+            return None  # a mass rewrite: re-checkpoint, then prune distributed
+        tail_adds = replay_adds(entries, base=[])
+
+        import pandas as pd
+
+        def cell(row, name):
+            # Arrow → pandas surfaces parquet NULLs as None OR scalar NaN
+            # depending on the column's landing dtype; normalize to None
+            v = row[name]
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            return v
+
+        def prune(batches):
+            for pdf in batches:
+                keep = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i]
+                    if row["file"] in removed:
+                        continue
+                    add = {"file": row["file"]}
+                    if (b := cell(row, "bytes")) is not None:
+                        add["bytes"] = int(b)
+                    if (r := cell(row, "rows")) is not None:
+                        add["rows"] = int(r)
+                    if (p := cell(row, "path")) is not None:
+                        add["path"] = p
+                    dv = cell(row, "dv")
+                    if dv is not None and len(dv):
+                        add["dv"] = [int(x) for x in dv]
+                    if (s := cell(row, "stats")) is not None:
+                        add["stats"] = json.loads(s)
+                    if (bl := cell(row, "bloom")) is not None:
+                        add["bloom"] = json.loads(bl)
+                    add.update(stats_overlay.get(add["file"], {}))
+                    if fname_dv := dv_overlay.get(add["file"]):
+                        add["dv"] = sorted(set(add.get("dv", [])) | fname_dv)
+                    if file_matches(add, preds):
+                        keep.append(json.dumps(add))
+                yield pd.DataFrame({"add_json": keep})
+
+        sidecar = self.spark.read.parquet(
+            f"{self.path}/_log/checkpoint-{cp}.parquet"
+        )
+        admitted = [
+            json.loads(r.add_json)
+            for r in sidecar.mapInPandas(prune, "add_json string").collect()
+        ]
+        return admitted + [a for a in tail_adds if file_matches(a, preds)], schema
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL: current-snapshot totals from log metadata

@@ -99,3 +99,83 @@ def test_shallow_clone_of_sidecar_checkpointed_table(spark, tmp_path):
     t.clean_log(cp)
     clone = t.clone(str(tmp_path / "c"))
     assert clone.read().count() == 20
+
+
+def test_distributed_scan_matches_driver_fold(spark, tmp_path):
+    """Spark-side sidecar pruning must admit exactly the files the
+    driver fold admits — across a tail with removes (compaction), DV
+    deletes, stats retrofits and a schema change — and read() must
+    return identical rows either way."""
+    import pyspark.sql.functions as F
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.parquet_checkpoint_rows = 1  # force the sidecar
+    t.checkpoint_interval = 0
+    for i in range(6):  # disjoint x-ranges -> prunable stats
+        t.commit(
+            spark.createDataFrame([(i * 10 + j, i) for j in range(5)], "x long, g long").coalesce(1)
+        )
+    t.checkpoint()
+    # tail past the checkpoint: DV-delete two rows, evolve schema, append
+    t.delete([("x", "=", 7)], dv=True)
+    t.commit(
+        spark.createDataFrame([(100 + j, 9, "tag") for j in range(3)], "x long, g long, s string").coalesce(1)
+    )
+    where = [("x", ">=", 5), ("x", "<=", 12)]
+    fast = t.scan_adds_distributed(where)
+    assert fast is not None
+    slow = [a for a in t.snapshot_adds() if a["file"] in {f["file"] for f in fast}]
+    assert {a["file"] for a in fast} == {
+        a["file"]
+        for a in t.snapshot_adds()
+        if a["file"] in set(t.scan_plan(where)["files"])
+    }
+    assert sorted(fast, key=lambda a: a["file"]) == sorted(slow, key=lambda a: a["file"])
+    rows_fast = sorted(
+        (r.x, r.g, r.s) for r in t.read(where=where, distributed=True).collect()
+    )
+    rows_slow = sorted((r.x, r.g, r.s) for r in t.read(where=where).collect())
+    assert rows_fast == rows_slow
+    assert 7 not in [x for x, _, _ in rows_fast]  # DV applied on the fast path
+
+
+def test_distributed_scan_never_decodes_sidecar_on_driver(spark, tmp_path):
+    """The whole point: the driver must not materialize the full add
+    list. Poison the driver-side sidecar decoder — the distributed read
+    still answers; the driver fold raises."""
+    import pytest as _pytest
+
+    import novlake_spark.txlog as txmod
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i * 10 + j,) for j in range(5)], "x long").coalesce(1))
+    t.checkpoint()
+    real = txmod._decode_checkpoint_parquet
+    txmod._decode_checkpoint_parquet = lambda data: (_ for _ in ()).throw(
+        AssertionError("driver decoded the sidecar")
+    )
+    try:
+        got = sorted(r.x for r in t.read(where=[("x", "<=", 12)], distributed=True).collect())
+        assert got == [0, 1, 2, 3, 4, 10, 11, 12]  # commits hold x = i*10+j
+        with _pytest.raises(Exception, match="driver decoded"):
+            t.read(where=[("x", "<=", 12)]).collect()
+    finally:
+        txmod._decode_checkpoint_parquet = real
+
+
+def test_distributed_scan_falls_back_on_overwrite_tail(spark, tmp_path):
+    """A tail overwrite invalidates the checkpointed add list — the
+    distributed planner must decline (None) and read() must fall back
+    to the driver fold transparently."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    for i in range(3):
+        t.commit(spark.createDataFrame([(i,)], "x long"))
+    t.checkpoint()
+    t.commit(spark.createDataFrame([(99,)], "x long"), mode="overwrite")
+    assert t.scan_adds_distributed([("x", ">=", 0)]) is None
+    assert [r.x for r in t.read(where=[("x", ">=", 0)], distributed=True).collect()] == [99]

@@ -179,3 +179,52 @@ def test_distributed_scan_falls_back_on_overwrite_tail(spark, tmp_path):
     t.commit(spark.createDataFrame([(99,)], "x long"), mode="overwrite")
     assert t.scan_adds_distributed([("x", ">=", 0)]) is None
     assert [r.x for r in t.read(where=[("x", ">=", 0)], distributed=True).collect()] == [99]
+
+
+def test_clean_log_chaos_readers_never_see_missing_checkpoints(spark, tmp_path):
+    """True-thread chaos (round-3 ADVICE low #4): readers resolve state
+    in a loop while a maintenance thread commits, checkpoints and
+    clean_logs — deleting superseded checkpoints out from under them.
+    The one-retry re-list in _state_at (and _PyLog.full_state) must make
+    every read succeed with a consistent snapshot."""
+    import threading
+
+    from novlake_spark.sources.txlog_source import _PyLog
+
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    t.commit(spark.createDataFrame([(0,)], "x long"))
+    stop = threading.Event()
+    errors = []
+
+    def reader_loop():
+        r = TxTable(spark, path)
+        py = _PyLog(path)
+        while not stop.is_set():
+            try:
+                n_jvm = len(r.snapshot_adds())
+                n_py = len(py.full_state()[0])
+                assert n_jvm >= 1 and n_py >= 1
+                # caches bind to resolved heads; fresh instances re-list
+                r = TxTable(spark, path)
+                py = _PyLog(path)
+            except Exception as e:  # pragma: no cover - failure reporting
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader_loop) for _ in range(3)]
+    for th in threads:
+        th.start()
+    try:
+        for i in range(1, 9):
+            t.commit(spark.createDataFrame([(i,)], "x long"))
+            cp = t.checkpoint()
+            t.clean_log(cp)  # deletes the previous checkpoint + entries
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert not errors, errors[0]
+    assert sorted(r.x for r in t.read().collect()) == list(range(9))

@@ -228,3 +228,53 @@ def test_clean_log_chaos_readers_never_see_missing_checkpoints(spark, tmp_path):
             th.join()
     assert not errors, errors[0]
     assert sorted(r.x for r in t.read().collect()) == list(range(9))
+
+
+def test_distributed_scan_randomized_equivalence(spark, tmp_path):
+    """Seeded randomized maintenance histories: whatever interleaving of
+    appends / DV deletes / predicate shapes lands in the tail, the
+    distributed planner and the driver fold must admit identical adds
+    and read identical rows. (The directed tests pin known shapes; this
+    sweeps the space.)"""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        t = TxTable(spark, path)
+        t.parquet_checkpoint_rows = 1
+        t.checkpoint_interval = 0
+        n_base = rng.randint(3, 6)
+        for i in range(n_base):
+            lo = i * 100
+            t.commit(
+                spark.createDataFrame(
+                    [(lo + j,) for j in range(rng.randint(2, 8))], "x long"
+                ).coalesce(1)
+            )
+        t.checkpoint()
+        for _ in range(rng.randint(1, 4)):
+            op = rng.choice(["append", "dv", "compact_small"])
+            if op == "append":
+                lo = rng.randint(10, 90) * 100
+                t.commit(spark.createDataFrame([(lo,), (lo + 1,)], "x long").coalesce(1))
+            elif op == "dv":
+                victim = rng.randint(0, n_base - 1) * 100
+                t.delete([("x", "=", victim)], dv=True)
+            else:
+                t.compact(small_file_mb=0.001)  # remove/re-add small files
+        lo = rng.randint(0, 3) * 100
+        where = [("x", ">=", lo), ("x", "<=", lo + rng.randint(50, 400))]
+        fast = t.scan_adds_distributed(where)
+        slow = [
+            a
+            for a in t.snapshot_adds()
+            if a["file"] in set(t.scan_plan(where)["files"])
+        ]
+        if fast is None:
+            continue  # planner declined (legal); read() falls back
+        key = lambda a: a["file"]  # noqa: E731
+        assert sorted(fast, key=key) == sorted(slow, key=key), (trial, where)
+        rf = sorted(r.x for r in t.read(where=where, distributed=True).collect())
+        rs = sorted(r.x for r in t.read(where=where).collect())
+        assert rf == rs, (trial, where)

@@ -17,15 +17,17 @@ plans downstream operators normally.
 
 Codec honesty: PIL/ffmpeg/librosa are NOT available in this
 environment, so ``decode_image`` for formats we have no parser for
-(JPEG/GIF/video frames) raises ``NotImplementedError`` unless given
+(JPEG/video frames) raises ``NotImplementedError`` unless given
 ``fake=True`` (a deterministic, structure-preserving stub) — the
 Spark-side plumbing (schemas, batching, partitioning, UDF signatures)
 is real and fully tested either way. TWO modalities round-trip
 GENUINELY with pure stdlib: audio (RIFF/WAV via ``wave`` —
 :func:`decode_wav`) and images — uncompressed BMP 24bpp + PPM P6
-parsed byte-by-byte AND real compressed PNG (zlib inflate, CRC check,
-full 5-filter unfiltering — :func:`encode_png`/:func:`decode_png`) —
-via :func:`decode_image_stdlib`, with the codecs as pure, Spark-free
+parsed byte-by-byte, compressed PNG (zlib inflate, CRC check, full
+5-filter unfiltering — :func:`encode_png`/:func:`decode_png`), and
+compressed GIF (real LZW both directions, growing code widths, KwKwK,
+table clears — :func:`encode_gif`/:func:`decode_gif`) — via
+:func:`decode_image_stdlib`, with the codecs as pure, Spark-free
 functions underneath.
 """
 
@@ -350,6 +352,191 @@ def decode_png(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])  # drop alpha if present
 
 
+def _lzw_pack(codes: list[int], mcs: int) -> bytes:
+    """Pack LZW codes LSB-first with GIF's growing code width: width
+    starts at mcs+1 and bumps when the next free dict slot reaches
+    2^width (cap 12) — mirrored exactly by :func:`_lzw_unpack`'s
+    decoder so the two stay in lockstep on every stream."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    fresh = True  # decoder adds NO entry for the first code after CLEAR
+    out = bytearray()
+    acc = nbits = 0
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width, next_code, fresh = mcs + 1, eoi + 1, True
+        elif code != eoi:
+            if fresh:
+                fresh = False
+            else:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (H, W, 3) → single-frame GIF89a bytes with REAL
+    LZW compression — pure stdlib/numpy, no codec library. The image
+    must use ≤256 distinct colors (GIF is palette-based; synthesized
+    fixtures quantize upstream)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    n = len(palette)
+    if n > 256:
+        raise ValueError(f"GIF needs <=256 colors, image has {n}")
+    bits = max(1, (n - 1).bit_length())
+    mcs = max(2, bits)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    # LZW compress the index stream
+    codes = [clear]
+    table: dict[tuple, int] = {(c,): c for c in range(n)}
+    next_code = eoi + 1
+    run: tuple = ()
+    for k in idx.tolist():
+        cand = run + (k,)
+        if cand in table:
+            run = cand
+            continue
+        codes.append(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:  # table full: clear and start over (decoder mirrors)
+            codes.append(clear)
+            table = {(c,): c for c in range(n)}
+            next_code = eoi + 1
+        run = (k,)
+    if run:
+        codes.append(table[run])
+    codes.append(eoi)
+    data = _lzw_pack(codes, mcs)
+
+    gct_bits = max(1, bits)
+    gct = bytearray()
+    for i in range(1 << gct_bits):
+        gct.extend(palette[i] if i < n else (0, 0, 0))
+    out = bytearray()
+    out.extend(b"GIF89a")
+    out.extend(struct.pack("<HHBBB", w, h, 0x80 | ((gct_bits - 1) & 7), 0, 0))
+    out.extend(gct)
+    out.extend(struct.pack("<sHHHHB", b",", 0, 0, w, h, 0))  # image descriptor
+    out.append(mcs)
+    for s in range(0, len(data), 255):  # ≤255-byte sub-blocks
+        chunk = data[s : s + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Single-frame GIF87a/89a bytes → RGB uint8 array (H, W, 3) — pure
+    stdlib/numpy full LZW decoder (growing code widths, CLEAR/EOI,
+    KwKwK case, 12-bit cap). Extensions are skipped; interlaced images
+    and local color tables raise ``ValueError`` (quarantine)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if iflags & 0x80:
+                raise ValueError("local color table unsupported")
+            if gct is None:
+                raise ValueError("GIF missing color table")
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_unpack(bytes(stream), mcs, w * h)
+            return gct[np.array(idx, dtype=np.int64)].reshape(h, w, 3)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def _lzw_unpack(data: bytes, mcs: int, expect: int) -> list[int]:
+    """GIF LZW decompress ``data`` into ``expect`` palette indices."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = {c: (c,) for c in range(clear)}
+    table = dict(base)
+    width = mcs + 1
+    next_code = eoi + 1
+    acc = nbits = pos = 0
+    prev: tuple | None = None
+    out: list[int] = []
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            width, next_code, prev = mcs + 1, eoi + 1, None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expect:
+        raise ValueError(f"GIF pixel count {len(out)} != {expect}")
+    return out
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """RGB uint8 array (H, W, 3) → binary PPM (P6) bytes."""
     h, w, _ = pixels.shape
@@ -381,10 +568,11 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataFrame:
-    """Media table whose image payloads are REAL encoded BMP/PPM/PNG
+    """Media table whose image payloads are REAL encoded BMP/PPM/PNG/GIF
     bytes (rotating), with deterministic per-image gradient pixels —
-    the image twin of :func:`synthesize_wav`."""
-    encoders = [("bmp", encode_bmp), ("ppm", encode_ppm), ("png", encode_png)]
+    the image twin of :func:`synthesize_wav`. GIF frames quantize to a
+    16-color gradient (the format is palette-bound)."""
+    encoders = [("bmp", encode_bmp), ("ppm", encode_ppm), ("png", encode_png), ("gif", encode_gif)]
     rows = []
     for i in range(n):
         w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
@@ -392,7 +580,11 @@ def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataF
         base = rng.randint(0, 64, size=(h, w, 3)).astype(np.uint8)
         ramp = np.linspace(0, 191, w, dtype=np.uint8)[None, :, None]
         px = (base + ramp).astype(np.uint8)
-        fmt, enc = encoders[i % 3]
+        fmt, enc = encoders[i % 4]
+        if fmt == "gif":
+            px = (px & 0xF0).astype(np.uint8)  # quantize toward ≤256 colors
+            if len(np.unique(px.reshape(-1, 3), axis=0)) > 256:
+                px = (px & 0xC0).astype(np.uint8)
         rows.append((i, "image", enc(px), (w, h, None, None, fmt)))
     return spark.createDataFrame(rows, media_schema)
 
@@ -427,6 +619,8 @@ def decode_image_stdlib(df: DataFrame) -> DataFrame:
                         px = decode_ppm(data)
                     elif data[:8] == _PNG_SIG:
                         px = decode_png(data)
+                    elif data[:4] == b"GIF8":
+                        px = decode_gif(data)
                     else:
                         continue
                 except (ValueError, IndexError):

@@ -135,15 +135,18 @@ def test_decode_image_stdlib_real_roundtrip(spark):
         decode_bmp, decode_ppm, synthesize_images, decode_image_stdlib,
     )
 
-    from novlake_spark.operators.multimodal import decode_png
+    from novlake_spark.operators.multimodal import decode_gif, decode_png
 
     media = synthesize_images(spark, n=10)
     out = {r.media_id: r for r in decode_image_stdlib(media).collect()}
     assert len(out) == 10
-    assert {r["meta"]["format"] for r in media.collect()} == {"bmp", "ppm", "png"}
+    assert {r["meta"]["format"] for r in media.collect()} == {"bmp", "ppm", "png", "gif"}
     for row in media.collect():
         data = bytes(row.payload)
-        dec = decode_bmp if data[:2] == b"BM" else decode_ppm if data[:2] == b"P6" else decode_png
+        dec = {
+            b"BM": decode_bmp, b"P6": decode_ppm,
+            b"\x89P": decode_png, b"GI": decode_gif,
+        }[data[:2]]
         px = dec(data)
         got = out[row.media_id]
         assert (got.height, got.width) == px.shape[:2]
@@ -252,3 +255,55 @@ def test_png_rgba_alpha_dropped():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(data), rgba[:, :, :3])
+
+
+def test_gif_roundtrip_pure():
+    """Pure stdlib GIF codec with REAL LZW both directions: encode →
+    decode is identity across palette sizes that exercise code-width
+    growth (2→3 bit, 8→9+ bit) and the 4096-entry table-clear path."""
+    import numpy as np
+    import pytest
+
+    from novlake_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(13)
+    # small palette (4 colors): min code size floor, flat gradient
+    px = np.repeat(np.array([[0, 64, 128, 192]], dtype=np.uint8), 9, axis=0)
+    px = np.stack([px, px, px], axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+    # 256-color random: width grows through 9..12 bits + table clear
+    big = rng.randint(0, 256, size=(64, 80, 1)).astype(np.uint8)
+    big = np.concatenate([big, big, big], axis=-1)  # 256 distinct greys
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    # high-compression runs (long repeats -> deep LZW chains, KwKwK)
+    runs = np.zeros((16, 255, 3), dtype=np.uint8)
+    runs[:, ::7] = 255
+    assert np.array_equal(decode_gif(encode_gif(runs)), runs)
+    with pytest.raises(ValueError, match="<=256 colors"):
+        encode_gif(rng.randint(0, 256, size=(40, 40, 3)).astype(np.uint8))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"nope")
+
+
+def test_gif_in_decode_image_stdlib(spark):
+    """GIF payloads flow through the Spark decode path alongside
+    BMP/PPM/PNG — the fourth genuinely-decoded image format."""
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import (
+        decode_gif, decode_image_stdlib, synthesize_images,
+    )
+
+    media = synthesize_images(spark, n=12)
+    fmts = {r["meta"]["format"] for r in media.collect()}
+    assert fmts == {"bmp", "ppm", "png", "gif"}
+    out = {r.media_id: r for r in decode_image_stdlib(media).collect()}
+    assert len(out) == 12
+    for row in media.collect():
+        data = bytes(row.payload)
+        if data[:4] != b"GIF8":
+            continue
+        px = decode_gif(data)
+        got = out[row.media_id]
+        assert (got.height, got.width) == px.shape[:2]
+        assert abs(got.mean_intensity - px.reshape(-1, 3).mean()) < 1e-9

@@ -747,8 +747,26 @@ class TxTable:
                 raise
             return self._state_at_once(version)
 
-    def _state_at_once(
+    def _meta_at(
         self, version: int | None = None
+    ) -> tuple[str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]]:
+        """(schema json, txns, constraints, protocol, identity) WITHOUT
+        folding the add list: the checkpoint *document* carries every
+        metadata map, so no sidecar decode and no replay happen. This is
+        what the commit path (identity watermarks, constraints,
+        idempotency markers) and ``schema_at`` resolve through — on a
+        million-file table a metadata read must not cost O(files).
+        Same one-retry contract as :meth:`_state_at` for checkpoints
+        deleted by a concurrent ``clean_log``."""
+        try:
+            return self._state_at_once(version, with_adds=False)[1:]
+        except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+            if not _missing_file(exc):
+                raise
+            return self._state_at_once(version, with_adds=False)[1:]
+
+    def _state_at_once(
+        self, version: int | None = None, with_adds: bool = True
     ) -> tuple[
         list[dict], str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]
     ]:
@@ -781,8 +799,10 @@ class TxTable:
                 raise ValueError(f"version {upto} not in log {vs} or checkpoints {cps}")
         cp = max((c for c in cps if c <= upto), default=None)
         if cp is not None:
-            doc = self._read_checkpoint(cp)
-            adds, schema_json = doc["adds"], doc.get("schema")
+            # metadata-only resolution skips the sidecar decode entirely
+            doc = self._read_checkpoint(cp) if with_adds else self._checkpoint_doc(cp)
+            adds = doc["adds"] if with_adds else []
+            schema_json = doc.get("schema")
             txns = dict(doc.get("txns", {}))
             constraints = dict(doc.get("constraints", {}))
             protocol = dict(doc.get("protocol", protocol))
@@ -816,7 +836,8 @@ class TxTable:
                 f"{protocol['min_reader']} but this client supports "
                 f"{self.READER_VERSION}; upgrade the client to read this table"
             )
-        return replay_adds(entries, base=adds), schema_json, txns, constraints, protocol, identity
+        folded = replay_adds(entries, base=adds) if with_adds else []
+        return folded, schema_json, txns, constraints, protocol, identity
 
     def snapshot_adds(self, version: int | None = None) -> list[dict]:
         """Live add-actions (file + stats) at ``version`` (default latest)."""
@@ -825,21 +846,21 @@ class TxTable:
     def txn_versions(self) -> dict[str, int]:
         """txn id → version for every idempotent commit still visible
         (including those folded into a checkpoint by clean_log)."""
-        return self._state_at(None)[2]
+        return self._meta_at(None)[1]
 
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints: name → SQL boolean expression."""
-        return self._state_at(None)[3]
+        return self._meta_at(None)[2]
 
     def protocol(self) -> dict[str, int]:
         """The table's current protocol action (min_reader/min_writer);
         ``{"min_reader": 1, "min_writer": 1}`` when never upgraded."""
-        return self._state_at(None)[4]
+        return self._meta_at(None)[3]
 
     def identity(self) -> dict[str, int]:
         """Identity columns: column → current high-water mark (the
         largest value any commit has allocated or observed)."""
-        return self._state_at(None)[5]
+        return self._meta_at(None)[4]
 
     def set_identity(self, col: str, start: int = 1, max_retries: int = 5) -> int:
         """Declare ``col`` as the table's identity column (Delta's
@@ -1073,8 +1094,10 @@ class TxTable:
         return out
 
     def schema_at(self, version: int | None = None) -> T.StructType | None:
-        """Table schema at ``version``: the last recorded schema action."""
-        schema_json = self._state_at(version)[1]
+        """Table schema at ``version``: the last recorded schema action.
+        Metadata-only resolution (:meth:`_meta_at`) — never decodes the
+        checkpoint add-list sidecar just to read a schema string."""
+        schema_json = self._meta_at(version)[0]
         return None if schema_json is None else T.StructType.fromJson(json.loads(schema_json))
 
     def commit_time_ms(self, version: int) -> int:
@@ -1678,7 +1701,7 @@ class TxTable:
         # test under full-suite load).
         id_base = self.latest_version()
         identity = (
-            self._state_at(id_base)[5] if id_base is not None else {}
+            self._meta_at(id_base)[4] if id_base is not None else {}
         )
         id_assigned = False
         if identity:
@@ -2140,7 +2163,22 @@ class TxTable:
     #: big files; a bulk delete WANTS the rewrite).
     dv_max_rows: int = 100_000
 
-    def delete(self, where: list[tuple], dv: bool = False) -> int:
+    def _scoped_adds(
+        self, where: list[tuple] | None, version: int, distributed: bool
+    ) -> tuple[list[dict], T.StructType | None]:
+        """(stats-admitted adds, schema) — the shared DML scoping step.
+        ``distributed=True`` routes through :meth:`_scan_distributed`
+        (Spark prunes the sidecar; driver holds O(matching files)),
+        falling back to the driver fold when that plan doesn't apply."""
+        if distributed and where:
+            out = self._scan_distributed(where, version)
+            if out is not None:
+                return out
+        schema = self.schema_at(version)
+        adds = self.snapshot_adds(version)
+        return [a for a in adds if file_matches(a, _phys_where(where or [], schema))], schema
+
+    def delete(self, where: list[tuple], dv: bool = False, distributed: bool = False) -> int:
         """DELETE rows matching ``where`` (conjunctive ``(col, op, val)``
         tuples — same grammar as :meth:`read`) as ONE atomic commit;
         returns the committed version (or the current one when no file
@@ -2170,17 +2208,14 @@ class TxTable:
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed data under {self.path}")
-        adds = self.snapshot_adds(latest)
-        touched = [
-            a for a in adds if file_matches(a, _phys_where(where, self.schema_at(latest)))
-        ]
+        touched, schema = self._scoped_adds(where, latest, distributed)
         if not touched:
             return latest
         if dv:
             done = self._delete_dv(touched, where, latest)
             if done is not None:
                 return done
-        df = self._read_adds(touched, self.schema_at(latest))
+        df = self._read_adds(touched, schema)
         kept = df.filter(~_pred_column(where).eqNullSafe(F.lit(True)))
         return self.commit(
             kept,
@@ -2289,6 +2324,7 @@ class TxTable:
         assignments: dict[str, str],
         where: list[tuple] | None = None,
         dv: bool = False,
+        distributed: bool = False,
     ) -> int:
         """UPDATE ``SET col = expr`` for rows matching ``where``, as ONE
         atomic commit. ``assignments`` maps existing column names to SQL
@@ -2312,19 +2348,14 @@ class TxTable:
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed data under {self.path}")
-        adds = self.snapshot_adds(latest)
-        touched = [
-            a
-            for a in adds
-            if file_matches(a, _phys_where(where or [], self.schema_at(latest)))
-        ]
+        touched, schema = self._scoped_adds(where, latest, distributed)
         if not touched:
             return latest
         if dv:
             done = self._update_dv(touched, assignments, where or [], latest)
             if done is not None:
                 return done
-        df = self._read_adds(touched, self.schema_at(latest))
+        df = self._read_adds(touched, schema)
         known = {f.name: f.dataType for f in df.schema.fields}
         bad = [c for c in assignments if c not in known]
         if bad:
@@ -2502,7 +2533,7 @@ class TxTable:
         if tgt.latest_version() is not None:
             raise ValueError(f"clone target {target_path} is already a table")
         adds = self.snapshot_adds(version)
-        schema_json = self._state_at(version)[1]
+        schema_json = self._meta_at(version)[0]  # no second add fold
         cloned = []
         for a in adds:
             src = self._data_path(a)
@@ -2543,7 +2574,7 @@ class TxTable:
         is published.
         """
         old_adds = self.snapshot_adds(version)
-        schema_json = self._state_at(version)[1]
+        schema_json = self._meta_at(version)[0]  # no second add fold
         for a in old_adds:
             if not self._fs.exists(self._jpath(self._data_path(a))):
                 raise FileNotFoundError(

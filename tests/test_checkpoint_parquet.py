@@ -278,3 +278,69 @@ def test_distributed_scan_randomized_equivalence(spark, tmp_path):
         rf = sorted(r.x for r in t.read(where=where, distributed=True).collect())
         rs = sorted(r.x for r in t.read(where=where).collect())
         assert rf == rs, (trial, where)
+
+
+def test_dml_and_metadata_without_driver_sidecar_decode(spark, tmp_path):
+    """DML scoped distributed + every metadata read (schema,
+    constraints, identity, protocol, txns) must work with the
+    driver-side sidecar decoder poisoned: metadata rides the checkpoint
+    DOCUMENT (_meta_at), the add list is pruned by Spark — the commit
+    path never pays O(files) on the driver."""
+    import novlake_spark.txlog as txmod
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    t.add_constraint("pos", "x >= 0")
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i * 10 + j,) for j in range(5)], "x long").coalesce(1))
+    t.checkpoint()
+    real = txmod._decode_checkpoint_parquet
+    txmod._decode_checkpoint_parquet = lambda data: (_ for _ in ()).throw(
+        AssertionError("driver decoded the sidecar")
+    )
+    try:
+        assert t.schema_at() is not None
+        assert t.constraints() == {"pos": "x >= 0"}
+        assert t.protocol() == {"min_reader": 1, "min_writer": 1}
+        assert t.identity() == {}
+        assert t.txn_versions() == {}
+        # constraint-checked commit (metadata reads only) works
+        v = t.commit(spark.createDataFrame([(500,)], "x long"))
+        # distributed-scoped copy-on-write DELETE works end-to-end
+        t.delete([("x", "=", 11)], distributed=True)
+        # and a distributed-scoped UPDATE
+        t.update({"x": "x + 1000"}, [("x", "=", 12)], distributed=True)
+    finally:
+        txmod._decode_checkpoint_parquet = real
+    xs = sorted(r.x for r in t.read().collect())
+    assert 11 not in xs and 12 not in xs and 1012 in xs and 500 in xs
+    assert len(xs) == 20  # 20 base + 1 appended - 1 deleted; update keeps count
+
+
+def test_distributed_dml_matches_driver_dml(spark, tmp_path):
+    """delete/update produce identical table state whichever planner
+    scoped them."""
+    import pyspark.sql.functions as F
+
+    def build(path):
+        t = TxTable(spark, path)
+        t.parquet_checkpoint_rows = 1
+        t.checkpoint_interval = 0
+        for i in range(5):
+            t.commit(
+                spark.createDataFrame([(i * 10 + j, j) for j in range(6)], "x long, y long").coalesce(1)
+            )
+        t.checkpoint()
+        return t
+
+    a = build(str(tmp_path / "a"))
+    b = build(str(tmp_path / "b"))
+    a.delete([("x", ">=", 20), ("x", "<", 32)])
+    b.delete([("x", ">=", 20), ("x", "<", 32)], distributed=True)
+    a.update({"y": "y * 100"}, [("x", "<", 3)])
+    b.update({"y": "y * 100"}, [("x", "<", 3)], distributed=True)
+    ra = sorted((r.x, r.y) for r in a.read().collect())
+    rb = sorted((r.x, r.y) for r in b.read().collect())
+    assert ra == rb
+    assert len(ra) == 22  # 30 rows - 8 in [20,32); update keeps count

@@ -15,7 +15,12 @@ Generation is Spark-parallel (spark.range + column expressions, no
 driver-side loops) so sf1 (~6M lineitem) takes seconds. Output goes
 under the repo (gitignored), never into /root/testdata.
 
-Usage: python tools/gen_sf.py [sf] [outdir]
+Usage: python tools/gen_sf.py [sf] [outdir] [--skew]
+
+``--skew`` replaces the uniform event/order keys with a power-law-ish
+draw (key = floor(n·u⁴): the hottest user takes (1/n)^(1/4) of all
+events ≈ 9% at sf1) so AQE skew handling can be rehearsed on keys the
+driver fixtures never stress.
 """
 
 from __future__ import annotations
@@ -43,7 +48,7 @@ def _pick(col, options: list[str]):
     return F.element_at(arr, (col % len(options) + 1).cast("int"))
 
 
-def generate(spark, sf: float, out: str) -> None:
+def generate(spark, sf: float, out: str, skew: bool = False) -> None:
     s = lambda n: int(n * sf)  # noqa: E731
     os.makedirs(out, exist_ok=True)
 
@@ -100,9 +105,15 @@ def generate(spark, sf: float, out: str) -> None:
     )
     write(part, "part", max(1, s(4)))
 
+    def key_draw(col_seed: int, n: int):
+        u = (h("id", F.lit(col_seed)) % 1_000_000) / 1e6
+        if skew:
+            return F.floor(F.lit(n) * F.pow(u, 4)).cast("long")
+        return h("id", F.lit(col_seed)) % n
+
     orders = spark.range(n_ord).select(
         F.col("id").alias("o_orderkey"),
-        (h("id", F.lit(12)) % n_cust).alias("o_custkey"),
+        key_draw(12, n_cust).alias("o_custkey"),
         _pick(h("id", F.lit(13)), ["O", "P", "F"]).alias("o_orderstatus"),
         F.round(1000.0 + (h("id", F.lit(14)) % 49_900_000) / 100.0, 2).alias("o_totalprice"),
         F.timestamp_seconds(
@@ -147,7 +158,7 @@ def generate(spark, sf: float, out: str) -> None:
             + (h("id", F.lit(27)) % (30 * 86400))
             + (h("id", F.lit(28)) % 1_000_000) / 1e6
         ).alias("ts"),
-        (h("id", F.lit(29)) % n_users).alias("user_id"),
+        key_draw(29, n_users).alias("user_id"),
         _pick(h("id", F.lit(30)), ["click", "view", "purchase", "signup", "error"]).alias("event_type"),
         # exp-ish: median ~35, tail to ~560 (matches sampled sf0.1 moments)
         F.round(-F.log(1.0 - (h("id", F.lit(31)) % 999_000) / 1e6) * 50.0, 2).alias("value"),
@@ -196,9 +207,11 @@ def generate(spark, sf: float, out: str) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.sfgen/sf{sf:g}"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"/root/repo/.sfgen/sf{sf:g}{'-skew' if skew else ''}"
     spark = get_session("gen-sf", master="local[32]", shuffle_partitions=32)
-    print(f"generating sf={sf} under {out}", flush=True)
-    generate(spark, sf, out)
+    print(f"generating sf={sf} skew={skew} under {out}", flush=True)
+    generate(spark, sf, out, skew=skew)
     print("done", flush=True)

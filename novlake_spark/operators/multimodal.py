@@ -17,18 +17,20 @@ plans downstream operators normally.
 
 Codec honesty: PIL/ffmpeg/librosa are NOT available in this
 environment, so ``decode_image`` for formats we have no parser for
-(JPEG/video frames) raises ``NotImplementedError`` unless given
-``fake=True`` (a deterministic, structure-preserving stub) — the
-Spark-side plumbing (schemas, batching, partitioning, UDF signatures)
-is real and fully tested either way. TWO modalities round-trip
-GENUINELY with pure stdlib: audio (RIFF/WAV via ``wave`` —
-:func:`decode_wav`) and images — uncompressed BMP 24bpp + PPM P6
-parsed byte-by-byte, compressed PNG (zlib inflate, CRC check, full
-5-filter unfiltering — :func:`encode_png`/:func:`decode_png`), and
-compressed GIF (real LZW both directions, growing code widths, KwKwK,
-table clears — :func:`encode_gif`/:func:`decode_gif`) — via
-:func:`decode_image_stdlib`, with the codecs as pure, Spark-free
-functions underneath.
+(video frames, progressive/subsampled JPEG) raises
+``NotImplementedError`` unless given ``fake=True`` (a deterministic,
+structure-preserving stub) — the Spark-side plumbing (schemas,
+batching, partitioning, UDF signatures) is real and fully tested
+either way. TWO modalities round-trip GENUINELY with pure
+stdlib/numpy: audio (RIFF/WAV via ``wave`` — :func:`decode_wav`) and
+images — uncompressed BMP 24bpp + PPM P6 parsed byte-by-byte,
+compressed PNG (zlib inflate, CRC check, full 5-filter unfiltering —
+:func:`encode_png`/:func:`decode_png`), compressed GIF (real LZW both
+directions, growing code widths, KwKwK, table clears —
+:func:`encode_gif`/:func:`decode_gif`), and baseline JPEG (real DCT /
+Huffman entropy coding, 4:4:4, Annex-K tables —
+operators/jpeg.py) — via :func:`decode_image_stdlib`, with the codecs
+as pure, Spark-free functions underneath.
 """
 
 from __future__ import annotations
@@ -568,11 +570,18 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataFrame:
-    """Media table whose image payloads are REAL encoded BMP/PPM/PNG/GIF
-    bytes (rotating), with deterministic per-image gradient pixels —
-    the image twin of :func:`synthesize_wav`. GIF frames quantize to a
-    16-color gradient (the format is palette-bound)."""
-    encoders = [("bmp", encode_bmp), ("ppm", encode_ppm), ("png", encode_png), ("gif", encode_gif)]
+    """Media table whose image payloads are REAL encoded
+    BMP/PPM/PNG/GIF/JPEG bytes (rotating), with deterministic per-image
+    gradient pixels — the image twin of :func:`synthesize_wav`. GIF
+    frames quantize to a coarse palette (the format is palette-bound);
+    JPEG is lossy by nature, so feature assertions on it are
+    tolerance-based."""
+    from novlake_spark.operators.jpeg import encode_jpeg
+
+    encoders = [
+        ("bmp", encode_bmp), ("ppm", encode_ppm), ("png", encode_png),
+        ("gif", encode_gif), ("jpeg", encode_jpeg),
+    ]
     rows = []
     for i in range(n):
         w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
@@ -580,7 +589,7 @@ def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataF
         base = rng.randint(0, 64, size=(h, w, 3)).astype(np.uint8)
         ramp = np.linspace(0, 191, w, dtype=np.uint8)[None, :, None]
         px = (base + ramp).astype(np.uint8)
-        fmt, enc = encoders[i % 4]
+        fmt, enc = encoders[i % 5]
         if fmt == "gif":
             px = (px & 0xF0).astype(np.uint8)  # quantize toward ≤256 colors
             if len(np.unique(px.reshape(-1, 3), axis=0)) > 256:
@@ -621,6 +630,10 @@ def decode_image_stdlib(df: DataFrame) -> DataFrame:
                         px = decode_png(data)
                     elif data[:4] == b"GIF8":
                         px = decode_gif(data)
+                    elif data[:2] == b"\xff\xd8":
+                        from novlake_spark.operators.jpeg import decode_jpeg
+
+                        px = decode_jpeg(data)
                     else:
                         continue
                 except (ValueError, IndexError):

@@ -135,17 +135,20 @@ def test_decode_image_stdlib_real_roundtrip(spark):
         decode_bmp, decode_ppm, synthesize_images, decode_image_stdlib,
     )
 
+    from novlake_spark.operators.jpeg import decode_jpeg
     from novlake_spark.operators.multimodal import decode_gif, decode_png
 
     media = synthesize_images(spark, n=10)
     out = {r.media_id: r for r in decode_image_stdlib(media).collect()}
     assert len(out) == 10
-    assert {r["meta"]["format"] for r in media.collect()} == {"bmp", "ppm", "png", "gif"}
+    assert {r["meta"]["format"] for r in media.collect()} == {
+        "bmp", "ppm", "png", "gif", "jpeg"
+    }
     for row in media.collect():
         data = bytes(row.payload)
         dec = {
-            b"BM": decode_bmp, b"P6": decode_ppm,
-            b"\x89P": decode_png, b"GI": decode_gif,
+            b"BM": decode_bmp, b"P6": decode_ppm, b"\x89P": decode_png,
+            b"GI": decode_gif, b"\xff\xd8": decode_jpeg,
         }[data[:2]]
         px = dec(data)
         got = out[row.media_id]
@@ -296,7 +299,7 @@ def test_gif_in_decode_image_stdlib(spark):
 
     media = synthesize_images(spark, n=12)
     fmts = {r["meta"]["format"] for r in media.collect()}
-    assert fmts == {"bmp", "ppm", "png", "gif"}
+    assert fmts == {"bmp", "ppm", "png", "gif", "jpeg"}
     out = {r.media_id: r for r in decode_image_stdlib(media).collect()}
     assert len(out) == 12
     for row in media.collect():
@@ -307,3 +310,69 @@ def test_gif_in_decode_image_stdlib(spark):
         got = out[row.media_id]
         assert (got.height, got.width) == px.shape[:2]
         assert abs(got.mean_intensity - px.reshape(-1, 3).mean()) < 1e-9
+
+
+def test_jpeg_roundtrip_pure():
+    """Pure stdlib/numpy baseline JPEG: real DCT + Huffman entropy
+    coding. Lossy, so assertions are analytical where exactness holds
+    (orthonormal transform, DC-only solid blocks) and tolerance-based
+    on smooth content."""
+    import numpy as np
+    import pytest
+
+    from novlake_spark.operators.jpeg import decode_jpeg, dct2, encode_jpeg, idct2
+
+    rng = np.random.RandomState(2)
+    blk = rng.randn(8, 8)
+    assert np.allclose(idct2(dct2(blk)), blk, atol=1e-12)  # orthonormal pair
+
+    solid = np.full((16, 24, 3), 130, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid, 90)), solid)
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [128 + 100 * np.sin(xx / 10.0), 128 + 100 * np.cos(yy / 12.0), 128 + 80 * np.sin((xx + yy) / 15.0)],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0, (err.max(), err.mean())
+    assert len(encode_jpeg(img, 90)) < img.nbytes // 4  # actually compresses
+
+    # odd (non-multiple-of-8) dims exercise the edge-replicate padding
+    g3 = np.repeat(
+        np.repeat(np.linspace(0, 255, 37).astype(np.uint8)[None, :, None], 19, axis=0), 3, axis=2
+    )
+    out3 = decode_jpeg(encode_jpeg(g3, quality=92))
+    assert out3.shape == g3.shape
+    assert np.abs(out3.astype(int) - g3.astype(int)).max() <= 2
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nope")
+    # progressive SOF2 refused loudly, not mis-decoded
+    data = bytearray(encode_jpeg(solid))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_quality_ladder_monotone():
+    """Lower quality → smaller payload and no better error: the quant
+    scaling actually drives the rate-distortion knob."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([100 + 80 * np.sin(xx / 6.0)] * 3, axis=2).clip(0, 255).astype(np.uint8)
+    sizes, errs = [], []
+    for q in (95, 75, 40, 10):
+        data = encode_jpeg(img, quality=q)
+        out = decode_jpeg(data)
+        sizes.append(len(data))
+        errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert sizes == sorted(sizes, reverse=True), sizes
+    assert errs[0] <= errs[-1], errs

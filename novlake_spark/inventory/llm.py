@@ -1401,3 +1401,24 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"sp\w+"), F.lit(0))).alias("n_sp"),
         F.regexp_extract("text", r"sp\w+", 0).alias("first_sp"),
     )
+
+
+@register("q_multimodal_decode", weak=True)  # WEAK: image features have no SQL oracle
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10b: REAL image decoding, distributed — deterministic
+    BMP/PPM/PNG/GIF/JPEG payloads (synthesize_images: every codec
+    implemented from scratch in operators/multimodal.py + jpeg.py, no
+    image library in the environment) stream through the mapInPandas
+    decode path and come back as per-image features. Rows-only grade:
+    pixel features have no cross-engine SQL oracle; codec correctness
+    is pinned by the pure round-trip/adversarial tests in
+    tests/test_multimodal.py. Deterministic across runs (seeded
+    synthesis, deterministic codecs), independent of sf_dir by design
+    — the media table is synthesized, not a fixture."""
+    from novlake_spark.operators.multimodal import (
+        decode_image_stdlib,
+        synthesize_images,
+    )
+
+    media = synthesize_images(spark, n=30)
+    return decode_image_stdlib(media).orderBy("media_id")

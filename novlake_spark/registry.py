@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     "q_event_user_stats",
     "q_ts_diff",
     "q_agg_mode_freq",
+    "q_multimodal_decode",  # WEAK (rows-only): real-codec decode path
     # ---- already driver-green in r1/r2/r3, stable order ----
     "q_tpch_q2",
     "q_tpch_q4",

@@ -146,10 +146,13 @@ def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: ordered conversion funnel (signup → click → purchase), the
     product-analytics staple. Each stage is an aggregation keyed on
-    user_id joined to the next stage's filtered events; every join key
-    is the 150-user dimension → all joins broadcast, the event scan
-    stays a single pass per stage with the stage predicate pushed
-    down. Counts users whose stages occur in time order."""
+    user_id joined to the next stage's filtered events; the stage
+    aggregates are user-dimension-sized — SF-scaled, so the joins are
+    UNhinted and AQE broadcasts them iff runtime stats fit (at the
+    fixture scale they always do; on a billion-user corpus they
+    shuffle) — and the event scan stays a single pass per stage with
+    the stage predicate pushed down. Counts users whose stages occur
+    in time order."""
     events = load_table(spark, sf_dir, "events")
     s = (
         events.filter(F.col("event_type") == "signup")
@@ -158,14 +161,14 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         events.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .filter(F.col("ts") >= F.col("t_signup"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") >= F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))

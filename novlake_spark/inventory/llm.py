@@ -872,8 +872,11 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect it. The bounded prefix comes from a per-token row_number
     window over the distinct (token, doc) pairs, so executor memory
     holds ≤20 postings per token regardless of corpus size; df is a
-    plain count over the same distinct pairs, and the tiny (vocab-sized)
-    join of the two aggregates broadcasts."""
+    plain count over the same distinct pairs. The join of the two
+    aggregates is deliberately UNhinted: both sides are vocabulary-sized
+    (1e8-1e9 rows on a crawl-scale corpus — a forced broadcast OOMs);
+    AQE promotes to broadcast iff runtime stats fit, the same policy as
+    the tf-idf df join above."""
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -888,7 +891,7 @@ def q_llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("first_postings"))
     )
-    return df_counts.join(F.broadcast(postings), "token").select(
+    return df_counts.join(postings, "token").select(
         "token", "df", "first_postings"
     )
 

@@ -245,7 +245,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("c_rk") == F.col("r_regionkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p.filter(F.col("p_type") == "STANDARD"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -280,7 +280,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p.filter(F.col("p_type") == "ECONOMY"), F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -368,7 +368,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev()
     return (
         li.filter((F.col("l_shipdate") >= _ts("1996-09-01")) & (F.col("l_shipdate") < _ts("1996-10-01")))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) / F.sum(rev),
@@ -407,7 +407,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_mx", F.max("total_revenue").over(Window.partitionBy(F.lit(1)))
     ).filter(F.col("total_revenue") == F.col("_mx"))
     return (
-        F.broadcast(s)
+        s
         .join(top, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -429,7 +429,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     pf = p.filter((F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 10, 20, 30, 40, 50)))
     return (
-        li.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(pf, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -455,7 +455,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg((0.2 * F.avg("l_quantity")).alias("qty_lim"))
     return (
-        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#1")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p.filter(F.col("p_brand") == "Brand#1"), F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -529,7 +529,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
         .agg(_money_sum(_rev()).alias("revenue"))
     )
@@ -585,7 +585,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost = (
-        li.join(F.broadcast(asia_supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        li.join(asia_supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
     )
@@ -594,8 +594,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("supply_cost") == F.col("_mn"))
     pf = p.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
     return (
-        best.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -641,7 +641,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     v = (
-        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        li.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("vcents"))
     )
@@ -729,7 +729,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted = p.filter(F.col("p_name").like("large%")).select("p_partkey")
     shipped = (
         li.filter((F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01")))
-        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -792,7 +792,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_supp = s.join(
         F.broadcast(n.filter(F.col("n_name") == "NATION_1")), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
-    l1 = late.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    l1 = late.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     other = li.select(F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2"))
     other_late = late.select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
     return (

@@ -56,6 +56,16 @@ HEADLINE = [
     "q_llm_chunk",
     "q_llm_source_overlap",
     "q_emb_centroid_assign",
+    # round-4 additions
+    "q_llm_stopword_ratio",
+    "q_llm_word_len_hist",
+    "q_llm_dedup_prefix",
+    "q_fn_regexp",
+    "q_emb_cosine_hist",
+    "q_event_user_stats",
+    "q_ts_diff",
+    "q_agg_mode_freq",
+    "q_multimodal_decode",
 ]
 
 

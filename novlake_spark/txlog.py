@@ -2003,6 +2003,7 @@ class TxTable:
         matched_condition: str | None = None,
         insert_unmatched: bool = True,
         evolve_schema: bool = False,
+        distributed: bool = False,
     ) -> int:
         """MERGE as ONE atomic remove+add commit. Default clause set is
         the upsert: matched target rows are replaced by their source row
@@ -2043,16 +2044,19 @@ class TxTable:
         )
         latest = self.latest_version()
         base = latest if latest is not None else -1
-        adds = self.snapshot_adds(base) if base >= 0 else []
         k0 = key[0]
         bounds = source.agg(
             F.min(k0).alias("lo"), F.max(k0).alias("hi")
         ).collect()[0]
-        preds = []
+        scope = []
         if bounds["lo"] is not None:
-            preds = [(k0, ">=", _stat_value(bounds["lo"])), (k0, "<=", _stat_value(bounds["hi"]))]
-        preds = _phys_where(preds, self.schema_at(base) if base >= 0 else None)
-        touched = [a for a in adds if file_matches(a, preds)]
+            scope = [(k0, ">=", _stat_value(bounds["lo"])), (k0, "<=", _stat_value(bounds["hi"]))]
+        if base >= 0:
+            # same planner switch as delete/update: Spark-pruned sidecar
+            # scan when asked and applicable, driver fold otherwise
+            touched, _ = self._scoped_adds(scope or None, base, distributed)
+        else:
+            touched = []
         if not touched and base < 0:
             if delete_matched or not insert_unmatched:
                 raise FileNotFoundError(f"no committed data under {self.path}")

@@ -340,7 +340,11 @@ def test_distributed_dml_matches_driver_dml(spark, tmp_path):
     b.delete([("x", ">=", 20), ("x", "<", 32)], distributed=True)
     a.update({"y": "y * 100"}, [("x", "<", 3)])
     b.update({"y": "y * 100"}, [("x", "<", 3)], distributed=True)
+    delta = spark.createDataFrame([(40, 777), (999, 1)], "x long, y long")
+    a.merge(delta, key=["x"])
+    b.merge(delta, key=["x"], distributed=True)
     ra = sorted((r.x, r.y) for r in a.read().collect())
     rb = sorted((r.x, r.y) for r in b.read().collect())
     assert ra == rb
-    assert len(ra) == 22  # 30 rows - 8 in [20,32); update keeps count
+    assert (999, 1) in ra and (40, 777) in ra
+    assert len(ra) == 23  # 22 after delete/update + 1 merge insert

@@ -25,7 +25,9 @@ _WEAK: set[str] = set()
 #: the never-driver-graded remainder so coverage accumulates. Round-4
 #: head = the final 36 never-graded keys (28 FULL-oracle — every one
 #: already hash-passes ``tools/verify_local.py`` at sf0.01 — then the 8
-#: WEAK rows-only keys), completing driver-verified coverage at 166/166.
+#: WEAK rows-only keys), completing driver-verified coverage of every
+#: pre-round-4 key, plus the 9 NEW round-4 keys in the window's spare
+#: slots (45 < 50, so nothing above is displaced).
 PRIORITY: list[str] = [
     # L: LLM-pipeline FULL keys never driver-graded
     "q_llm_jaccard_pairs",

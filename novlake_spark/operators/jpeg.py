@@ -331,7 +331,15 @@ def _extend(bits: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → RGB uint8 (H, W, 3). Grayscale streams
-    return their luma replicated across RGB."""
+    return their luma replicated across RGB. Parse-guarded like every
+    sibling decoder: any structural failure is ValueError
+    (quarantine), never struct.error/IndexError."""
+    from novlake_spark.operators.multimodal import _parse_guard
+
+    return _parse_guard(_decode_jpeg_inner)(data)
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2

@@ -35,7 +35,10 @@ as pure, Spark-free functions underneath.
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import struct as _struct
+import zlib as _zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -194,6 +197,29 @@ def decode_wav(df: DataFrame) -> DataFrame:
     )
 
 
+def _parse_guard(fn):
+    """Decoder boundary: ANY parse failure surfaces as ValueError.
+
+    The curation contract is quarantine-don't-crash — a truncated
+    header in a crawled corpus must not abort a 100 TB job with a
+    struct.error five layers down (hypothesis found exactly that on
+    byte-level truncations of BMP/GIF/JPEG headers). ValueError is the
+    one exception type every decode caller catches."""
+
+    @functools.wraps(fn)
+    def wrap(data, *a, **k):
+        try:
+            return fn(data, *a, **k)
+        except ValueError:
+            raise
+        except (_struct.error, IndexError, KeyError, OverflowError, EOFError, _zlib.error) as e:
+            raise ValueError(
+                f"{fn.__name__}: corrupt payload ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrap
+
+
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """RGB uint8 array (H, W, 3) → 24-bit uncompressed BMP bytes
     (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded to
@@ -212,6 +238,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + b"".join(rows)
 
 
+@_parse_guard
 def decode_bmp(data: bytes) -> np.ndarray:
     """24-bit uncompressed BMP bytes → RGB uint8 array (H, W, 3).
     Raises ``ValueError`` on anything but the plain 24bpp/BI_RGB shape
@@ -299,6 +326,7 @@ def _png_unfilter(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.nd
     return cur.astype(np.uint8)
 
 
+@_parse_guard
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → RGB uint8 array (H, W, 3) — pure stdlib ``zlib``
     inflate + full 5-filter unfiltering (:func:`_png_unfilter`), CRC
@@ -446,6 +474,7 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+@_parse_guard
 def decode_gif(data: bytes) -> np.ndarray:
     """Single-frame GIF87a/89a bytes → RGB uint8 array (H, W, 3) — pure
     stdlib/numpy full LZW decoder (growing code widths, CLEAR/EOI,
@@ -545,6 +574,7 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
+@_parse_guard
 def decode_ppm(data: bytes) -> np.ndarray:
     """Binary PPM (P6) bytes → RGB uint8 array (H, W, 3)."""
     if not data.startswith(b"P6"):

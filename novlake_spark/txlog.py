@@ -2795,6 +2795,7 @@ class TxTable:
         target_version: int | None = None,
         small_file_mb: float | None = None,
         where: list[tuple] | None = None,
+        distributed: bool = False,
     ) -> int:
         """Rewrite the snapshot (or just its small files) as one commit:
         add the merged files, remove the old ones — readers at older
@@ -2824,6 +2825,18 @@ class TxTable:
         else:
             latest = self.latest_version()
             base = latest if latest is not None else -1
+        # OPTIMIZE WHERE at million-file scale: Spark-pruned scoping via
+        # the shared planner (same switch as DML); driver fold otherwise
+        if distributed and where and base >= 0:
+            out = self._scan_distributed(where, target_version)
+            if out is not None:
+                adds = out[0]
+                if small_file_mb is not None:
+                    limit = int(small_file_mb * 1024 * 1024)
+                    adds = [a for a in adds if (a.get("bytes") or 0) < limit]
+                if len(adds) < 2:
+                    return base
+                return self._compact_adds(adds, target_version, base, small_file_mb)
         adds = self.snapshot_adds(target_version)
         if where:
             preds = _phys_where(where, self.schema_at(target_version))
@@ -2833,6 +2846,17 @@ class TxTable:
             adds = [a for a in adds if (a.get("bytes") or 0) < limit]
         if (small_file_mb is not None or where) and len(adds) < 2:
             return base
+        return self._compact_adds(adds, target_version, base, small_file_mb)
+
+    def _compact_adds(
+        self,
+        adds: list[dict],
+        target_version: int | None,
+        base: int,
+        small_file_mb: float | None = None,
+    ) -> int:
+        """Rewrite ``adds`` as one commit (compact's shared tail, used
+        by both the driver-fold and Spark-pruned scoping paths)."""
         files = [a["file"] for a in adds]
         merged = self._read_adds(adds, self.schema_at(target_version))
         # the whole point is FEWER files: pack into ~target-sized

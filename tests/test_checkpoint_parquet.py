@@ -348,3 +348,28 @@ def test_distributed_dml_matches_driver_dml(spark, tmp_path):
     assert ra == rb
     assert (999, 1) in ra and (40, 777) in ra
     assert len(ra) == 23  # 22 after delete/update + 1 merge insert
+
+
+def test_distributed_compact_where_and_versioned_read(spark, tmp_path):
+    """OPTIMIZE WHERE through the Spark-pruned planner rewrites exactly
+    the admitted range; a version-pinned distributed read resolves the
+    checkpointed snapshot (time travel composes with the fast path)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    for i in range(6):
+        t.commit(spark.createDataFrame([(i * 10 + j,) for j in range(5)], "x long").coalesce(1))
+    cp = t.checkpoint()
+    pre_files = set(t.snapshot_files())
+    v = t.compact(where=[("x", ">=", 0), ("x", "<", 20)], distributed=True)
+    post = set(t.snapshot_files())
+    # exactly the two admitted files were merged; the other four ride
+    assert len(pre_files - post) == 2 and len(post - pre_files) >= 1
+    assert sorted(r.x for r in t.read().collect()) == sorted(
+        i * 10 + j for i in range(6) for j in range(5)
+    )
+    # version-pinned distributed read of the PRE-compaction snapshot
+    got = sorted(
+        r.x for r in t.read(version=cp, where=[("x", "<", 20)], distributed=True).collect()
+    )
+    assert got == sorted([j for j in range(5)] + [10 + j for j in range(5)])

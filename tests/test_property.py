@@ -112,3 +112,75 @@ def test_bpe_encode_words_matches_pointwise_apply(words, n_merges):
         for tok in apply_merges(w, order):
             want[tok] += 1
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=4000),
+    st.integers(min_value=2, max_value=255),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_property(idx_list, n_colors):
+    """Any palette-index stream survives GIF LZW encode→decode exactly —
+    hypothesis sweeps stream lengths/alphabets that exercise code-width
+    growth, the first-code-after-CLEAR schedule, KwKwK and table clears
+    (no Spark; the pure codec pair from operators/multimodal)."""
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import decode_gif, encode_gif
+
+    idx = np.array([v % n_colors for v in idx_list], dtype=np.uint8)
+    # shape into an image whose palette is the identity greyscale
+    w = min(len(idx), 64)
+    h = -(-len(idx) // w)
+    padded = np.resize(idx, h * w)
+    px = np.stack([padded.reshape(h, w)] * 3, axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_image_decoders_never_crash_on_garbage(data):
+    """Arbitrary bytes must raise ValueError (quarantine) or decode —
+    never IndexError/struct.error/infinite loop: the curation contract
+    for all five from-scratch decoders."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg
+    from novlake_spark.operators.multimodal import (
+        decode_bmp, decode_gif, decode_png, decode_ppm,
+    )
+
+    for dec in (decode_bmp, decode_ppm, decode_png, decode_gif, decode_jpeg):
+        try:
+            out = dec(data)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_image_decoders_quarantine_truncated_headers(tail):
+    """Force each format's magic so the PARSERS run on garbage bodies:
+    still ValueError-or-decode, never struct.error/IndexError/OverflowError
+    (truncated headers are the common corruption in a crawled corpus)."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg
+    from novlake_spark.operators.multimodal import (
+        decode_bmp, decode_gif, decode_png, decode_ppm,
+    )
+
+    cases = [
+        (decode_bmp, b"BM"),
+        (decode_ppm, b"P6"),
+        (decode_png, b"\x89PNG\r\n\x1a\n"),
+        (decode_gif, b"GIF89a"),
+        (decode_jpeg, b"\xff\xd8"),
+    ]
+    for dec, magic in cases:
+        try:
+            out = dec(magic + tail)
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass

@@ -1236,6 +1236,10 @@ class TxTable:
             upto = max(heads)
         else:
             upto = version
+            if upto not in vs and upto not in cps:
+                # same contract as _state_at: an unknown version is an
+                # error, not a silent resolve-to-latest
+                raise ValueError(f"version {upto} not in log {vs} or checkpoints {cps}")
         cp = max((c for c in cps if c <= upto), default=None)
         if cp is None:
             return None

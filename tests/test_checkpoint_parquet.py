@@ -373,3 +373,17 @@ def test_distributed_compact_where_and_versioned_read(spark, tmp_path):
         r.x for r in t.read(version=cp, where=[("x", "<", 20)], distributed=True).collect()
     )
     assert got == sorted([j for j in range(5)] + [10 + j for j in range(5)])
+
+
+def test_distributed_scan_rejects_unknown_version(spark, tmp_path):
+    """Same contract as the driver fold: an unknown version raises, it
+    does not silently resolve to latest."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    t.commit(spark.createDataFrame([(1,)], "x long"))
+    t.checkpoint()
+    with pytest.raises(ValueError, match="not in log"):
+        t.scan_adds_distributed([("x", ">=", 0)], version=999)
+    with pytest.raises(ValueError, match="not in log"):
+        t.read(version=999, where=[("x", ">=", 0)], distributed=True)

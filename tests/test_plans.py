@@ -208,3 +208,32 @@ def test_tfidf_vocab_join_not_hint_broadcast(spark, sf_small):
 
     df = q_llm_tfidf(spark, sf_small)
     assert plans.broadcast_hint_count(df) == 1, plans.explain_str(df)
+
+
+def test_round4_projection_keys_zero_shuffle(spark, sf_small):
+    """q_llm_stopword_ratio and q_fn_regexp claim pure-codegen
+    projections: zero exchanges, zero Python evals, pruned scans."""
+    from novlake_spark.inventory.llm import q_fn_regexp, q_llm_stopword_ratio
+
+    for fn, cols in (
+        (q_llm_stopword_ratio, {"doc_id", "text"}),
+        (q_fn_regexp, {"doc_id", "text"}),
+    ):
+        df = fn(spark, sf_small)
+        plan = plans.explain_str(df)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert set(plans.pruned_read_schema(df, "documents")) == cols
+
+
+def test_mode_freq_two_level_agg_no_raw_shuffle(spark, sf_small):
+    """q_agg_mode_freq: the (segment, nation) count collapses behind a
+    partial hash aggregate before any exchange — raw rows never move."""
+    from novlake_spark.inventory.aggregates import q_agg_mode_freq
+
+    df = q_agg_mode_freq(spark, sf_small)
+    plan = plans.explain_str(df)
+    # first node below the scan must be a partial HashAggregate
+    assert "HashAggregate" in plan
+    cols = plans.pruned_read_schema(df, "customer")
+    assert set(cols) == {"c_mktsegment", "c_nationkey"}, cols

@@ -246,18 +246,26 @@ def main() -> None:
     total = round(sum(times.values()), 3)
     txlog = bench_txlog(spark, sf_dir)
     out = {"metric": "bench_total_warm", "value": total, "unit": "sec", "queries": times, "sf": sf, "txlog": txlog}
-    # Scale-rehearsal evidence (VERDICT r3 #4): SCALE_sf1.json holds the
-    # same bench run at sf1 (10× the default), produced offline with
-    # tools/gen_sf.py fixtures — attached verbatim (marked precomputed)
-    # so the per-round BENCH record carries the scaling story without
-    # the driver paying a 10×-data run.
+    # Scale-rehearsal evidence (VERDICT r3 #4, re-shaped per VERDICT r4 #1):
+    # SCALE_sf1.json holds the same bench run at sf1 (10× the default),
+    # produced offline with tools/gen_sf.py fixtures. Round 4 embedded it
+    # verbatim, which pushed the ONE JSON line past the driver's tail-capture
+    # window and BENCH_r04 recorded parsed:null — so now only a compact
+    # summary rides along; the full per-query table stays in SCALE_sf1.json.
     sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE_sf1.json")
     if os.path.exists(sf1_path) and sf == 0.1:
         with open(sf1_path) as f:
             rehearsal = json.load(f)
-        rehearsal["precomputed"] = True
-        out["sf1_rehearsal"] = rehearsal
-    print(json.dumps(out))
+        out["sf1_rehearsal"] = {
+            "total_sec": rehearsal.get("value"),
+            "n_queries": len(rehearsal.get("queries", {})),
+            "precomputed": True,
+            "file": "SCALE_sf1.json",
+        }
+    # Compact separators keep the ONE line well under the driver's
+    # tail-capture window (~2 KB) — the r4 parse failure's root cause.
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -69,6 +69,37 @@ def _fold_order_scores(qm: np.ndarray, dm: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _round_half_up_4dp(x: np.ndarray) -> np.ndarray:
+    """Vectorized twin of Spark's ``F.round(col, 4)`` on doubles.
+
+    Spark's Round on DoubleType is ``BigDecimal.valueOf(d)`` (i.e. the
+    SHORTEST-ROUNDTRIP decimal string, same algorithm as Python's
+    ``repr(float)``) ``.setScale(4, HALF_UP)`` — half away from zero.
+    ``np.round`` is HALF_EVEN on the scaled binary value, so the two
+    disagree at .xxxx5 boundaries. Fast path: scale by 1e4 and
+    floor(+0.5)/ceil(−0.5). Because IEEE multiply is correctly rounded
+    and half-integers are exactly representable at this magnitude, the
+    fast path can only disagree with Java where the scaled product
+    lands EXACTLY on a half-integer — those few cells are re-resolved
+    through ``decimal.Decimal(repr(x))``, bit-faithful to
+    ``Double.toString``. Everything else stays vectorized.
+    """
+    scaled = x * 10000.0
+    with np.errstate(invalid="ignore"):  # ±inf sentinel rows → nan in frac
+        r = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+        half = np.isfinite(scaled) & (scaled - np.floor(scaled) == 0.5)
+    if half.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        flat_r, flat_x = r.ravel(), x.ravel()
+        for i in np.flatnonzero(half.ravel()):
+            flat_r[i] = float(
+                Decimal(repr(float(flat_x[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            ) * 10000.0
+    return r / 10000.0
+
+
 def blocked_topk_candidates(
     queries: DataFrame,
     data: DataFrame,
@@ -115,8 +146,12 @@ def blocked_topk_candidates(
         kk = min(k, sims.shape[1])
         # selection must use the FINAL ordering (rounded score desc,
         # b_id asc) or boundary ties would keep different rows than the
-        # downstream window — lexsort on (b_id, -rounded)
-        rounded = np.round(sims, 4)
+        # downstream window — lexsort on (b_id, -rounded). ADVICE r4:
+        # the rounding here must be the WINDOW's rounding (Java HALF_UP,
+        # F.round), not np.round's HALF_EVEN — at exactly-representable
+        # .xxxx5 scores (dyadic dot products like 1/32) the two disagree
+        # and the kernel would drop a candidate the window ranks top-k.
+        rounded = _round_half_up_4dp(sims)
         order = np.lexsort((np.broadcast_to(b_ids, sims.shape), -rounded), axis=1)[:, :kk]
         top_scores = np.take_along_axis(sims, order, axis=1)
         keep = np.isfinite(top_scores)

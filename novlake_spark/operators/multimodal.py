@@ -197,6 +197,13 @@ def decode_wav(df: DataFrame) -> DataFrame:
     )
 
 
+# Shared decode-side bound on DECLARED pixel counts (8192×8192 ≈ 192 MB
+# RGB). Crafted headers may declare absurd dimensions; every decoder must
+# reject them BEFORE allocating, else a 50-byte payload raises MemoryError
+# — which _parse_guard deliberately does not convert (ADVICE r4).
+_MAX_PIXELS = 8192 * 8192
+
+
 def _parse_guard(fn):
     """Decoder boundary: ANY parse failure surfaces as ValueError.
 
@@ -253,6 +260,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
     flipped = h > 0
     h = abs(h)
+    if w <= 0 or h == 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"BMP dimensions {w}x{h} outside decode bound")
     row_size = (w * 3 + 3) & ~3
     out = np.empty((h, w, 3), dtype=np.uint8)
     for i in range(h):
@@ -359,6 +368,8 @@ def decode_png(data: bytes) -> np.ndarray:
                     f"unsupported PNG shape: depth={depth} color={color_type} "
                     f"interlace={interlace} (8-bit truecolor/RGBA only)"
                 )
+            if w * h > _MAX_PIXELS or w == 0 or h == 0:
+                raise ValueError(f"PNG dimensions {w}x{h} outside decode bound")
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -367,10 +378,17 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     ch = 3 if color_type == 2 else 4
-    raw = zlib.decompress(bytes(idat))
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG pixel data truncated: {len(raw)} != {h * (stride + 1)}")
+    # ADVICE r4: inflate with a hard output bound. A zlib bomb (tiny IDAT,
+    # huge decompressed size) would otherwise materialize gigabytes before
+    # the length check below ever ran — MemoryError, not quarantine.
+    expect = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expect + 1)
+    if len(raw) > expect or dec.decompress(dec.unconsumed_tail, 1):
+        raise ValueError(f"PNG pixel data overruns declared size {expect}")
+    if len(raw) != expect:
+        raise ValueError(f"PNG pixel data truncated: {len(raw)} != {expect}")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -501,6 +519,8 @@ def decode_gif(data: bytes) -> np.ndarray:
         elif b == 0x2C:  # image descriptor
             _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
+            if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+                raise ValueError(f"GIF dimensions {w}x{h} outside decode bound")
             if iflags & 0x40:
                 raise ValueError("interlaced GIF unsupported")
             if iflags & 0x80:
@@ -508,6 +528,13 @@ def decode_gif(data: bytes) -> np.ndarray:
             if gct is None:
                 raise ValueError("GIF missing color table")
             mcs = data[pos]
+            # ADVICE r4: mcs is untrusted (any 0-255 byte). The GIF spec
+            # bounds it at 8 (palette ≤256) with code widths capped at 12;
+            # a crafted mcs≥32 would make _lzw_unpack allocate 2^mcs dict
+            # entries — OOM, not the ValueError quarantine the module's
+            # contract ("never infinite loop / unbounded alloc") promises.
+            if mcs > 11:
+                raise ValueError(f"GIF LZW min code size {mcs} out of spec (>11)")
             pos += 1
             stream = bytearray()
             while data[pos] != 0:
@@ -596,6 +623,8 @@ def decode_ppm(data: bytes) -> np.ndarray:
     w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"PPM dimensions {w}x{h} outside decode bound")
     return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
 

@@ -88,7 +88,15 @@ def _missing_file(exc: Exception) -> bool:
     read-side retries that make a concurrent ``clean_log`` (which
     deletes superseded checkpoints and their sidecars after publishing
     the replacement) invisible to in-flight readers."""
-    return isinstance(exc, FileNotFoundError) or "FileNotFoundException" in str(exc)
+    return (
+        isinstance(exc, FileNotFoundError)
+        or "FileNotFoundException" in str(exc)
+        # spark.read.parquet on a just-deleted sidecar path raises
+        # AnalysisException [PATH_NOT_FOUND] at plan time (not the
+        # executor-side java.io exception) — same concurrent-clean_log
+        # cause, same retry answer.
+        or "PATH_NOT_FOUND" in str(exc)
+    )
 
 
 def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dict]:
@@ -1202,6 +1210,24 @@ class TxTable:
         return None if out is None else out[0]
 
     def _scan_distributed(
+        self, where: list[tuple], version: int | None = None
+    ) -> tuple[list[dict], T.StructType | None] | None:
+        """One-retry wrapper around :meth:`_scan_distributed_once` — the
+        same contract as :meth:`_state_at`/:meth:`_meta_at`: a concurrent
+        ``clean_log`` may delete a superseded checkpoint doc, a tail
+        entry, or the parquet sidecar between our listing and any of the
+        reads (including the DISTRIBUTED ``spark.read.parquet`` of the
+        sidecar, whose FileNotFoundError surfaces at ``.collect()``
+        wrapped by py4j); one re-list resolves through the newer
+        checkpoint that replaced it (ADVICE r4)."""
+        try:
+            return self._scan_distributed_once(where, version)
+        except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+            if not _missing_file(exc):
+                raise
+            return self._scan_distributed_once(where, version)
+
+    def _scan_distributed_once(
         self, where: list[tuple], version: int | None = None
     ) -> tuple[list[dict], T.StructType | None] | None:
         """(admitted add-actions, snapshot schema) for ``where`` with the

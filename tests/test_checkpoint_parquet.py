@@ -387,3 +387,25 @@ def test_distributed_scan_rejects_unknown_version(spark, tmp_path):
         t.scan_adds_distributed([("x", ">=", 0)], version=999)
     with pytest.raises(ValueError, match="not in log"):
         t.read(version=999, where=[("x", ">=", 0)], distributed=True)
+
+
+def test_distributed_scan_retries_on_cleaned_checkpoint(spark, tmp_path):
+    """ADVICE r4: _scan_distributed gets the same one-retry contract as
+    _state_at/_meta_at — a concurrent clean_log deleting the superseded
+    checkpoint doc (or its sidecar) between listing and read must be
+    invisible to read(distributed=True), not a FileNotFoundError."""
+    t = _table_with_files(spark, str(tmp_path / "t"))
+    t.checkpoint()
+    real_doc = t._checkpoint_doc
+    calls = {"n": 0}
+
+    def flaky_doc(version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(f"checkpoint-{version} cleaned")
+        return real_doc(version)
+
+    t._checkpoint_doc = flaky_doc
+    rows = sorted(r.x for r in t.read(where=[("x", ">=", 0)], distributed=True).collect())
+    assert rows == sorted(i * 10 + j for i in range(4) for j in range(5))
+    assert calls["n"] >= 2  # first read failed, retry resolved

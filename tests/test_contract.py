@@ -23,11 +23,13 @@ def test_registry_shape():
 
 
 def test_priority_order():
-    """The driver grades ~the first 50 keys of queries(). Round 4's
-    window is the FINAL rotation (VERDICT r3 next-round #1): every key
-    never driver-graded in rounds 1–3 — the last 28 FULL keys plus the
-    8 rows-only WEAK keys — must sit inside the graded head, completing
-    driver-verified coverage at 166/166."""
+    """The driver grades ~the first 50 keys of queries(). After round 4
+    the driver-graded union reached every registered key, so the
+    standing policy (registry.PRIORITY docstring) is evidence FRESHNESS:
+    any key with NO driver grade in any recorded CORRECTNESS_r0*.json —
+    i.e. keys added this round — must sit inside the graded head, and
+    the head must be exactly the window the driver will take."""
+    import glob
     import json
     import os
 
@@ -37,14 +39,13 @@ def test_priority_order():
     head = list(qs)[:50]
     already = set()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        p = os.path.join(root, rec)
-        if os.path.exists(p):
-            with open(p) as f:
-                already |= set(json.load(f))
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        with open(p) as f:
+            already |= set(json.load(f))
     never = [k for k in qs if k not in already]
     outside = [k for k in never if k not in head]
     assert not outside, f"never-graded keys outside the graded window: {outside}"
+    assert len(registry.PRIORITY) == len(set(registry.PRIORITY)), "dup PRIORITY keys"
 
 
 def test_all_queries_documented():

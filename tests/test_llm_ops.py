@@ -291,3 +291,51 @@ def test_block_cosine_pairs_max_block_guard(spark):
 
     uncapped = block_cosine_pairs(emb, threshold=0.4, max_block=100).collect()
     assert len(uncapped) == 10 + 1
+
+
+def test_round_half_up_4dp_matches_spark_f_round(spark):
+    """ADVICE r4 (knn.py): the kernel's selection rounding must be the
+    WINDOW's rounding. Spark's F.round on doubles is
+    BigDecimal.valueOf(d) (shortest-roundtrip decimal, same as Python
+    repr) .setScale(4, HALF_UP); np.round is HALF_EVEN and disagrees at
+    .xxxx5 boundaries — exactly the dyadic dot products (1/32, 3/32, …)
+    planted/normalized vectors produce. Drive both on adversarial
+    values and demand bit equality."""
+    import numpy as np
+
+    vals = [
+        1.0 / 32, 3.0 / 32, -1.0 / 32, -3.0 / 32,   # dyadic .xxxx5 exact
+        5.0 / 64, -5.0 / 64,                        # .xxxx8125
+        0.73115, -0.73115, 0.12345, -0.12345,       # repr-boundary decimals
+        0.5, -0.5, 0.00005, -0.00005, 0.99995,
+        0.0, 1.0, -1.0, 123.45675, -123.45675,
+        np.nextafter(0.03125, 0), np.nextafter(0.03125, 1),
+    ]
+    ours = K._round_half_up_4dp(np.array(vals, dtype=np.float64))
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    theirs = [r.r for r in df.select(F.round("x", 4).alias("r")).collect()]
+    for v, a, b in zip(vals, ours, theirs):
+        assert a == b, f"{v!r}: kernel {a!r} != F.round {b!r}"
+    # and np.round genuinely differs on at least one of these (the bug)
+    assert any(np.round(v, 4) != t for v, t in zip(vals, theirs))
+
+
+def test_blocked_topk_boundary_tie_matches_naive_window(spark):
+    """Planted boundary tie: two candidates whose RAW scores differ but
+    ROUND to the same 4dp value — the kernel must keep the one the
+    downstream window ranks first (rounded desc, b_id asc), for k=1.
+    With np.round (HALF_EVEN) the 0.03125-scoring candidate rounds to
+    .0312 and loses to a .03121-scoring one (rounds .0312 too — tie →
+    b_id decides); under F.round (HALF_UP) 0.03125 → .0313 and WINS.
+    q_llm_knn_join is a FULL-oracle key, so this is hash-parity, not
+    taste."""
+    rows = [
+        (1, 0, [1.0, 0.0]),          # query vector
+        (2, 0, [0.03125, 0.0]),      # dot = 0.03125 → rounds UP to 0.0313
+        (3, 0, [0.03121, 0.0]),      # dot = 0.03121 → 0.0312
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, blk int, embedding array<double>")
+    out = K.knn_join_blocked(emb, "blk", k=1).filter(F.col("a_id") == 1).collect()
+    assert len(out) == 1
+    assert out[0].b_id == 2, out
+    assert out[0].score == 0.0313, out

@@ -350,11 +350,17 @@ def test_jpeg_roundtrip_pure():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"nope")
-    # progressive SOF2 refused loudly, not mis-decoded
+    # a baseline stream MISLABELED as SOF2 violates progressive scan
+    # structure (full-band DC+AC scan) — still a loud quarantine, never
+    # a silent mis-decode (SOF2 itself is supported since round 5)
     data = bytearray(encode_jpeg(solid))
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    # genuinely-unsupported modes stay refused loudly (lossless SOF3)
+    data[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="unsupported JPEG mode"):
         decode_jpeg(bytes(data))
 
 
@@ -376,3 +382,142 @@ def test_jpeg_quality_ladder_monotone():
         errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
     assert sizes == sorted(sizes, reverse=True), sizes
     assert errs[0] <= errs[-1], errs
+
+
+def test_decoders_reject_resource_bomb_headers():
+    """ADVICE r4: crafted headers declaring absurd sizes must quarantine
+    as ValueError BEFORE allocating — a 50-byte payload must never raise
+    MemoryError (which _parse_guard deliberately does not convert) or
+    build a 2^mcs LZW dictionary."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from novlake_spark.operators.jpeg import encode_jpeg, decode_jpeg
+    from novlake_spark.operators.multimodal import (
+        _PNG_SIG, decode_bmp, decode_gif, decode_png, decode_ppm, encode_gif,
+    )
+
+    # JPEG: valid stream, SOF0 dims patched to 65535x65535 (~100 GB planes)
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    struct.pack_into(">HH", data, sof + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="outside decode bound"):
+        decode_jpeg(bytes(data))
+
+    # GIF: LZW min-code-size byte of 64 → would allocate 2^64 dict entries
+    gif = bytearray(encode_gif(np.zeros((4, 4, 3), dtype=np.uint8)))
+    pos = 13 + (2 << (gif[10] & 7)) * 3  # header + GCT → 0x2C descriptor
+    assert gif[pos] == 0x2C
+    gif[pos + 10] = 64
+    with pytest.raises(ValueError, match="out of spec"):
+        decode_gif(bytes(gif))
+
+    # GIF: dims bomb in the image descriptor
+    gif2 = bytearray(encode_gif(np.zeros((4, 4, 3), dtype=np.uint8)))
+    struct.pack_into("<HH", gif2, pos + 5, 16384, 16384)
+    with pytest.raises(ValueError, match="outside decode bound"):
+        decode_gif(bytes(gif2))
+
+    # PNG: IHDR declares 60000x60000 (CRC recomputed so the guard, not
+    # the CRC check, must fire)
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    png = (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr)) + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="outside decode bound"):
+        decode_png(png)
+
+    # PNG: zlib bomb — sane dims but IDAT inflating far past declared size
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    c2 = b"IHDR" + ihdr2
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 MB from ~10 KB
+    c3 = b"IDAT" + bomb
+    c4 = b"IEND"
+    png2 = (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr2)) + c2 + struct.pack(">I", zlib.crc32(c2) & 0xFFFFFFFF)
+        + struct.pack(">I", len(bomb)) + c3 + struct.pack(">I", zlib.crc32(c3) & 0xFFFFFFFF)
+        + struct.pack(">I", 0) + c4 + struct.pack(">I", zlib.crc32(c4) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="overruns"):
+        decode_png(png2)
+
+    # BMP dims bomb
+    bmp = bytearray(54)
+    bmp[:2] = b"BM"
+    struct.pack_into("<I", bmp, 10, 54)
+    struct.pack_into("<IiiHHI", bmp, 14, 40, 60000, 60000, 1, 24, 0)
+    with pytest.raises(ValueError, match="outside decode bound"):
+        decode_bmp(bytes(bmp))
+
+    # PPM dims bomb
+    with pytest.raises(ValueError, match="outside decode bound"):
+        decode_ppm(b"P6\n60000 60000\n255\n")
+
+
+def test_jpeg_progressive_and_subsampled_decode():
+    """Round 5 (VERDICT r4 next #6): progressive (SOF2) and subsampled
+    streams — the MAJORITY of real crawl images — now decode. Pinned
+    property: progressive reordering is LOSSLESS, so for the same
+    source/quality the progressive decode must equal the baseline
+    decode bit-for-bit, across 4:4:4/4:2:2/4:2:0 and on noise (the
+    worst case for EOBRUN + AC-refinement correction bits)."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 37, 53  # non-multiples of 16: MCU padding + crop both live
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [100 + 80 * np.sin(xx / 6.0), 120 + 60 * np.cos(yy / 5.0),
+         90 + 50 * np.sin((xx + yy) / 8.0)],
+        axis=2,
+    ).clip(0, 255).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        prog = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub, progressive=True))
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert np.array_equal(prog, base), sub
+        # and subsampling stays a faithful (lossier) decode of the source
+        assert np.abs(base.astype(int) - img.astype(int)).mean() < 6.0, sub
+
+    rng = np.random.RandomState(3)
+    noisy = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        prog = decode_jpeg(encode_jpeg(noisy, quality=50, subsampling=sub, progressive=True))
+        base = decode_jpeg(encode_jpeg(noisy, quality=50, subsampling=sub))
+        assert np.array_equal(prog, base), sub
+
+    solid = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(solid, progressive=True, subsampling="420")), solid
+    )
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: byte-aligned resync with DC-predictor reset must decode
+    identically to the unrestarted stream; a WRONG RSTn index must
+    quarantine as ValueError."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack([xx * 3, yy * 5, xx + yy], axis=2).clip(0, 255).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))
+    with_rst = encode_jpeg(img, quality=85, restart_interval=3)
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    assert np.array_equal(decode_jpeg(with_rst), plain)
+
+    import pytest
+
+    corrupt = with_rst.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(corrupt)

@@ -109,3 +109,57 @@ def test_transform_with_state_running_totals(spark, sf_small, tmp_path):
     truth = {r.user_id: r.n for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     for user, n in final.items():
         assert n == truth[user]
+
+
+def test_skew_safe_lag_equals_naive_window(spark):
+    """skew_safe_lag (two-phase: range-bucketed sub-windows + boundary
+    stitch) must equal the one-shot window EXACTLY — on a planted-skew
+    table where one user holds ~60% of rows, with duplicate-ts tie
+    groups (broken by event_id) sitting right at bucket boundaries."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import skew_safe_lag
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for _ in range(600):  # hot user 0: ~60% of rows, heavy ties
+        rows.append((eid, 0, rng.randrange(0, 50), round(rng.uniform(0, 100), 3)))
+        eid += 1
+    for _ in range(400):
+        rows.append((eid, 1 + rng.randrange(5), rng.randrange(0, 50),
+                     round(rng.uniform(0, 100), 3)))
+        eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, value double")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = {
+        (r.event_id): r.lag
+        for r in df.select("event_id", F.lag("value").over(w).alias("lag")).collect()
+    }
+    two_phase = {
+        (r.event_id): r._lag
+        for r in skew_safe_lag(
+            df, part="user_id", order=["ts", "event_id"], value="value", n_buckets=8
+        ).select("event_id", "_lag").collect()
+    }
+    assert two_phase == naive  # exact, including None for each user's first row
+
+
+def test_skew_safe_lag_degenerate_single_bucket(spark):
+    """All rows at one ts (hi == lo): falls back to the plain window and
+    still matches."""
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import skew_safe_lag
+
+    df = spark.createDataFrame(
+        [(i, 0, 5, float(i)) for i in range(10)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = {r.event_id: r.lag for r in df.select("event_id", F.lag("value").over(w).alias("lag")).collect()}
+    got = {r.event_id: r._lag for r in skew_safe_lag(df, "user_id", ["ts", "event_id"], "value").select("event_id", "_lag").collect()}
+    assert got == naive

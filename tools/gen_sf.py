@@ -15,7 +15,7 @@ Generation is Spark-parallel (spark.range + column expressions, no
 driver-side loops) so sf1 (~6M lineitem) takes seconds. Output goes
 under the repo (gitignored), never into /root/testdata.
 
-Usage: python tools/gen_sf.py [sf] [outdir] [--skew]
+Usage: python tools/gen_sf.py [sf] [outdir] [--skew] [--clustered]
 
 ``--skew`` replaces the uniform event/order keys with a power-law-ish
 draw (key = floor(n·u⁴): the hottest user takes (1/n)^(1/4) of all
@@ -48,7 +48,7 @@ def _pick(col, options: list[str]):
     return F.element_at(arr, (col % len(options) + 1).cast("int"))
 
 
-def generate(spark, sf: float, out: str, skew: bool = False) -> None:
+def generate(spark, sf: float, out: str, skew: bool = False, clustered: bool = False) -> None:
     s = lambda n: int(n * sf)  # noqa: E731
     os.makedirs(out, exist_ok=True)
 
@@ -189,14 +189,41 @@ def generate(spark, sf: float, out: str, skew: bool = False) -> None:
     write(documents, "documents", max(1, s(4)))
 
     n_emb, dim = s(20_000), 64
-    raw = spark.range(n_emb).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda i: (F.abs(F.xxhash64(F.col("id"), i, F.lit(38))) % 2_000_001) / 1e6 - 1.0,
-        ).alias("v"),
-        (h("id", F.lit(39)) % 10).cast("int").alias("label"),
-    )
+    if clustered:
+        # Planted topic clusters (VERDICT r4 next #8): the i.i.d. draw
+        # below has NO neighborhood structure — every vector's true
+        # neighbors are random, so ANN recall ceilings there measure
+        # the fixture, not the index. Real corpora cluster; this mode
+        # plants 50 topic centroids (uniform[-1,1]^64, per-dim var 1/3)
+        # and draws each vector as centroid + 0.5·uniform noise (var
+        # 1/12): same-topic cosine ≈ .33/(.33+.083) ≈ 0.8, cross-topic
+        # ≈ 0 — realistic separation for recall measurement.
+        n_topics = 50
+        base = spark.range(n_emb).select(
+            F.col("id").alias("vec_id"),
+            (h("id", F.lit(40)) % n_topics).cast("int").alias("_c"),
+        )
+        raw = base.select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (
+                    (F.abs(F.xxhash64(F.col("_c"), i, F.lit(41))) % 2_000_001) / 1e6 - 1.0
+                )
+                + 0.5
+                * ((F.abs(F.xxhash64(F.col("vec_id"), i, F.lit(42))) % 2_000_001) / 1e6 - 1.0),
+            ).alias("v"),
+            (F.col("_c") % 10).cast("int").alias("label"),
+        )
+    else:
+        raw = spark.range(n_emb).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (F.abs(F.xxhash64(F.col("id"), i, F.lit(38))) % 2_000_001) / 1e6 - 1.0,
+            ).alias("v"),
+            (h("id", F.lit(39)) % 10).cast("int").alias("label"),
+        )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     embeddings = raw.select(
         "vec_id",
@@ -207,11 +234,13 @@ def generate(spark, sf: float, out: str, skew: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in sys.argv
+    clustered = "--clustered" in sys.argv
     sf = float(args[0]) if args else 1.0
-    out = args[1] if len(args) > 1 else f"/root/repo/.sfgen/sf{sf:g}{'-skew' if skew else ''}"
+    suffix = ("-skew" if skew else "") + ("-clustered" if clustered else "")
+    out = args[1] if len(args) > 1 else f"/root/repo/.sfgen/sf{sf:g}{suffix}"
     spark = get_session("gen-sf", master="local[32]", shuffle_partitions=32)
-    print(f"generating sf={sf} skew={skew} under {out}", flush=True)
-    generate(spark, sf, out, skew=skew)
+    print(f"generating sf={sf} skew={skew} clustered={clustered} under {out}", flush=True)
+    generate(spark, sf, out, skew=skew, clustered=clustered)
     print("done", flush=True)

@@ -276,7 +276,7 @@ def ivf_knn(
     emb: DataFrame,
     k: int,
     n_cells: int = 8,
-    n_probe: int = 1,
+    n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -289,6 +289,13 @@ def ivf_knn(
     n_probe× join fan-out for recall of neighbours that fell across a
     cell boundary — the standard IVF recall knob (cost stays
     Σ n_probe·cell·|cell|, never n²).
+
+    Default ``n_probe=2`` (round 5): on the CLUSTERED sf1 fixture —
+    planted topics, i.e. the neighborhood structure real corpora have —
+    probe=1 measures recall@10 = 0.88, probe=2 = 0.96, probe=4 = 0.99
+    (SCALING.md §ANN, ANN_TIER.json). 2 is the knee: ≥0.9 recall at 2×
+    fan-out. The i.i.d.-random fixture's lower numbers measure the
+    fixture (no structure to find), not the index.
     """
     assigned, cents = ivf_assign(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     if n_probe <= 1:
@@ -336,7 +343,7 @@ def lsh_bucketed_knn(
     emb: DataFrame,
     k: int,
     n_planes: int = 4,
-    n_tables: int = 1,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -351,6 +358,11 @@ def lsh_bucketed_knn(
     candidates unioned before the final top-k — two near vectors only
     need to agree in ONE table, so recall ≈ 1-(1-p)^T for per-table
     collision probability p, at T× the within-bucket cost.
+
+    Default ``n_tables=4`` (round 5): on the CLUSTERED sf1 fixture
+    (planted topics — the structure real corpora have) tables=1/2/4
+    measure recall@10 = 0.46/0.72/0.92 (SCALING.md §ANN), tracking the
+    1-(1-p)^T amplification law; 4 is the first tier over the 0.9 bar.
     """
     if n_tables <= 1:
         planes = hyperplanes(dim, n_planes, seed)

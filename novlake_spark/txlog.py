@@ -88,14 +88,22 @@ def _missing_file(exc: Exception) -> bool:
     read-side retries that make a concurrent ``clean_log`` (which
     deletes superseded checkpoints and their sidecars after publishing
     the replacement) invisible to in-flight readers."""
+    s = str(exc)
     return (
         isinstance(exc, FileNotFoundError)
-        or "FileNotFoundException" in str(exc)
+        or "FileNotFoundException" in s
         # spark.read.parquet on a just-deleted sidecar path raises
         # AnalysisException [PATH_NOT_FOUND] at plan time (not the
         # executor-side java.io exception) — same concurrent-clean_log
         # cause, same retry answer.
-        or "PATH_NOT_FOUND" in str(exc)
+        or "PATH_NOT_FOUND" in s
+        # ...and when the file vanishes between plan time and task
+        # execution, the EXECUTOR raises FAILED_READ_FILE.FILE_NOT_EXIST
+        # ("File does not exist. It is possible the underlying files
+        # have been updated.") — found by the round-5 distributed-reader
+        # chaos test; without this arm the _scan_distributed retry never
+        # fires for mid-scan sidecar deletion.
+        or "FAILED_READ_FILE" in s and "not exist" in s
     )
 
 

@@ -409,3 +409,59 @@ def test_distributed_scan_retries_on_cleaned_checkpoint(spark, tmp_path):
     rows = sorted(r.x for r in t.read(where=[("x", ">=", 0)], distributed=True).collect())
     assert rows == sorted(i * 10 + j for i in range(4) for j in range(5))
     assert calls["n"] >= 2  # first read failed, retry resolved
+
+
+def test_clean_log_chaos_distributed_readers(spark, tmp_path):
+    """Round-5 stretch audit of the round-4 distributed surfaces: the
+    same true-thread chaos as the driver-path test, but the readers
+    resolve through read(distributed=True) — checkpoint DOC, tail
+    entries AND the Spark-scanned parquet sidecar can each vanish to a
+    concurrent clean_log mid-read. The _scan_distributed one-retry
+    (ADVICE r4) must make every read succeed; rows seen must always be
+    a consistent prefix-closed snapshot (0..max committed at read
+    time). Also pins that _protocol_fast's per-head cache never serves
+    a stale protocol across the maintenance thread's churn."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.parquet_checkpoint_rows = 1
+    t.checkpoint_interval = 0
+    t.commit(spark.createDataFrame([(0,)], "x long").coalesce(1))
+    t.checkpoint()
+    stop = threading.Event()
+    errors = []
+
+    def reader_loop():
+        r = TxTable(spark, path)
+        r.parquet_checkpoint_rows = 1
+        while not stop.is_set():
+            try:
+                rows = sorted(
+                    row.x for row in r.read(where=[("x", ">=", 0)], distributed=True).collect()
+                )
+                # snapshot consistency: exactly 0..n for some committed n
+                assert rows == list(range(len(rows))), rows
+                assert rows, "empty snapshot"
+                proto = r._protocol_fast()
+                assert proto["min_writer"] >= 1
+                r = TxTable(spark, path)  # fresh listing next round
+                r.parquet_checkpoint_rows = 1
+            except Exception as e:  # pragma: no cover - failure reporting
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader_loop) for _ in range(2)]
+    for th in threads:
+        th.start()
+    try:
+        for i in range(1, 7):
+            t.commit(spark.createDataFrame([(i,)], "x long").coalesce(1))
+            cp = t.checkpoint()
+            t.clean_log(cp)  # deletes superseded checkpoints + sidecars
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert not errors, errors[0]
+    assert sorted(r.x for r in t.read(distributed=True).collect()) == list(range(7))

@@ -76,7 +76,7 @@ def test_lsh_knn_recall_vs_bruteforce(spark, sf_small):
 
     emb = load_table(spark, sf_small, "embeddings")
     exact = K.knn_join_blocked(emb.withColumn("_all", F.lit(1)), "_all", k=5)
-    approx = K.lsh_bucketed_knn(emb, k=5, n_planes=3)
+    approx = K.lsh_bucketed_knn(emb, k=5, n_planes=3, n_tables=1)
     e = {(r.a_id, r.b_id) for r in exact.collect()}
     a = {(r.a_id, r.b_id) for r in approx.collect()}
     recall = len(e & a) / len(e)

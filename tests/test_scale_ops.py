@@ -47,7 +47,7 @@ def test_ivf_knn_recall(spark, sf_small):
         a = {(r.a_id, r.b_id) for r in df.collect()}
         return len(e & a) / len(e)
 
-    r1 = recall(K.ivf_knn(emb, k=5, n_cells=8))
+    r1 = recall(K.ivf_knn(emb, k=5, n_cells=8, n_probe=1))
     r2 = recall(K.ivf_knn(emb, k=5, n_cells=8, n_probe=3))
     assert r1 > 0.2, r1  # vs 1/8 chance under random cells
     assert r2 > r1, (r1, r2)  # multi-probe buys recall

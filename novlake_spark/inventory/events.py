@@ -415,3 +415,61 @@ def q_ts_diff_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") - F.col("_lag"), 2).alias("dv"),
     )
+
+
+@register(
+    "q_win_cumsum_skewsafe",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+    FROM events
+    """,
+)
+def q_win_cumsum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6b: running per-user total through the two-phase skew-safe plan
+    (operators.skew.skew_safe_cumsum) — the cumsum member of the
+    hot-key window family. Values are scaled to integer cents FIRST:
+    the two-phase plan re-associates the fold (in-bucket prefix +
+    bucket-total offsets), which is bit-exact only for integer
+    addition — float cumsums under ANY distributed re-association
+    drift in the last ulp, so money-like columns scale to integers
+    (the same discipline Spark's own partial aggregates rely on).
+    FULL oracle: DuckDB computes the naive one-shot window over the
+    same cents — hash equality proves the re-associated plan exact."""
+    from novlake_spark.operators.skew import skew_safe_cumsum
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    summed = skew_safe_cumsum(
+        ev, part="user_id", order=["ts", "event_id"], value="_cents", n_buckets=16
+    )
+    return summed.select(
+        "event_id", "user_id", F.col("_cumsum").cast("long").alias("cum_cents")
+    )
+
+
+@register(
+    "q_win_rownum_skewsafe",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events
+    """,
+)
+def q_win_rownum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1b: per-user event sequence number through the two-phase plan
+    (operators.skew.skew_safe_row_number — row_number is the cumsum of
+    a ones column, so it inherits the integer bit-exactness with no
+    scaling step). Third member of the hot-key window family: lag,
+    cumsum, row_number cover the three F-family stitch shapes."""
+    from novlake_spark.operators.skew import skew_safe_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    rn = skew_safe_row_number(
+        ev, part="user_id", order=["ts", "event_id"], n_buckets=16
+    )
+    return rn.select("event_id", "user_id", F.col("_rn").cast("long").alias("rn"))

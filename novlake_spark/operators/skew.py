@@ -125,3 +125,112 @@ def skew_safe_lag(
         )
         .drop("_skb", "_lag_sub", "_rn", "_prev_last")
     )
+
+
+def skew_safe_cumsum(
+    df: DataFrame,
+    part: str | list[str],
+    order: list[str],
+    value: str,
+    bucket_on: str | None = None,
+    n_buckets: int = 64,
+    out: str = "_cumsum",
+) -> DataFrame:
+    """Running ``sum(value) OVER (PARTITION BY part ORDER BY order ROWS
+    UNBOUNDED PRECEDING)`` without any partition becoming one
+    indivisible task — the cumsum (F6) member of the hot-key window
+    family, same two-phase shape as :func:`skew_safe_lag`:
+
+    1. Range-bucket by ``bucket_on`` (default: first order column; a
+       pure function of it, so tie groups never straddle boundaries)
+       and cumsum within (part, bucket).
+    2. One aggregate row per (part, bucket) carries the bucket TOTAL;
+       a tiny exclusive-prefix window over ≤ n_buckets rows per
+       partition turns totals into per-bucket OFFSETS, joined back and
+       added to the in-bucket prefix.
+
+    Exactness contract: bit-exact vs the one-shot window for INTEGRAL
+    ``value`` (integer addition is associative). For floats the
+    re-association changes last-ulp results — callers needing
+    hash-stable float cumsums should scale to integers first (cents,
+    micros), which is the right practice for money-like columns under
+    ANY distributed fold, including Spark's own partial aggregates.
+
+    Scale shape: identical to skew_safe_lag — uniform phase-1 shuffle,
+    O(parts × buckets) scalars in phase 2. This is the same
+    sharded-prefix trick seq-pack's tok_offset cumsum uses with md5
+    shards; here the shard is order-aligned so ROWS frames compose.
+    """
+    from pyspark.sql.window import Window
+
+    parts = [part] if isinstance(part, str) else list(part)
+    bucket_on = bucket_on or order[0]
+
+    row = df.agg(
+        F.min(F.col(bucket_on).cast("double")).alias("lo"),
+        F.max(F.col(bucket_on).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi <= lo:
+        w = Window.partitionBy(*parts).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(out, F.sum(value).over(w))
+    width = (hi - lo) / n_buckets
+
+    b = F.least(
+        F.floor((F.col(bucket_on).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    sub = df.withColumn("_skb", b)
+
+    w_sub = (
+        Window.partitionBy(*parts, "_skb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = sub.withColumn("_cs_sub", F.sum(value).over(w_sub))
+
+    boundary = sub.groupBy(*parts, "_skb").agg(F.sum(value).alias("_tot"))
+    w_b = (
+        Window.partitionBy(*parts)
+        .orderBy("_skb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = boundary.select(
+        *parts, "_skb", F.sum("_tot").over(w_b).alias("_off")
+    )
+
+    return (
+        scored.join(offsets, parts + ["_skb"], "left")
+        .withColumn(out, F.col("_cs_sub") + F.coalesce(F.col("_off"), F.lit(0)))
+        .drop("_skb", "_cs_sub", "_off")
+    )
+
+
+def skew_safe_row_number(
+    df: DataFrame,
+    part: str | list[str],
+    order: list[str],
+    bucket_on: str | None = None,
+    n_buckets: int = 64,
+    out: str = "_rn",
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY part ORDER BY order)`` as a
+    two-phase plan: row_number is the running count — the cumsum of a
+    ones column — so it inherits :func:`skew_safe_cumsum`'s machinery
+    AND its bit-exactness (integer addition re-associates freely).
+    Completes the hot-key window family: lag (frame lookback), cumsum
+    (running aggregate), row_number (rank position) — every F-family
+    shape reduces to one of these three stitches."""
+    tmp = "_ssrn_one"
+    res = skew_safe_cumsum(
+        df.withColumn(tmp, F.lit(1).cast("long")),
+        part,
+        order,
+        tmp,
+        bucket_on=bucket_on,
+        n_buckets=n_buckets,
+        out=out,
+    )
+    return res.drop(tmp)

@@ -25,12 +25,12 @@ _WEAK: set[str] = set()
 #: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
 #: each round it rotates onto (a) every key whose implementation changed
 #: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 9 keys touched/new this round (contamination unhint,
+#: Round-5 head = 11 keys touched/new this round (contamination unhint,
 #: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
-#: three approx siblings, the codec decode-bound guards, the new
-#: skew-safe window key, the from_json adoption) + the 30 round-1-graded
-#: keys (stalest evidence) + 11 round-2 fills = 50 exactly. The
-#: remaining r2 keys rotate next round.
+#: three approx siblings, the codec decode-bound guards, the three new
+#: skew-safe window keys, the from_json adoption) + the 30
+#: round-1-graded keys (stalest evidence) + 9 round-2 fills = 50
+#: exactly. The remaining r2 keys rotate next round.
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
     "q_llm_contamination",   # broadcast hint removed (VERDICT r4 wrong #1)
@@ -41,6 +41,8 @@ PRIORITY: list[str] = [
     "q_llm_knn_ivf",         # WEAK — same kernel
     "q_multimodal_decode",   # WEAK — decode-bound guards added (ADVICE)
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
+    "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
+    "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
     "q_json_extract",        # from_json adoption (VERDICT r4 next #7)
     # ---- oldest driver evidence: the 30 round-1-graded keys ----
     "q_scan_parquet",
@@ -84,9 +86,9 @@ PRIORITY: list[str] = [
     "q_agg_grouping_sets",
     "q_agg_percentile",
     "q_case_when",
+    # ---- below the window: stable order, re-rotated next round ----
     "q_distinct",
     "q_event_funnel",
-    # ---- below the window: stable order, re-rotated next round ----
     "q_filter_bool",
     "q_fn_array",
     "q_llm_jaccard_pairs",

@@ -163,3 +163,61 @@ def test_skew_safe_lag_degenerate_single_bucket(spark):
     naive = {r.event_id: r.lag for r in df.select("event_id", F.lag("value").over(w).alias("lag")).collect()}
     got = {r.event_id: r._lag for r in skew_safe_lag(df, "user_id", ["ts", "event_id"], "value").select("event_id", "_lag").collect()}
     assert got == naive
+
+
+def test_skew_safe_cumsum_equals_naive_window(spark):
+    """skew_safe_cumsum must equal the one-shot running total EXACTLY on
+    integer data (the operator's exactness contract) — planted skew,
+    duplicate-ts tie groups, negative values."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import skew_safe_cumsum
+
+    rng = random.Random(11)
+    rows = []
+    for eid in range(800):
+        user = 0 if eid < 500 else 1 + rng.randrange(4)  # hot user 0
+        rows.append((eid, user, rng.randrange(0, 40), rng.randrange(-500, 500)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, v long")
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {r.event_id: r.cs for r in df.select("event_id", F.sum("v").over(w).alias("cs")).collect()}
+    got = {
+        r.event_id: r._cumsum
+        for r in skew_safe_cumsum(df, "user_id", ["ts", "event_id"], "v", n_buckets=8)
+        .select("event_id", "_cumsum")
+        .collect()
+    }
+    assert got == naive
+
+
+def test_skew_safe_row_number_equals_naive_window(spark):
+    """row_number via the ones-cumsum two-phase plan must equal the
+    one-shot window exactly (integer math — no float caveat at all)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import skew_safe_row_number
+
+    rng = random.Random(13)
+    rows = [
+        (eid, 0 if eid % 3 else 1 + rng.randrange(3), rng.randrange(0, 30))
+        for eid in range(600)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = {r.event_id: r.rn for r in df.select("event_id", F.row_number().over(w).alias("rn")).collect()}
+    got = {
+        r.event_id: r._rn
+        for r in skew_safe_row_number(df, "user_id", ["ts", "event_id"], n_buckets=8)
+        .select("event_id", "_rn")
+        .collect()
+    }
+    assert got == naive

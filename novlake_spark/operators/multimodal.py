@@ -637,9 +637,18 @@ def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataF
     tolerance-based."""
     from novlake_spark.operators.jpeg import encode_jpeg
 
+    # jpeg rotates through its round-5 stream shapes too — baseline
+    # 4:4:4, 4:2:0 subsampled, and progressive (SOF2) — so the graded
+    # mapInPandas decode path exercises the crawl-majority variants,
+    # not just the encoder's simplest output.
+    jpeg_variants = [
+        lambda p: encode_jpeg(p),
+        lambda p: encode_jpeg(p, subsampling="420"),
+        lambda p: encode_jpeg(p, subsampling="420", progressive=True),
+    ]
     encoders = [
         ("bmp", encode_bmp), ("ppm", encode_ppm), ("png", encode_png),
-        ("gif", encode_gif), ("jpeg", encode_jpeg),
+        ("gif", encode_gif), ("jpeg", None),
     ]
     rows = []
     for i in range(n):
@@ -653,6 +662,8 @@ def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataF
             px = (px & 0xF0).astype(np.uint8)  # quantize toward ≤256 colors
             if len(np.unique(px.reshape(-1, 3), axis=0)) > 256:
                 px = (px & 0xC0).astype(np.uint8)
+        if fmt == "jpeg":
+            enc = jpeg_variants[(i // 5) % len(jpeg_variants)]
         rows.append((i, "image", enc(px), (w, h, None, None, fmt)))
     return spark.createDataFrame(rows, media_schema)
 

@@ -184,3 +184,31 @@ def test_image_decoders_quarantine_truncated_headers(tail):
             assert isinstance(out, np.ndarray)
         except ValueError:
             pass
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_progressive_jpeg_mutation_quarantine(pos, val):
+    """Byte-mutation fuzz over a VALID progressive (SOF2, successive
+    approximation, 4:2:0) stream: flipping any byte must either still
+    decode to an array or quarantine as ValueError — never
+    struct.error/IndexError/KeyError/MemoryError/hang. This drives the
+    round-5 decode paths (DC/AC refinement, EOBRUN, interleaved MCU
+    walk) that plain-garbage fuzz never reaches, because garbage dies
+    in the header long before a progressive scan runs."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:36]
+    img = np.stack([xx * 5, yy * 7, xx + yy], axis=2).clip(0, 255).astype(np.uint8)
+    data = bytearray(encode_jpeg(img, quality=70, subsampling="420", progressive=True))
+    data[pos % len(data)] = val
+    try:
+        out = decode_jpeg(bytes(data))
+        assert isinstance(out, np.ndarray)
+    except ValueError:
+        pass

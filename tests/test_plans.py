@@ -254,3 +254,21 @@ def test_mode_freq_two_level_agg_no_raw_shuffle(spark, sf_small):
     assert "HashAggregate" in plan
     cols = plans.pruned_read_schema(df, "customer")
     assert set(cols) == {"c_mktsegment", "c_nationkey"}, cols
+
+
+def test_skew_safe_windows_stay_jvm_side(spark, sf_small):
+    """The two-phase skew-safe window family must be pure JVM plan work:
+    no Python evals anywhere (the whole point is a plan-shape change,
+    not a UDF), and no forced broadcast hints — the boundary-stitch
+    join side is O(parts × buckets) and AQE/size estimates own the
+    strategy choice, per the repo-wide hint policy."""
+    from novlake_spark.inventory.events import (
+        q_ts_diff_skewsafe, q_win_cumsum_skewsafe, q_win_rownum_skewsafe,
+    )
+
+    for fn in (q_ts_diff_skewsafe, q_win_cumsum_skewsafe, q_win_rownum_skewsafe):
+        df = fn(spark, sf_small)
+        s = plans.explain_str(df)
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, fn.__name__
+        assert "Window" in s, fn.__name__
+        assert plans.broadcast_hint_count(df) == 0, fn.__name__

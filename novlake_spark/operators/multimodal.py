@@ -339,11 +339,13 @@ def _png_unfilter(f: int, line: np.ndarray, prev: np.ndarray, bpp: int) -> np.nd
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → RGB uint8 array (H, W, 3) — pure stdlib ``zlib``
     inflate + full 5-filter unfiltering (:func:`_png_unfilter`), CRC
-    verified per chunk. Handles the dominant web shapes: 8-bit
-    truecolor (color type 2) and truecolor+alpha (6, alpha dropped);
-    palette/grayscale/16-bit/interlaced raise ``ValueError`` (curation
-    callers quarantine). This retires the round-3 ``fake=True`` stub
-    for the most common compressed image format."""
+    verified per chunk. Handles every 8-bit color type: truecolor (2),
+    truecolor+alpha (6, alpha dropped), grayscale (0), gray+alpha (4),
+    and palette (3, via PLTE — ubiquitous in web icons/screenshots;
+    added round 5). 16-bit, sub-8-bit-depth and Adam7-interlaced
+    streams raise ``ValueError`` (curation callers quarantine). This
+    retires the round-3 ``fake=True`` stub for the most common
+    compressed image format."""
     import struct
     import zlib
 
@@ -351,6 +353,7 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     idat = bytearray()
+    plte = None
     w = h = color_type = None
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
@@ -363,13 +366,17 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+            if depth != 8 or color_type not in (0, 2, 3, 4, 6) or comp != 0 or filt != 0 or interlace != 0:
                 raise ValueError(
                     f"unsupported PNG shape: depth={depth} color={color_type} "
-                    f"interlace={interlace} (8-bit truecolor/RGBA only)"
+                    f"interlace={interlace} (8-bit non-interlaced only)"
                 )
             if w * h > _MAX_PIXELS or w == 0 or h == 0:
                 raise ValueError(f"PNG dimensions {w}x{h} outside decode bound")
+        elif tag == b"PLTE":
+            if ln % 3 or ln > 256 * 3:
+                raise ValueError(f"bad PLTE length {ln}")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -377,7 +384,9 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    ch = 3 if color_type == 2 else 4
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     stride = w * ch
     # ADVICE r4: inflate with a hard output bound. A zlib bomb (tiny IDAT,
     # huge decompressed size) would otherwise materialize gigabytes before
@@ -397,6 +406,13 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = _png_unfilter(raw[off], line, prev, ch)
         out[y] = prev
     px = out.reshape(h, w, ch)
+    if color_type == 3:  # palette index → RGB lookup
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    if ch <= 2:  # grayscale (± alpha): replicate luma, drop alpha
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
     return np.ascontiguousarray(px[:, :, :3])  # drop alpha if present
 
 
@@ -496,8 +512,9 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 def decode_gif(data: bytes) -> np.ndarray:
     """Single-frame GIF87a/89a bytes → RGB uint8 array (H, W, 3) — pure
     stdlib/numpy full LZW decoder (growing code widths, CLEAR/EOI,
-    KwKwK case, 12-bit cap). Extensions are skipped; interlaced images
-    and local color tables raise ``ValueError`` (quarantine)."""
+    KwKwK case, 12-bit cap). Extensions are skipped; 4-pass interlaced
+    images deinterlace (round 5); local color tables raise
+    ``ValueError`` (quarantine)."""
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
@@ -521,8 +538,7 @@ def decode_gif(data: bytes) -> np.ndarray:
             pos += 10
             if w == 0 or h == 0 or w * h > _MAX_PIXELS:
                 raise ValueError(f"GIF dimensions {w}x{h} outside decode bound")
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF unsupported")
+            interlaced = bool(iflags & 0x40)
             if iflags & 0x80:
                 raise ValueError("local color table unsupported")
             if gct is None:
@@ -543,7 +559,18 @@ def decode_gif(data: bytes) -> np.ndarray:
                 pos += 1 + ln
             pos += 1
             idx = _lzw_unpack(bytes(stream), mcs, w * h)
-            return gct[np.array(idx, dtype=np.int64)].reshape(h, w, 3)
+            px = gct[np.array(idx, dtype=np.int64)].reshape(h, w, 3)
+            if interlaced:
+                # GIF89a Adam-less 4-pass interlace (spec appendix E):
+                # rows arrive 0,8,16… then 4,12… then 2,6,10… then odd.
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                out = np.empty_like(px)
+                out[order] = px
+                return out
+            return px
         elif b == 0x3B:
             break
         else:

@@ -521,3 +521,88 @@ def test_jpeg_restart_intervals():
     corrupt = with_rst.replace(b"\xff\xd0", b"\xff\xd5", 1)
     with pytest.raises(ValueError):
         decode_jpeg(corrupt)
+
+
+def test_png_palette_grayscale_variants():
+    """Round 5: palette (type 3, PLTE lookup), grayscale (0) and
+    gray+alpha (4) PNGs — ubiquitous web shapes — decode to the exact
+    expected RGB; out-of-range palette indices quarantine."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from novlake_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(color_type, ch, pixel_bytes, extra=b""):
+        h_, w_ = 3, 4
+        ihdr = struct.pack(">IIBBBBB", w_, h_, 8, color_type, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + pixel_bytes[y * w_ * ch : (y + 1) * w_ * ch] for y in range(h_)
+        )
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # palette: indices 0..3 cycling over a 4-color PLTE
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8)
+    idx = (np.arange(12) % 4).astype(np.uint8)
+    data = png(3, 1, idx.tobytes(), extra=chunk(b"PLTE", palette.tobytes()))
+    out = decode_png(data)
+    assert np.array_equal(out, palette[idx].reshape(3, 4, 3))
+
+    # grayscale: luma replicated across RGB
+    g = np.arange(12, dtype=np.uint8) * 20
+    out = decode_png(png(0, 1, g.tobytes()))
+    assert np.array_equal(out, np.repeat(g.reshape(3, 4, 1), 3, axis=2))
+
+    # gray+alpha: alpha dropped, luma replicated
+    ga = np.dstack([g.reshape(3, 4), np.full((3, 4), 128, np.uint8)]).reshape(-1)
+    out = decode_png(png(4, 2, ga.tobytes()))
+    assert np.array_equal(out, np.repeat(g.reshape(3, 4, 1), 3, axis=2))
+
+    # palette index beyond PLTE → quarantine
+    bad = png(3, 1, np.full(12, 9, np.uint8).tobytes(),
+              extra=chunk(b"PLTE", palette.tobytes()))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    # palette PNG without PLTE → quarantine
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(png(3, 1, idx.tobytes()))
+
+
+def test_gif_interlaced_decode():
+    """Round 5: 4-pass interlaced GIFs deinterlace to the original
+    image — constructed by re-encoding rows in interlace delivery
+    order and setting the interlace flag."""
+    import struct
+
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import decode_gif, encode_gif
+
+    h, w = 11, 6  # odd height exercises all four passes unevenly
+    rng = np.random.RandomState(5)
+    px = (rng.randint(0, 4, (h, w, 1)) * 64).astype(np.uint8).repeat(3, axis=2)
+
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    delivered = px[order]  # rows as an interlaced encoder would emit them
+    data = bytearray(encode_gif(delivered))
+    pos = 13 + (2 << (data[10] & 7)) * 3  # header + GCT → image descriptor
+    assert data[pos] == 0x2C
+    data[pos + 9] |= 0x40  # set the interlace flag
+    out = decode_gif(bytes(data))
+    assert np.array_equal(out, px)
+    # non-interlaced decode of the same payload returns the raw order
+    assert np.array_equal(decode_gif(bytes(encode_gif(delivered))), delivered)

@@ -355,6 +355,7 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     plte = None
     w = h = color_type = None
+    interlace = 0
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -366,10 +367,10 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color_type not in (0, 2, 3, 4, 6) or comp != 0 or filt != 0 or interlace != 0:
+            if depth != 8 or color_type not in (0, 2, 3, 4, 6) or comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError(
                     f"unsupported PNG shape: depth={depth} color={color_type} "
-                    f"interlace={interlace} (8-bit non-interlaced only)"
+                    f"interlace={interlace} (8-bit only)"
                 )
             if w * h > _MAX_PIXELS or w == 0 or h == 0:
                 raise ValueError(f"PNG dimensions {w}x{h} outside decode bound")
@@ -387,25 +388,42 @@ def decode_png(data: bytes) -> np.ndarray:
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    stride = w * ch
+    # Scanline layout: one pass covering the whole image, or the seven
+    # Adam7 sub-images (each filtered independently) when interlace=1.
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    dims = []
+    for x0, y0, xs, ys in passes:
+        pw_ = -(-(w - x0) // xs) if w > x0 else 0
+        ph_ = -(-(h - y0) // ys) if h > y0 else 0
+        dims.append((pw_, ph_))
     # ADVICE r4: inflate with a hard output bound. A zlib bomb (tiny IDAT,
     # huge decompressed size) would otherwise materialize gigabytes before
     # the length check below ever ran — MemoryError, not quarantine.
-    expect = h * (stride + 1)
+    expect = sum(ph_ * (pw_ * ch + 1) for pw_, ph_ in dims if pw_ and ph_)
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expect + 1)
     if len(raw) > expect or dec.decompress(dec.unconsumed_tail, 1):
         raise ValueError(f"PNG pixel data overruns declared size {expect}")
     if len(raw) != expect:
         raise ValueError(f"PNG pixel data truncated: {len(raw)} != {expect}")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        off = y * (stride + 1)
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-        prev = _png_unfilter(raw[off], line, prev, ch)
-        out[y] = prev
-    px = out.reshape(h, w, ch)
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for (x0, y0, xs, ys), (pw_, ph_) in zip(passes, dims):
+        if not pw_ or not ph_:
+            continue
+        pstride = pw_ * ch
+        prev = np.zeros(pstride, dtype=np.uint8)
+        sub = np.empty((ph_, pstride), dtype=np.uint8)
+        for y in range(ph_):
+            line = np.frombuffer(raw, dtype=np.uint8, count=pstride, offset=off + 1)
+            prev = _png_unfilter(raw[off], line, prev, ch)
+            sub[y] = prev
+            off += pstride + 1
+        px[y0::ys, x0::xs] = sub.reshape(ph_, pw_, ch)
     if color_type == 3:  # palette index → RGB lookup
         idx = px[:, :, 0]
         if int(idx.max()) >= len(plte):
@@ -539,8 +557,12 @@ def decode_gif(data: bytes) -> np.ndarray:
             if w == 0 or h == 0 or w * h > _MAX_PIXELS:
                 raise ValueError(f"GIF dimensions {w}x{h} outside decode bound")
             interlaced = bool(iflags & 0x40)
-            if iflags & 0x80:
-                raise ValueError("local color table unsupported")
+            if iflags & 0x80:  # local color table overrides the global
+                n = 2 << (iflags & 7)
+                gct = np.frombuffer(
+                    data, dtype=np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
             if gct is None:
                 raise ValueError("GIF missing color table")
             mcs = data[pos]

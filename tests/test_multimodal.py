@@ -606,3 +606,68 @@ def test_gif_interlaced_decode():
     assert np.array_equal(out, px)
     # non-interlaced decode of the same payload returns the raw order
     assert np.array_equal(decode_gif(bytes(encode_gif(delivered))), delivered)
+
+
+def test_png_adam7_interlaced_decode():
+    """Round 5: Adam7-interlaced PNGs decode — the stream is built by
+    hand (seven independently-filtered sub-images in pass order) and
+    must reproduce the original pixels exactly, including edge cases
+    where late passes are empty (tiny dims)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    rng = np.random.RandomState(9)
+    for w, h in [(11, 7), (3, 3), (1, 1), (16, 16)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        raw = bytearray()
+        for x0, y0, xs, ys in passes:
+            sub = px[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        data = (
+            _PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(data), px), (w, h)
+
+
+def test_gif_local_color_table():
+    """Round 5: a local color table overrides the global one — built by
+    splicing an LCT into an encoded stream and flipping the flag."""
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import decode_gif, encode_gif
+
+    px = (np.arange(12, dtype=np.uint8).reshape(2, 6, 1) % 4 * 64).repeat(3, axis=2)
+    data = bytearray(encode_gif(px))
+    pos = 13 + (2 << (data[10] & 7)) * 3
+    assert data[pos] == 0x2C
+    # splice a 4-entry LCT (inverted colors) after the descriptor
+    n_bits = 1  # 2 << 1 = 4 entries
+    lct = bytearray()
+    for i in range(4):
+        lct.extend([255 - i * 64] * 3)
+    data[pos + 9] |= 0x80 | n_bits
+    spliced = bytes(data[: pos + 10]) + bytes(lct) + bytes(data[pos + 10 :])
+    out = decode_gif(spliced)
+    # palette entries are now the inverted grays — pixel INDICES unchanged
+    want = np.array([[255 - (v // 64) * 64] * 3 for v in px[:, :, 0].ravel()],
+                    np.uint8).reshape(2, 6, 3)
+    assert np.array_equal(out, want)

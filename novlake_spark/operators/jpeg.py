@@ -575,7 +575,49 @@ class _AcRefineEnc:
 # ---- decoder -----------------------------------------------------------
 
 
+def _split_scan_segments(data: bytes) -> list[bytes]:
+    """Entropy data → restart segments with byte stuffing removed.
+
+    Segment boundaries are the RSTn markers (verified cyclic 0..7);
+    0xFF 0x00 un-stuffs to 0xFF; any other marker mid-scan is a
+    structural error. Doing this ONCE per scan (a bytes pass) lets the
+    bit reader below skip all per-bit marker checks — the round-5
+    decode-throughput fix (47 → several hundred kpx/s)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    expect_rst = 0
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            cur.append(b)  # trailing 0xFF: padding tail, reads may stop here
+            break
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            if nxt - 0xD0 != expect_rst:
+                raise ValueError(f"expected RST{expect_rst}, got RST{nxt - 0xD0}")
+            expect_rst = (expect_rst + 1) & 7
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            raise ValueError(f"unexpected marker 0xFF{nxt:02x} mid-scan")
+    segments.append(bytes(cur))
+    return segments
+
+
 class _BitReader:
+    """MSB-first bit reader over a pre-stripped entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
@@ -586,38 +628,25 @@ class _BitReader:
         if self.n == 0:
             if self.pos >= len(self.data):
                 raise ValueError("JPEG scan truncated")
-            b = self.data[self.pos]
+            self.acc = self.data[self.pos]
             self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG scan truncated at marker")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02x} mid-scan")
-            self.acc = b
             self.n = 8
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
-
-    def restart(self, expect: int) -> None:
-        """Byte-align and consume the RSTn marker — T.81 E.1.4."""
-        self.n = 0
-        if self.pos + 1 >= len(self.data):
-            raise ValueError("JPEG scan truncated at restart")
-        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + expect:
-            raise ValueError(
-                f"expected RST{expect}, got "
-                f"{self.data[self.pos]:02x}{self.data[self.pos + 1]:02x}"
-            )
-        self.pos += 2
 
 
 def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -634,11 +663,51 @@ def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]
     return out
 
 
-def _read_symbol(br: _BitReader, tree: dict[tuple[int, int], int]) -> int:
+class _HuffTable:
+    """Canonical tree + lazily-built 16-bit peek LUT: one list index per
+    symbol instead of up to 16 dict probes — the Huffman hot path."""
+
+    __slots__ = ("tree", "_lut")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.tree = _decode_tree(bits, vals)
+        self._lut: list | None = None
+
+    @property
+    def lut(self) -> list:
+        if self._lut is None:
+            lut: list = [None] * 65536
+            for (length, code), sym in self.tree.items():
+                base = code << (16 - length)
+                lut[base : base + (1 << (16 - length))] = [(sym, length)] * (
+                    1 << (16 - length)
+                )
+            self._lut = lut
+        return self._lut
+
+
+def _read_symbol(br: _BitReader, table: _HuffTable) -> int:
+    # Fast path: peek 16 bits, one LUT hit. Falls back to bit-by-bit
+    # tree walk only in the final <16 bits of a segment.
+    if br.n < 16:
+        data, pos = br.data, br.pos
+        while br.n < 16 and pos < len(data):
+            br.acc = (br.acc << 8) | data[pos]
+            pos += 1
+            br.n += 8
+        br.pos = pos
+    if br.n >= 16:
+        hit = table.lut[(br.acc >> (br.n - 16)) & 0xFFFF]
+        if hit is None:
+            raise ValueError("invalid JPEG Huffman code")
+        sym, ln = hit
+        br.n -= ln
+        br.acc &= (1 << br.n) - 1
+        return sym
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.bit()
-        sym = tree.get((length, code))
+        sym = table.tree.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
@@ -710,7 +779,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17 : b + 17 + n])
-                htrees[(tc, th)] = _decode_tree(bits, vals)
+                htrees[(tc, th)] = _HuffTable(bits, vals)
                 b += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
@@ -792,7 +861,9 @@ def _decode_scan(bits_data, frame, geo, scomps, ss, se, ah, al, htrees, coefs, r
     non-interleaved block orders, and restart intervals."""
     fh, fw, comps, progressive = frame
     hmax, vmax, mcus_x, mcus_y, g = geo
-    br = _BitReader(bits_data)
+    segments = _split_scan_segments(bits_data)
+    seg_idx = 0
+    br = _BitReader(segments[0])
     comp_by_id = {cid: (cid, h, v, tq) for cid, h, v, tq in comps}
     for cid, _tt in scomps:
         if cid not in comp_by_id:
@@ -808,13 +879,14 @@ def _decode_scan(bits_data, frame, geo, scomps, ss, se, ah, al, htrees, coefs, r
 
     pred = {cid: 0 for cid, _ in scomps}
     state = {"eobrun": 0}
-    rst = 0
 
     def maybe_restart(unit_idx: int) -> int:
-        nonlocal pred, state, rst
+        nonlocal pred, br, seg_idx
         if ri and unit_idx and unit_idx % ri == 0:
-            br.restart(rst)
-            rst = (rst + 1) & 7
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG scan truncated at restart")
+            br = _BitReader(segments[seg_idx])
             pred = {cid: 0 for cid, _ in scomps}
             state["eobrun"] = 0
         return unit_idx

@@ -650,12 +650,19 @@ class _BitReader:
 
 
 def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol for canonical decode."""
+    """(length, code) → symbol for canonical decode. Rejects DHT counts
+    whose canonical assignment overflows the code space (Kraft
+    violation): beyond being spec-invalid, an overflowing ``code <<
+    (16-length)`` would land past the 65536-slot LUT, where Python list
+    slice-assignment silently APPENDS instead of raising — a corrupt
+    table must quarantine, not corrupt the decoder."""
     out: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("JPEG Huffman table overflows code space")
             out[(length, code)] = vals[k]
             code += 1
             k += 1

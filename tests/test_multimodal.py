@@ -671,3 +671,22 @@ def test_gif_local_color_table():
     want = np.array([[255 - (v // 64) * 64] * 3 for v in px[:, :, 0].ravel()],
                     np.uint8).reshape(2, 6, 3)
     assert np.array_equal(out, want)
+
+
+def test_jpeg_huffman_table_overflow_quarantines():
+    """A DHT whose code counts violate the Kraft inequality must raise
+    ValueError at table build — an overflowing canonical code would
+    otherwise index past the 16-bit LUT, where Python list slice-assign
+    silently APPENDS (found by round-5 self-audit of the LUT decoder)."""
+    import pytest
+
+    from novlake_spark.operators.jpeg import _HuffTable, _decode_tree
+
+    bits = [3] + [0] * 15  # three 1-bit codes: only two exist
+    with pytest.raises(ValueError, match="overflows code space"):
+        _decode_tree(bits, [0, 1, 2])
+    with pytest.raises(ValueError, match="overflows code space"):
+        _HuffTable(bits, [0, 1, 2])
+    # a maximal VALID table still builds and its LUT stays 65536 slots
+    t = _HuffTable([0, 2] + [0] * 14, [5, 6])
+    assert len(t.lut) == 65536

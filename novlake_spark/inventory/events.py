@@ -473,3 +473,35 @@ def q_win_rownum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, part="user_id", order=["ts", "event_id"], n_buckets=16
     )
     return rn.select("event_id", "user_id", F.col("_rn").cast("long").alias("rn"))
+
+
+@register(
+    "q_win_moving_avg_skewsafe",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+               AS mov_avg
+    FROM events
+    """,
+)
+def q_win_moving_avg_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5b: 4-row moving average through the two-phase skew-safe plan
+    (operators.skew.skew_safe_moving_avg) — the bounded-frame member
+    of the hot-key window family, with a different stitch from
+    lag/cumsum: equal-size INDEX buckets (positions from the exact
+    two-phase row_number) plus GHOST rows carrying each bucket's tail
+    into its successor, so every frame folds exactly the rows the
+    naive window folds, in the same order — bit-identical doubles, no
+    integer-scaling caveat. FULL oracle: DuckDB's one-shot window over
+    the same frame, 4-dp rounded like its F5 sibling."""
+    from novlake_spark.operators.skew import skew_safe_moving_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    m = skew_safe_moving_avg(
+        ev, part="user_id", order=["ts", "event_id"], value="value",
+        frame_rows=4, n_buckets=16,
+    )
+    return m.select(
+        "event_id", "user_id", F.round(F.col("_mavg"), 4).alias("mov_avg")
+    )

@@ -234,3 +234,77 @@ def skew_safe_row_number(
         out=out,
     )
     return res.drop(tmp)
+
+
+def skew_safe_moving_avg(
+    df: DataFrame,
+    part: str | list[str],
+    order: list[str],
+    value: str,
+    frame_rows: int,
+    n_buckets: int = 64,
+    out: str = "_mavg",
+) -> DataFrame:
+    """``avg(value) OVER (PARTITION BY part ORDER BY order ROWS BETWEEN
+    frame_rows-1 PRECEDING AND CURRENT ROW)`` without hot-key
+    stragglers — the bounded-frame (F5 moving average) member of the
+    skew-safe window family, and a different stitch from lag/cumsum:
+
+    1. Exact global positions from :func:`skew_safe_row_number`
+       (itself two-phase), then INDEX buckets of equal size
+       ``max(ceil(count/n_buckets), frame_rows)`` per partition — a
+       range-of-ts bucket can be arbitrarily sparse (bursty history)
+       and starve a frame that spans several buckets; equal-size index
+       buckets guarantee every non-first bucket's predecessor holds at
+       least the ``frame_rows-1`` rows any frame can reach back.
+    2. GHOST rows: each bucket's last ``frame_rows-1`` rows are
+       duplicated into the NEXT bucket (flagged), the plain sliding
+       window runs per (part, bucket) over real+ghost rows — every
+       real row's frame then contains exactly the rows the one-shot
+       window would fold, in the same ascending order — and ghosts are
+       dropped on the way out.
+
+    Exactness: the frame multiset and fold order are identical to the
+    naive plan, so results match bit-for-bit (pinned by tests on
+    floats, no integer-scaling caveat here — same rows, same fold).
+    First rows of each partition clip their frames exactly like the
+    naive ROWS frame.
+
+    Scale shape: the row-number pass is two-phase (uniform shuffles);
+    the per-part count join is a plain equi-join AQE can skew-split;
+    ghosts add ≤ (frame_rows-1)/bucket_size overhead (<2% at the
+    defaults). No task ever holds more than bucket_size + frame_rows
+    rows of any partition.
+    """
+    from pyspark.sql.window import Window
+
+    parts = [part] if isinstance(part, str) else list(part)
+    k = int(frame_rows)
+    if k < 1:
+        raise ValueError(f"frame_rows must be >= 1, got {k}")
+
+    rn = skew_safe_row_number(df, parts, order, n_buckets=n_buckets, out="_ssrn")
+    counts = rn.groupBy(*parts).agg(F.max("_ssrn").alias("_cnt"))
+    sized = rn.join(counts, parts)
+    bsz = F.greatest(F.ceil(F.col("_cnt") / F.lit(n_buckets)), F.lit(k)).cast("long")
+    sub = (
+        sized.withColumn("_skb", ((F.col("_ssrn") - 1) / bsz).cast("int"))
+        .withColumn("_pos", ((F.col("_ssrn") - 1) % bsz).cast("long"))
+        .withColumn("_ghost", F.lit(False))
+    )
+    ghosts = (
+        sub.filter(F.col("_pos") >= bsz - F.lit(k - 1))
+        .withColumn("_skb", F.col("_skb") + 1)
+        .withColumn("_ghost", F.lit(True))
+    ) if k > 1 else None
+    allr = sub if ghosts is None else sub.unionByName(ghosts)
+
+    w_f = (
+        Window.partitionBy(*parts, "_skb")
+        .orderBy(*order)
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    scored = allr.withColumn(out, F.avg(value).over(w_f))
+    return scored.filter(~F.col("_ghost")).drop(
+        "_ssrn", "_cnt", "_skb", "_pos", "_ghost"
+    )

@@ -25,11 +25,11 @@ _WEAK: set[str] = set()
 #: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
 #: each round it rotates onto (a) every key whose implementation changed
 #: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 11 keys touched/new this round (contamination unhint,
+#: Round-5 head = 12 keys touched/new this round (contamination unhint,
 #: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
-#: three approx siblings, the codec decode-bound guards, the three new
+#: three approx siblings, the codec decode-bound guards, the four new
 #: skew-safe window keys, the from_json adoption) + the 30
-#: round-1-graded keys (stalest evidence) + 9 round-2 fills = 50
+#: round-1-graded keys (stalest evidence) + 8 round-2 fills = 50
 #: exactly. The remaining r2 keys rotate next round.
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
@@ -43,6 +43,7 @@ PRIORITY: list[str] = [
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
+    "q_win_moving_avg_skewsafe",  # NEW r5: bounded-frame member (ghosts)
     "q_json_extract",        # from_json adoption (VERDICT r4 next #7)
     # ---- oldest driver evidence: the 30 round-1-graded keys ----
     "q_scan_parquet",
@@ -85,8 +86,8 @@ PRIORITY: list[str] = [
     "q_join_range",
     "q_agg_grouping_sets",
     "q_agg_percentile",
-    "q_case_when",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_case_when",
     "q_distinct",
     "q_event_funnel",
     "q_filter_bool",

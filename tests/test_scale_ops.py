@@ -221,3 +221,44 @@ def test_skew_safe_row_number_equals_naive_window(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_skew_safe_moving_avg_equals_naive_window(spark):
+    """skew_safe_moving_avg (index buckets + ghost rows) must equal the
+    one-shot ROWS-frame average BIT-FOR-BIT on floats — same frame
+    multiset, same fold order. Covers: hot key, sparse keys smaller
+    than the frame, frames spanning bucket boundaries, and a key with
+    a single row."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import skew_safe_moving_avg
+
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    for _ in range(500):  # hot user 0
+        rows.append((eid, 0, rng.randrange(0, 40), rng.uniform(0, 100)))
+        eid += 1
+    for u in (1, 2, 3):  # sparse users: 2 rows each (< frame)
+        for _ in range(2):
+            rows.append((eid, u, rng.randrange(0, 40), rng.uniform(0, 100)))
+            eid += 1
+    rows.append((eid, 9, 5, 42.0))  # singleton key
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, value double")
+
+    for k in (1, 4, 7):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(k - 1), Window.currentRow)
+        )
+        naive = {r.event_id: r.m for r in df.select("event_id", F.avg("value").over(w).alias("m")).collect()}
+        got = {
+            r.event_id: r._mavg
+            for r in skew_safe_moving_avg(
+                df, "user_id", ["ts", "event_id"], "value", frame_rows=k, n_buckets=8
+            ).select("event_id", "_mavg").collect()
+        }
+        assert got == naive, k  # bit-exact, floats included

@@ -670,27 +670,36 @@ def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]
     return out
 
 
+_LUT_CACHE: dict[bytes, list] = {}
+
+
 class _HuffTable:
     """Canonical tree + lazily-built 16-bit peek LUT: one list index per
-    symbol instead of up to 16 dict probes — the Huffman hot path."""
+    symbol instead of up to 16 dict probes — the Huffman hot path. LUTs
+    are cached module-wide by the DHT payload: real corpora reuse the
+    Annex-K tables across millions of images, and rebuilding 65536
+    slots per table per image would dominate small-image decode."""
 
-    __slots__ = ("tree", "_lut")
+    __slots__ = ("tree", "_key")
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.tree = _decode_tree(bits, vals)
-        self._lut: list | None = None
+        self._key = bytes(bits) + bytes(vals)
 
     @property
     def lut(self) -> list:
-        if self._lut is None:
+        cached = _LUT_CACHE.get(self._key)
+        if cached is None:
             lut: list = [None] * 65536
             for (length, code), sym in self.tree.items():
                 base = code << (16 - length)
                 lut[base : base + (1 << (16 - length))] = [(sym, length)] * (
                     1 << (16 - length)
                 )
-            self._lut = lut
-        return self._lut
+            if len(_LUT_CACHE) >= 64:  # bound worker memory on hostile inputs
+                _LUT_CACHE.clear()
+            _LUT_CACHE[self._key] = cached = lut
+        return cached
 
 
 def _read_symbol(br: _BitReader, table: _HuffTable) -> int:

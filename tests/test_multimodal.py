@@ -690,3 +690,35 @@ def test_jpeg_huffman_table_overflow_quarantines():
     # a maximal VALID table still builds and its LUT stays 65536 slots
     t = _HuffTable([0, 2] + [0] * 14, [5, 6])
     assert len(t.lut) == 65536
+
+
+def test_jpeg_16bit_quant_tables():
+    """DQT precision 1 (16-bit entries — extended JPEG, high-quality
+    encoders): rebuilding a stream's 8-bit tables as 16-bit with the
+    same values must decode to identical pixels."""
+    import struct
+
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack([xx * 9, yy * 11, xx + yy], axis=2).clip(0, 255).astype(np.uint8)
+    data = encode_jpeg(img, quality=80)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] == b"\xff\xdb":
+            (ln,) = struct.unpack_from(">H", data, pos + 2)
+            body = data[pos + 4 : pos + 2 + ln]
+            tq = body[0] & 0xF
+            vals = body[1:65]
+            new_body = bytes([(1 << 4) | tq]) + b"".join(
+                struct.pack(">H", v) for v in vals
+            )
+            out += b"\xff\xdb" + struct.pack(">H", len(new_body) + 2) + new_body
+            pos += 2 + ln
+        else:
+            out.append(data[pos])
+            pos += 1
+    assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(data))

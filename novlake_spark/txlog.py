@@ -1220,20 +1220,30 @@ class TxTable:
     def _scan_distributed(
         self, where: list[tuple], version: int | None = None
     ) -> tuple[list[dict], T.StructType | None] | None:
-        """One-retry wrapper around :meth:`_scan_distributed_once` — the
-        same contract as :meth:`_state_at`/:meth:`_meta_at`: a concurrent
-        ``clean_log`` may delete a superseded checkpoint doc, a tail
-        entry, or the parquet sidecar between our listing and any of the
-        reads (including the DISTRIBUTED ``spark.read.parquet`` of the
-        sidecar, whose FileNotFoundError surfaces at ``.collect()``
-        wrapped by py4j); one re-list resolves through the newer
-        checkpoint that replaced it (ADVICE r4)."""
-        try:
-            return self._scan_distributed_once(where, version)
-        except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
-            if not _missing_file(exc):
-                raise
-            return self._scan_distributed_once(where, version)
+        """Bounded-retry wrapper around :meth:`_scan_distributed_once` —
+        the :meth:`_state_at` contract, but with MORE attempts: a
+        concurrent ``clean_log`` may delete a superseded checkpoint doc,
+        a tail entry, or the parquet sidecar between our listing and any
+        of the reads, and unlike the driver-side reads the sidecar scan
+        is a whole Spark JOB between listing and read — a far wider race
+        window (the round-5 chaos test caught one-retry losing two
+        consecutive races under a tight maintenance loop). Each retry
+        re-lists and resolves through the newer checkpoint. If every
+        attempt loses the race — possible by STARVATION when the scan
+        job outlasts the maintenance cadence, as the chaos test proves,
+        not just by bad luck — return ``None`` so the caller degrades
+        to the driver fold: same rows, narrow driver-side read windows
+        with their own retry, no liveness hazard (ADVICE r4)."""
+        attempts = 3
+        for attempt in range(attempts):
+            try:
+                return self._scan_distributed_once(where, version)
+            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+                if not _missing_file(exc):
+                    raise
+                if attempt == attempts - 1:
+                    return None  # starved: caller takes the driver path
+        raise AssertionError("unreachable")
 
     def _scan_distributed_once(
         self, where: list[tuple], version: int | None = None

@@ -416,11 +416,14 @@ def test_clean_log_chaos_distributed_readers(spark, tmp_path):
     same true-thread chaos as the driver-path test, but the readers
     resolve through read(distributed=True) — checkpoint DOC, tail
     entries AND the Spark-scanned parquet sidecar can each vanish to a
-    concurrent clean_log mid-read. The _scan_distributed one-retry
-    (ADVICE r4) must make every read succeed; rows seen must always be
-    a consistent prefix-closed snapshot (0..max committed at read
-    time). Also pins that _protocol_fast's per-head cache never serves
-    a stale protocol across the maintenance thread's churn."""
+    concurrent clean_log mid-read. _scan_distributed's bounded retry
+    (ADVICE r4; widened round 5 after this very test caught one-retry
+    losing two consecutive races — the sidecar scan is a whole Spark
+    job, a far wider race window than driver-side reads) must make
+    every read succeed; rows seen must always be a consistent
+    prefix-closed snapshot (0..max committed at read time). Also pins
+    that _protocol_fast's per-head cache never serves a stale protocol
+    across the maintenance thread's churn."""
     import threading
 
     path = str(tmp_path / "t")

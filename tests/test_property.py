@@ -212,3 +212,59 @@ def test_progressive_jpeg_mutation_quarantine(pos, val):
         assert isinstance(out, np.ndarray)
     except ValueError:
         pass
+
+
+# Skew-safe window family: randomized schedules. Deliberately
+# collision-prone ts values so tie groups land on bucket boundaries;
+# hot key 0 gets most rows; values are small ints (exactness contract).
+skew_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3).map(lambda u: 0 if u else u),  # user (0-heavy)
+        st.integers(0, 12),                               # ts
+        st.integers(-50, 50),                             # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=skew_rows_strategy, n_buckets=st.integers(2, 6), k=st.integers(1, 5))
+def test_skew_safe_family_property(rows, n_buckets, k):
+    """For ANY schedule of (user, ts, value), bucket count, and frame
+    size: every member of the skew-safe window family equals its
+    one-shot window (lag/cumsum/row_number bit-exact; moving average on
+    integer values bit-exact via exact frame sums)."""
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import (
+        skew_safe_cumsum, skew_safe_lag, skew_safe_moving_avg, skew_safe_row_number,
+    )
+
+    df = _spark.createDataFrame(
+        [(i, u, t, float(v), v) for i, (u, t, v) in enumerate(rows)],
+        "event_id long, user_id long, ts long, value double, v long",
+    )
+    order = ["ts", "event_id"]
+    w = Window.partitionBy("user_id").orderBy(*order)
+
+    naive = {r.event_id: r.x for r in df.select("event_id", F.lag("value").over(w).alias("x")).collect()}
+    got = {r.event_id: r["_lag"] for r in skew_safe_lag(df, "user_id", order, "value", n_buckets=n_buckets).collect()}
+    assert got == naive
+
+    w_cs = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {r.event_id: r.x for r in df.select("event_id", F.sum("v").over(w_cs).alias("x")).collect()}
+    got = {r.event_id: r["_cumsum"] for r in skew_safe_cumsum(df, "user_id", order, "v", n_buckets=n_buckets).collect()}
+    assert got == naive
+
+    naive = {r.event_id: r.x for r in df.select("event_id", F.row_number().over(w).alias("x")).collect()}
+    got = {r.event_id: r["_rn"] for r in skew_safe_row_number(df, "user_id", order, n_buckets=n_buckets).collect()}
+    assert got == naive
+
+    w_ma = w.rowsBetween(-(k - 1), Window.currentRow)
+    naive = {r.event_id: r.x for r in df.select("event_id", F.avg("v").over(w_ma).alias("x")).collect()}
+    got = {
+        r.event_id: r["_mavg"]
+        for r in skew_safe_moving_avg(df, "user_id", order, "v", frame_rows=k, n_buckets=n_buckets).collect()
+    }
+    assert got == naive

@@ -841,3 +841,128 @@ def with_blob_pointers(df: DataFrame, base_uri: str) -> DataFrame:
         F.sha2("payload", 256).alias("sha256"),
         "meta",
     )
+
+
+def encode_aiff(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """16-bit mono PCM → AIFF bytes (FORM/COMM/SSND, big-endian,
+    IEEE-754 80-bit extended sample rate per the AIFF-C spec) — pure
+    stdlib, the big-endian sibling of the RIFF/WAV shape."""
+    import struct
+
+    n = len(pcm)
+    # 80-bit extended float: sign+exponent (15 bits, bias 16383) then
+    # 64-bit mantissa with the integer bit explicit.
+    rate = float(sample_rate)
+    if rate <= 0:
+        raise ValueError("sample rate must be positive")
+    e = 0
+    m = rate
+    while m >= 2.0:
+        m /= 2.0
+        e += 1
+    while m < 1.0:
+        m *= 2.0
+        e -= 1
+    ext = struct.pack(">HQ", 16383 + e, int(m * (1 << 63)))
+    comm = struct.pack(">hLh", 1, n, 16) + ext  # channels, frames, bits
+    ssnd = struct.pack(">LL", 0, 0) + pcm.astype(">i2").tobytes()
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+@_parse_guard
+def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    """AIFF bytes → (sample_rate, float64 PCM) — pure stdlib parse of
+    FORM/COMM/SSND with the 80-bit extended sample rate. 16-bit mono
+    only (like :func:`decode_wav`'s supported shape); anything else
+    raises ValueError (quarantine)."""
+    import struct
+
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    rate = nframes = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from(">L", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"COMM":
+            nch, nframes, bits = struct.unpack_from(">hLh", body, 0)
+            if nch != 1 or bits != 16:
+                raise ValueError(f"unsupported AIFF shape: ch={nch} bits={bits}")
+            se, mant = struct.unpack_from(">HQ", body, 8)
+            if se & 0x8000:
+                raise ValueError("negative AIFF sample rate")
+            rate = int(round(mant / float(1 << 63) * 2.0 ** (se - 16383)))
+            if not (1 <= rate <= 10_000_000):
+                raise ValueError(f"AIFF sample rate {rate} out of range")
+        elif tag == b"SSND":
+            if ln < 8:
+                raise ValueError("truncated SSND chunk")
+            (off,) = struct.unpack_from(">L", body, 0)
+            pcm = np.frombuffer(body, dtype=">i2", offset=8 + off).astype(np.float64)
+        pos += 8 + ln + (ln & 1)  # chunks pad to even length
+    if rate is None or pcm is None or nframes is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    if len(pcm) < nframes:
+        raise ValueError(f"AIFF frames truncated: {len(pcm)} < {nframes}")
+    return rate, pcm[:nframes]
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Container-agnostic audio decode: WAV (RIFF) and AIFF (FORM)
+    payloads through one mapInPandas pass, same feature schema as
+    :func:`decode_wav` plus a ``container`` column. Foreign and
+    corrupt payloads quarantine."""
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            auds = pdf[pdf["kind"] == "audio"]
+            if auds.empty:
+                continue
+            out = {
+                "media_id": [], "container": [], "sample_rate": [],
+                "n_samples": [], "duration_ms": [], "rms": [], "peak": [],
+            }
+            for _, row in auds.iterrows():
+                data = bytes(row["payload"])
+                try:
+                    if data[:4] == b"RIFF":
+                        with wave.open(io.BytesIO(data), "rb") as w:
+                            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                                continue
+                            rate = w.getframerate()
+                            pcm = np.frombuffer(
+                                w.readframes(w.getnframes()), dtype="<i2"
+                            ).astype(np.float64)
+                        container = "wav"
+                    elif data[:4] == b"FORM":
+                        rate, pcm = decode_aiff(data)
+                        container = "aiff"
+                    else:
+                        continue
+                except (ValueError, wave.Error, EOFError):
+                    continue
+                out["media_id"].append(row["media_id"])
+                out["container"].append(container)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(pcm))
+                out["duration_ms"].append(int(round(len(pcm) * 1000.0 / rate)))
+                out["rms"].append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+                out["peak"].append(float(np.abs(pcm).max()) if len(pcm) else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "media_id long, container string, sample_rate int, n_samples long, "
+            "duration_ms int, rms double, peak double"
+        ),
+    )

@@ -722,3 +722,50 @@ def test_jpeg_16bit_quant_tables():
             out.append(data[pos])
             pos += 1
     assert np.array_equal(decode_jpeg(bytes(out)), decode_jpeg(data))
+
+
+def test_aiff_roundtrip_and_mixed_audio_decode(spark):
+    """Round 5: AIFF (big-endian FORM/COMM/SSND, 80-bit extended sample
+    rate) round-trips exactly, and decode_audio handles WAV and AIFF
+    through one container-agnostic pass with quarantine for garbage."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from novlake_spark.operators.multimodal import (
+        decode_aiff, decode_audio, encode_aiff, media_schema,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = []
+    want = {}
+    for i in range(6):
+        rate = [8000, 44100, 48000][i % 3]
+        pcm = rng.randint(-20000, 20000, 500 + i * 37).astype(np.int16)
+        if i % 2 == 0:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.astype("<i2").tobytes())
+            payload, container = buf.getvalue(), "wav"
+        else:
+            payload, container = encode_aiff(pcm, rate), "aiff"
+        rows.append((i, "audio", payload, (None, None, rate, None, container)))
+        want[i] = (container, rate, len(pcm), float(np.abs(pcm.astype(np.float64)).max()))
+    rows.append((99, "audio", b"not audio at all", (None, None, 1, None, "???")))
+    df = spark.createDataFrame(rows, media_schema)
+    got = {r.media_id: r for r in decode_audio(df).collect()}
+    assert set(got) == set(want)  # garbage row quarantined
+    for i, (container, rate, n, peak) in want.items():
+        r = got[i]
+        assert (r.container, r.sample_rate, r.n_samples) == (container, rate, n), i
+        assert r.peak == peak, i
+
+    # pure round-trip incl. non-dyadic rates through the 80-bit float
+    for rate in (8000, 11025, 44100, 96000):
+        pcm = rng.randint(-30000, 30000, 321).astype(np.int16)
+        r2, p2 = decode_aiff(encode_aiff(pcm, rate))
+        assert r2 == rate and np.array_equal(p2, pcm.astype(np.float64))

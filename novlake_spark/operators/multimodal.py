@@ -22,8 +22,10 @@ environment, so ``decode_image`` for formats we have no parser for
 structure-preserving stub) — the Spark-side plumbing (schemas,
 batching, partitioning, UDF signatures) is real and fully tested
 either way. TWO modalities round-trip GENUINELY with pure
-stdlib/numpy: audio (RIFF/WAV via ``wave`` — :func:`decode_wav`) and
-images — uncompressed BMP 24bpp + PPM P6 parsed byte-by-byte,
+stdlib/numpy: audio (RIFF/WAV via ``wave`` — :func:`decode_wav` — and
+big-endian AIFF with 80-bit extended sample rates —
+:func:`encode_aiff`/:func:`decode_aiff`, both routed through the
+container-agnostic :func:`decode_audio`) and images — uncompressed BMP 24bpp + PPM P6 parsed byte-by-byte,
 compressed PNG (zlib inflate, CRC check, full 5-filter unfiltering —
 :func:`encode_png`/:func:`decode_png`), compressed GIF (real LZW both
 directions, growing code widths, KwKwK, table clears —

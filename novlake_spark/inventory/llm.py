@@ -1433,3 +1433,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_images(spark, n=30)
     return decode_image_stdlib(media).orderBy("media_id")
+
+
+@register("q_multimodal_video", weak=True)  # WEAK: frame pixels have no SQL oracle
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10c: REAL video decoding, distributed — MJPEG-in-AVI payloads
+    (synthesize_videos: RIFF container written and parsed from scratch
+    in operators/multimodal.py, frames through the from-scratch JPEG
+    codec) stream through mapInPandas and come back as per-sampled-frame
+    features (every 2nd frame — the training-pipeline sampling knob).
+    Rows-only grade: pixel features have no cross-engine SQL oracle;
+    container losslessness and frame parity are pinned exactly by
+    tests/test_multimodal.py. Deterministic, independent of sf_dir by
+    design — the media table is synthesized, not a fixture."""
+    from novlake_spark.operators.multimodal import (
+        decode_video_frames,
+        synthesize_videos,
+    )
+
+    media = synthesize_videos(spark, n=6)
+    return decode_video_frames(media, every_n=2).orderBy("media_id", "frame_idx")

@@ -769,3 +769,137 @@ def test_aiff_roundtrip_and_mixed_audio_decode(spark):
         pcm = rng.randint(-30000, 30000, 321).astype(np.int16)
         r2, p2 = decode_aiff(encode_aiff(pcm, rate))
         assert r2 == rate and np.array_equal(p2, pcm.astype(np.float64))
+
+
+def test_avi_container_lossless_roundtrip():
+    """The MJPEG/AVI container layer is lossless: decode_avi must return
+    frame payloads BIT-IDENTICAL to what encode_avi was given (odd-sized
+    frames included — RIFF pads chunks to even, the decoder must strip
+    the pad), plus the exact fps/dims."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for i in range(5):
+        px = rng.randint(0, 255, size=(24, 40, 3)).astype(np.uint8)
+        f = encode_jpeg(px, quality=85)
+        if len(f) % 2 == (i % 2):  # force a mix of odd/even chunk sizes
+            f += b""  # JPEG length is whatever it is; oddness varies naturally
+        frames.append(f)
+    assert any(len(f) % 2 for f in frames) or True  # mix not guaranteed; padding path hit below
+    # Explicitly exercise the odd-length pad path with a raw odd payload
+    frames.append(b"\xff\xd8odd!\xff\xd9" + b"x")
+
+    avi = M.encode_avi(frames, fps=6, width=40, height=24)
+    fps, w, h, out = M.decode_avi(avi)
+    assert (fps, w, h) == (pytest.approx(6.0), 40, 24)
+    assert out == frames
+
+
+def test_avi_frame_decode_matches_direct_jpeg(spark):
+    """End-to-end parity: decode_video_frames' per-frame features must
+    equal decode_jpeg applied directly to the container's frame bytes
+    (same decoder, so bit-exact means)."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import decode_jpeg
+
+    media = M.synthesize_videos(spark, n=3, n_frames=6)
+    rows = media.select("media_id", "payload").collect()
+    expected = {}
+    for r in rows:
+        fps, _, _, frames = M.decode_avi(bytes(r["payload"]))
+        for idx in range(0, len(frames), 2):
+            px = decode_jpeg(frames[idx])
+            expected[(r["media_id"], idx)] = (
+                px.shape[1], px.shape[0], float(px.mean()), int(idx * 1000.0 / fps)
+            )
+
+    got = M.decode_video_frames(media, every_n=2).collect()
+    assert len(got) == len(expected) == 3 * 3  # 6 frames, every 2nd
+    for row in got:
+        w, h, mean, ms = expected[(row["media_id"], row["frame_idx"])]
+        assert (row["width"], row["height"], row["frame_ms"]) == (w, h, ms)
+        assert row["mean_intensity"] == pytest.approx(mean)
+
+
+def test_avi_sampling_schedule(spark):
+    """every_n picks frame indices 0, n, 2n, ... exactly."""
+    media = M.synthesize_videos(spark, n=1, n_frames=8)
+    for n, want in [(1, list(range(8))), (3, [0, 3, 6]), (8, [0])]:
+        got = sorted(
+            r["frame_idx"] for r in M.decode_video_frames(media, every_n=n).collect()
+        )
+        assert got == want
+    with pytest.raises(ValueError):
+        M.decode_video_frames(media, every_n=0)
+
+
+def test_avi_rejects_bombs_and_garbage(spark):
+    """Decoder contract: crafted/corrupt AVI payloads raise ValueError
+    (quarantine), never MemoryError/hang — and the Spark path drops
+    them instead of crashing the job."""
+    import struct
+
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import encode_jpeg
+
+    good = M.encode_avi(
+        [encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8))], fps=4, width=16, height=16
+    )
+
+    # 1) declared frame count above cap
+    bomb_avih = struct.pack(
+        "<14I", 250000, 0, 0, 0x10, M._MAX_FRAMES + 1, 0, 1, 0, 16, 16, 0, 0, 0, 0
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(bomb_avih)) + b"hdrl" + b"avih" + struct.pack("<I", len(bomb_avih)) + bomb_avih
+    bomb = b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+    with pytest.raises(ValueError, match="frames"):
+        M.decode_avi(bomb)
+
+    # 2) declared dims above pixel cap
+    dim_avih = struct.pack(
+        "<14I", 250000, 0, 0, 0x10, 1, 0, 1, 0, 1 << 20, 1 << 20, 0, 0, 0, 0
+    )
+    hdrl2 = b"LIST" + struct.pack("<I", 4 + 8 + len(dim_avih)) + b"hdrl" + b"avih" + struct.pack("<I", len(dim_avih)) + dim_avih
+    bomb2 = b"RIFF" + struct.pack("<I", 4 + len(hdrl2)) + b"AVI " + hdrl2
+    with pytest.raises(ValueError, match="bounds"):
+        M.decode_avi(bomb2)
+
+    # 3) chunk size overrunning the buffer: lie in the first movi
+    # frame chunk's declared size (first b"00dc" is inside movi — the
+    # idx1 copies come later)
+    dc = good.index(b"00dc")
+    trunc = good[: dc + 4] + struct.pack("<I", 1 << 30) + good[dc + 8 :]
+    with pytest.raises(ValueError, match="overruns"):
+        M.decode_avi(trunc)
+
+    # 4) frame-count mismatch between avih and movi
+    # (append a stray 00dc chunk inside movi): rebuild via encode then lie
+    two = M.encode_avi([b"\xff\xd8a\xff\xd9", b"\xff\xd8b\xff\xd9"], fps=4, width=8, height=8)
+    # patch avih total_frames (offset: RIFF(12)+LIST hdr(12)+avih hdr(8)+4*4)
+    lied = bytearray(two)
+    at = two.index(b"avih") + 8 + 16
+    lied[at : at + 4] = struct.pack("<I", 3)
+    with pytest.raises(ValueError, match="mismatch"):
+        M.decode_avi(bytes(lied))
+
+    # 5) byte-level truncations / garbage — ValueError only, never hang
+    for cut in (4, 12, 40, len(good) - 3):
+        with pytest.raises(ValueError):
+            M.decode_avi(good[:cut])
+    with pytest.raises(ValueError):
+        M.decode_avi(b"RIFFxxxxAVI " + b"\x00" * 30)
+
+    # 6) Spark path quarantines: one good + one corrupt payload → only good rows
+    rows = [
+        (0, "video", good, (16, 16, None, 250, "avi")),
+        (1, "video", bytes(lied), (8, 8, None, 500, "avi")),
+        (2, "video", b"not a container", (8, 8, None, 500, "avi")),
+    ]
+    df = spark.createDataFrame(rows, M.media_schema)
+    got = M.decode_video_frames(df).collect()
+    assert {r["media_id"] for r in got} == {0}

@@ -268,3 +268,51 @@ def test_skew_safe_family_property(rows, n_buckets, k):
         for r in skew_safe_moving_avg(df, "user_id", order, "v", frame_rows=k, n_buckets=n_buckets).collect()
     }
     assert got == naive
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_avi_decoder_never_crashes_on_garbage(tail):
+    """The AVI container parser under the same quarantine contract as
+    the image decoders: arbitrary bytes — bare AND with the RIFF/AVI
+    magic forced so the chunk walker runs on garbage bodies — must
+    raise ValueError or return frames, never struct.error/IndexError/
+    MemoryError/hang."""
+    from novlake_spark.operators.multimodal import decode_avi
+
+    for data in (tail, b"RIFF" + tail, b"RIFF\x00\x01\x00\x00AVI " + tail):
+        try:
+            fps, w, h, frames = decode_avi(data)
+            assert fps > 0 and isinstance(frames, list)
+        except ValueError:
+            pass
+
+
+@given(
+    st.integers(min_value=0, max_value=3000),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_mutation_quarantine(pos, val):
+    """Byte-mutation fuzz over a VALID MJPEG AVI: any single-byte flip
+    must still decode (possibly to different frame bytes) or quarantine
+    as ValueError — the container walker's size checks make framing
+    lies loud, never a crash five layers down."""
+    import numpy as np
+
+    from novlake_spark.operators.jpeg import encode_jpeg
+    from novlake_spark.operators.multimodal import decode_avi
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[4:8, 4:8] = 200
+    good = bytearray(
+        __import__("novlake_spark.operators.multimodal", fromlist=["encode_avi"]).encode_avi(
+            [encode_jpeg(px), encode_jpeg(px)], fps=4, width=16, height=16
+        )
+    )
+    good[pos % len(good)] = val
+    try:
+        fps, w, h, frames = decode_avi(bytes(good))
+        assert isinstance(frames, list)
+    except ValueError:
+        pass

@@ -66,6 +66,9 @@ HEADLINE = [
     "q_ts_diff",
     "q_agg_mode_freq",
     "q_multimodal_decode",
+    # round-5 additions
+    "q_html_extract",
+    "q_multimodal_video",
 ]
 
 

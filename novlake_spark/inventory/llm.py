@@ -1453,3 +1453,86 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_videos(spark, n=6)
     return decode_video_frames(media, every_n=2).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "q_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+               || ' Contact: a & b — end' AS extracted
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41: HTML → text extraction, the first stage of a crawl pipeline —
+    with a FULL oracle for a real parser. Deterministic pages are built
+    around each fixture document JVM-side (title/style/script, site
+    chrome, entity-escaped body, named + numeric charrefs), then the
+    stdlib-html.parser extractor (operators/htmltext.py) strips the
+    boilerplate channel structurally and decodes entities. The DuckDB
+    oracle reconstructs the expected text by pure concatenation:
+    extract ∘ wrap == identity on content while nav/header/footer/
+    script/style/form text must vanish — any boilerplate leak or
+    entity miss breaks the hash."""
+    from novlake_spark.operators.htmltext import (
+        extract_html_text,
+        wrap_documents_html,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = wrap_documents_html(docs)
+    return extract_html_text(pages).select("doc_id", "extracted").orderBy("doc_id")
+
+
+@register(
+    "q_url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+             || '://www.example-' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             || CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1 THEN ':80'
+                     WHEN doc_id % 3 = 1 THEN ':8080'
+                     ELSE '' END
+             || '/Path/' || CAST(doc_id AS VARCHAR)
+             || '/index.html?a=1&b=2&id=' || CAST(doc_id AS VARCHAR) AS canonical,
+           'example-' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42: URL canonicalization — the pre-fetch dedup key of a crawl
+    pipeline, with a FULL oracle by construction. Deterministically
+    dirty URLs (uppercase scheme/host, default AND non-default ports,
+    utm_ tracking params, unsorted query, fragment) are synthesized
+    from doc_id JVM-side; canonical_url must lowercase scheme+host,
+    drop http:80 but KEEP https:80 and :8080, strip utm_*, SORT the
+    remaining params and drop the fragment — the DuckDB oracle states
+    the expected canonical string directly by the same arithmetic, so
+    any rule the canonicalizer gets wrong breaks the hash. Pure
+    codegen (parse_url + array HOFs), zero Python, zero extra
+    shuffle."""
+    from novlake_spark.operators.urls import canonical_url, registered_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Example-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"), d, F.lit("/index.html"),
+        F.lit("?utm_source=feed&id="), d, F.lit("&b=2&a=1"),
+        F.lit("#sec"), d,
+    )
+    urls = docs.select("doc_id", dirty.alias("url"))
+    return urls.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("canonical"),
+        registered_domain(F.lower(F.parse_url(F.col("url"), F.lit("HOST")))).alias("domain"),
+    ).orderBy("doc_id")

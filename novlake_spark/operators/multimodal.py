@@ -1192,3 +1192,100 @@ def decode_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
             "width int, height int, mean_intensity double"
         ),
     )
+
+
+# --- Real resize: numpy resampling, not metadata arithmetic -----------
+
+
+def _resample(px: np.ndarray, dst_h: int, dst_w: int, method: str = "bilinear") -> np.ndarray:
+    """(H, W, 3) uint8 → (dst_h, dst_w, 3) uint8, pure numpy.
+
+    ``box``: exact area average when the scale factor is integral —
+    the downsample a training pipeline uses for thumbnails (each
+    output pixel is the mean of a src block; exact, testable).
+    ``bilinear``: the general path — align-corners=False convention
+    (the one PIL/torch default to), separable weights, float math,
+    round-half-away at the end."""
+    h, w, _ = px.shape
+    if dst_h <= 0 or dst_w <= 0:
+        raise ValueError("resize target must be positive")
+    if dst_h * dst_w > _MAX_PIXELS:
+        raise ValueError("resize target above pixel cap")
+    if method == "box":
+        if h % dst_h or w % dst_w:
+            raise ValueError("box resample needs integral scale factors")
+        bh, bw = h // dst_h, w // dst_w
+        blocks = px.reshape(dst_h, bh, dst_w, bw, 3).astype(np.float64)
+        out = blocks.mean(axis=(1, 3))
+    elif method == "bilinear":
+        # source coordinate of each dst pixel center (align_corners=False)
+        ys = (np.arange(dst_h) + 0.5) * h / dst_h - 0.5
+        xs = (np.arange(dst_w) + 0.5) * w / dst_w - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+        wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+        p = px.astype(np.float64)
+        top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+        bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+        out = top * (1 - wy) + bot * wy
+    else:
+        raise ValueError(f"unknown resample method: {method}")
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def resize_images(df: DataFrame, target: int = 64, method: str = "bilinear") -> DataFrame:
+    """REAL image resize, distributed: decode (any of the five codecs)
+    → numpy resample to ``target`` on the LONG side (aspect preserved,
+    matching :func:`resize_plan`'s arithmetic) → re-encode as PNG
+    (lossless, so downstream decode sees exactly the resampled pixels).
+    Emits (media_id, width, height, payload) — a media table again,
+    chainable into :func:`decode_image_stdlib` or feature extraction.
+
+    Scale note: pixels never leave the task — decode, resample and
+    re-encode happen on one Arrow batch; output bytes are strictly
+    smaller than input for a downscale, so the op REDUCES shuffle
+    weight for everything downstream (resize early, like filter
+    pushdown but for pixels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            if imgs.empty:
+                continue
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for _, row in imgs.iterrows():
+                data = bytes(row["payload"])
+                try:
+                    if data[:2] == b"BM":
+                        px = decode_bmp(data)
+                    elif data[:2] == b"P6":
+                        px = decode_ppm(data)
+                    elif data[:8] == _PNG_SIG:
+                        px = decode_png(data)
+                    elif data[:4] == b"GIF8":
+                        px = decode_gif(data)
+                    elif data[:2] == b"\xff\xd8":
+                        from novlake_spark.operators.jpeg import decode_jpeg
+
+                        px = decode_jpeg(data)
+                    else:
+                        continue
+                    h, w = px.shape[:2]
+                    scale = target / max(h, w)
+                    dh = max(1, int(round(h * scale)))
+                    dw = max(1, int(round(w * scale)))
+                    rs = _resample(px, dh, dw, method=method)
+                except (ValueError, IndexError):
+                    continue
+                out["media_id"].append(row["media_id"])
+                out["height"].append(rs.shape[0])
+                out["width"].append(rs.shape[1])
+                out["payload"].append(encode_png(rs))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="media_id long, width int, height int, payload binary"
+    )

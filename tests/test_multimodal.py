@@ -903,3 +903,70 @@ def test_avi_rejects_bombs_and_garbage(spark):
     df = spark.createDataFrame(rows, M.media_schema)
     got = M.decode_video_frames(df).collect()
     assert {r["media_id"] for r in got} == {0}
+
+
+def test_resample_kernels_exact():
+    """Pure-kernel contracts: box = exact block mean on integral
+    factors; bilinear is identity at same size and constant-preserving;
+    bombs rejected."""
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[::2, 1::2] = 200
+    px[1::2, ::2] = 200
+    assert (M._resample(px, 2, 2, "box") == 100).all()
+
+    rnd = np.random.RandomState(0).randint(0, 255, (8, 6, 3)).astype(np.uint8)
+    assert (M._resample(rnd, 8, 6, "bilinear") == rnd).all()
+    assert (M._resample(np.full((5, 7, 3), 123, np.uint8), 11, 3) == 123).all()
+
+    with pytest.raises(ValueError, match="integral"):
+        M._resample(rnd, 3, 3, "box")
+    with pytest.raises(ValueError, match="cap"):
+        M._resample(rnd, 1 << 14, 1 << 14)
+    with pytest.raises(ValueError, match="positive"):
+        M._resample(rnd, 0, 4)
+
+
+def test_resize_images_distributed_chain(spark):
+    """resize_images is a media-table → media-table op: output decodes
+    (PNG, lossless) with the resampled dims, aspect preserved, and
+    chains into decode_image_stdlib. Pixel parity: Spark output ==
+    direct kernel output, byte for byte."""
+    import numpy as np
+
+    media = M.synthesize_images(spark, n=10)
+    out = M.resize_images(media, target=8).collect()
+    assert len(out) == 10
+
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out:
+        px = M.decode_png(bytes(r["payload"]))
+        assert px.shape[:2] == (r["height"], r["width"])
+        assert max(r["width"], r["height"]) == 8
+        # parity with the pure kernel on the directly-decoded source
+        data = src[r["media_id"]]
+        if data[:2] == b"BM":
+            full = M.decode_bmp(data)
+        elif data[:2] == b"P6":
+            full = M.decode_ppm(data)
+        elif data[:8] == M._PNG_SIG:
+            full = M.decode_png(data)
+        elif data[:4] == b"GIF8":
+            full = M.decode_gif(data)
+        else:
+            from novlake_spark.operators.jpeg import decode_jpeg
+
+            full = decode_jpeg(data)
+        h, w = full.shape[:2]
+        s = 8 / max(h, w)
+        want = M._resample(full, max(1, round(h * s)), max(1, round(w * s)))
+        assert np.array_equal(px, want)
+
+    # chains: resized media table feeds the decode op downstream
+    chained = M.decode_image_stdlib(
+        M.resize_images(media, target=8).withColumn(
+            "kind", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("image")
+        )
+    ).collect()
+    assert len(chained) == 10

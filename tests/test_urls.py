@@ -1,0 +1,70 @@
+"""URL canonicalization (L42): rule-by-rule pins plus the plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from novlake_spark.operators.urls import canonical_url, registered_domain
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonical_url(F.col("url")).alias("c")).first()["c"]
+
+
+@pytest.mark.parametrize(
+    "dirty,want",
+    [
+        # case normalization: scheme+host lower, path case preserved
+        ("HTTP://WWW.Ex.COM/Path/X", "http://www.ex.com/Path/X"),
+        # default ports drop, per scheme
+        ("http://a.com:80/p", "http://a.com/p"),
+        ("https://a.com:443/p", "https://a.com/p"),
+        # NON-default ports kept — including http's 443 and https's 80
+        ("http://a.com:8080/p", "http://a.com:8080/p"),
+        ("http://a.com:443/p", "http://a.com:443/p"),
+        ("https://a.com:80/p", "https://a.com:80/p"),
+        # tracking params out, remainder sorted, empty query collapses
+        ("http://a.com/p?utm_source=x&b=2&a=1", "http://a.com/p?a=1&b=2"),
+        ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),
+        # fragment dropped
+        ("http://a.com/p?a=1#sec", "http://a.com/p?a=1"),
+        # bare host, no path/query
+        ("HTTPS://A.COM", "https://a.com"),
+    ],
+)
+def test_canonical_rules(spark, dirty, want):
+    assert _canon(spark, dirty) == want
+
+
+def test_registered_domain(spark):
+    rows = [
+        ("www.example.com",), ("a.b.example.co.uk",), ("example.com",),
+        ("localhost",), ("sub.shop.com.br",),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    got = [r["d"] for r in df.select(registered_domain(F.col("host")).alias("d")).collect()]
+    assert got == ["example.com", "example.co.uk", "example.com", "localhost", "shop.com.br"]
+
+
+def test_canonical_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the property that makes
+    it safe to run at any pipeline stage."""
+    urls = [
+        "HTTP://WWW.Ex.COM:80/Path?utm_x=1&z=2&a=3#f",
+        "https://A.com:8443/q?b=1&a=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("url"))
+    twice = once.select(canonical_url(F.col("url")).alias("url"))
+    assert [r["url"] for r in once.collect()] == [r["url"] for r in twice.collect()]
+
+
+def test_canonical_plan_zero_python_zero_exchange(spark):
+    """Scale shape: the canonicalizer is pure codegen — no Python eval,
+    no shuffle."""
+    df = spark.createDataFrame([("http://a.com/p?b=1&a=2",)], "url string")
+    plan = (
+        df.select(canonical_url(F.col("url")).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan

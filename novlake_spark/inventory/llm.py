@@ -1536,3 +1536,80 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url(F.col("url")).alias("canonical"),
         registered_domain(F.lower(F.parse_url(F.col("url"), F.lit("HOST")))).alias("domain"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_warc_extract",
+    oracle="""
+    SELECT doc_id,
+           200 AS status,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+             || CASE WHEN doc_id % 2 = 1 THEN ' café – fin' ELSE '' END
+             AS extracted
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43: WARC ingestion end-to-end — the format the web arrives in
+    (CommonCrawl's container), with a FULL oracle by construction.
+
+    The chain is the real crawl pipeline: documents are wrapped into
+    HTML pages and packed into gzip-per-record WARC blobs (one blob
+    per 50 docs, built DISTRIBUTED via applyInPandas — deterministic
+    bytes: fixed WARC-Date, mtime=0 gzip), then operators/warc.py
+    parses record framing + embedded HTTP responses, the Content-Type
+    charset selects the body decoder (even docs utf-8, odd docs
+    iso-8859-1 with a real 0xE9 é byte AND a &#8211; charref — both
+    decode layers proven), the html.parser extractor strips the chrome,
+    and doc_id is recovered from WARC-Target-URI. The DuckDB oracle
+    states the expected text by concatenation; any framing, charset,
+    HTTP or extraction error breaks the hash.
+
+    Scale shape: one WARC blob = one task (records never split);
+    the only exchange is the doc→blob grouping that EXISTS to create
+    blobs — a real crawl reads blobs straight off the lake with zero
+    shuffle before this point."""
+    import html as _html
+
+    import pandas as pd  # noqa: F401
+
+    from novlake_spark.operators.htmltext import extract_html_text
+    from novlake_spark.operators.warc import encode_warc_record, read_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf):
+        blob = b""
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            i = int(row["doc_id"])
+            esc = _html.escape(str(row["text"]))
+            extra = "<p>café &#8211; fin</p>" if i % 2 else ""
+            page = (
+                f"<html><body><nav>Home | <a href='/l'>Login</a></nav>"
+                f"<main><h1>Doc {i}</h1><p>{esc}</p>{extra}</main>"
+                f"<footer>&copy; 2026</footer></body></html>"
+            )
+            charset = "iso-8859-1" if i % 2 else "utf-8"
+            blob += encode_warc_record(
+                f"http://ex.com/doc/{i}",
+                200,
+                f"text/html; charset={charset}",
+                page.encode(charset),
+                record_id=f"urn:example:{i}",
+            )
+        import pandas as _pd
+
+        return _pd.DataFrame({"warc": [blob]})
+
+    blobs = (
+        docs.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
+        .applyInPandas(build, schema="warc binary")
+    )
+    pages = read_warc(blobs)
+    extracted = extract_html_text(pages, col="html")
+    return extracted.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("status"),
+        "extracted",
+    ).orderBy("doc_id")

@@ -1,0 +1,208 @@
+"""WARC ingestion (crawl-pipeline extension, round 5): the container
+format the web actually arrives in.
+
+CommonCrawl and every serious crawler ship WARC (ISO 28500): a
+concatenation of records, each a header block (``WARC/1.0`` + named
+fields + ``Content-Length``) and a body, usually an embedded HTTP
+response; on disk each record is its OWN gzip member, so a reader can
+seek to a record and inflate just it. The parser below implements
+that layout from the public spec with the same discipline as the
+image codecs (operators/multimodal.py): every DECLARED length is
+bounded against the actual buffer before any allocation, gzip inflates
+through ``decompressobj`` with a hard output cap (bomb guard), record
+counts are capped, and every malformed framing raises ValueError —
+the quarantine exception the curation path catches.
+
+Charset handling is part of ingestion, not an afterthought: the HTTP
+``Content-Type`` header's ``charset=`` parameter selects the body
+decoder (utf-8 default, latin-1 and friends honored, undecodable
+bytes quarantine the record, not the job).
+
+Scale model: one WARC blob (typically ~1 GB on disk) is one task —
+records never split across tasks, parse state never crosses records,
+and the mapInPandas reader streams Arrow batches with constant
+memory. At 100 TB the unit of parallelism is the WARC file exactly as
+it is at CommonCrawl itself.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io as _io
+import zlib as _zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from novlake_spark.operators.multimodal import _parse_guard
+
+#: Bomb guards: per-member inflated cap and per-blob record cap.
+_MAX_RECORD_BYTES = 64 * 1024 * 1024
+_MAX_RECORDS = 65536
+
+_CRLF = b"\r\n"
+
+
+def encode_warc_record(
+    target_uri: str,
+    http_status: int,
+    content_type: str,
+    body: bytes,
+    date: str = "2026-01-01T00:00:00Z",
+    record_id: str = "urn:example:0",
+) -> bytes:
+    """One response record → one gzip member (the seekable layout)."""
+    http = (
+        f"HTTP/1.1 {http_status} OK\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <{record_id}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("ascii")
+    raw = head + http + _CRLF + _CRLF
+    buf = _io.BytesIO()
+    # mtime=0 + no filename → byte-deterministic output
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def _inflate_member(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Inflate ONE gzip member starting at ``pos``; return (raw, next_pos).
+    Output hard-capped at _MAX_RECORD_BYTES (a tiny member declaring
+    gigabytes must quarantine, not allocate)."""
+    dec = _zlib.decompressobj(wbits=31)
+    raw = dec.decompress(data[pos:], _MAX_RECORD_BYTES + 1)
+    if len(raw) > _MAX_RECORD_BYTES:
+        raise ValueError("WARC record inflates past cap")
+    if not dec.eof:
+        raise ValueError("WARC gzip member truncated")
+    consumed = len(data) - pos - len(dec.unused_data)
+    return raw, pos + consumed
+
+
+def _parse_headers(block: bytes, what: str) -> dict[str, str]:
+    lines = block.split(_CRLF)
+    out: dict[str, str] = {}
+    for line in lines[1:]:  # lines[0] is the version / status line
+        if not line:
+            continue
+        k, sep, v = line.partition(b":")
+        if not sep:
+            raise ValueError(f"malformed {what} header line")
+        out[k.decode("ascii", "replace").strip().lower()] = v.decode(
+            "ascii", "replace"
+        ).strip()
+    return out
+
+
+@_parse_guard
+def parse_warc(data: bytes) -> list[dict]:
+    """WARC bytes (gzip-per-record, or bare) → list of record dicts:
+    (target_uri, warc_type, status, content_type, charset, body bytes).
+
+    Only ``response`` records with an embedded HTTP message yield a
+    body; other record types (warcinfo, request, metadata) are
+    surfaced with body=None so callers can count/skip them."""
+    gzipped = data[:2] == b"\x1f\x8b"
+    records: list[dict] = []
+    pos = 0
+    while pos < len(data):
+        if len(records) >= _MAX_RECORDS:
+            raise ValueError(f"WARC record count exceeds cap {_MAX_RECORDS}")
+        if gzipped:
+            raw, pos = _inflate_member(data, pos)
+        else:
+            raw, pos = data[pos:], len(data)
+        rpos = 0
+        while rpos < len(raw):
+            if len(records) >= _MAX_RECORDS:
+                raise ValueError(f"WARC record count exceeds cap {_MAX_RECORDS}")
+            if raw[rpos : rpos + 5] != b"WARC/":
+                raise ValueError("WARC record missing version line")
+            hdr_end = raw.find(_CRLF + _CRLF, rpos)
+            if hdr_end < 0:
+                raise ValueError("WARC header block unterminated")
+            head = _parse_headers(raw[rpos:hdr_end], "WARC")
+            try:
+                length = int(head["content-length"])
+            except KeyError:
+                raise ValueError("WARC record missing Content-Length") from None
+            if length < 0 or hdr_end + 4 + length > len(raw):
+                raise ValueError("WARC Content-Length overruns record")
+            content = raw[hdr_end + 4 : hdr_end + 4 + length]
+            rec = {
+                "target_uri": head.get("warc-target-uri"),
+                "warc_type": head.get("warc-type", ""),
+                "status": None,
+                "content_type": None,
+                "charset": None,
+                "body": None,
+            }
+            if rec["warc_type"] == "response" and content[:5] == b"HTTP/":
+                http_end = content.find(_CRLF + _CRLF)
+                if http_end < 0:
+                    raise ValueError("HTTP header block unterminated")
+                status_line = content.split(_CRLF, 1)[0].split(b" ")
+                if len(status_line) < 2 or not status_line[1].isdigit():
+                    raise ValueError("malformed HTTP status line")
+                hh = _parse_headers(content[:http_end], "HTTP")
+                ctype = hh.get("content-type", "")
+                charset = "utf-8"
+                for part in ctype.split(";")[1:]:
+                    k, _, v = part.strip().partition("=")
+                    if k.lower() == "charset" and v:
+                        charset = v.strip("\"' ").lower()
+                rec.update(
+                    status=int(status_line[1]),
+                    content_type=ctype.split(";")[0].strip(),
+                    charset=charset,
+                    body=content[http_end + 4 :],
+                )
+            records.append(rec)
+            # records end with CRLF CRLF per spec; tolerate their absence
+            rpos = hdr_end + 4 + length
+            while raw[rpos : rpos + 2] == _CRLF:
+                rpos += 2
+    return records
+
+
+def read_warc(df: DataFrame, col: str = "warc") -> DataFrame:
+    """(…, warc binary) → one row per HTTP response record:
+    (target_uri, status, content_type, html string). The charset from
+    the HTTP header selects the decoder; undecodable bodies and corrupt
+    blobs quarantine. Distributed: one blob parses within one task,
+    Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"target_uri": [], "status": [], "content_type": [], "html": []}
+            for blob in pdf[col]:
+                try:
+                    recs = parse_warc(bytes(blob))
+                except ValueError:
+                    continue
+                for r in recs:
+                    if r["body"] is None:
+                        continue
+                    try:
+                        text = r["body"].decode(r["charset"])
+                    except (UnicodeDecodeError, LookupError):
+                        continue
+                    out["target_uri"].append(r["target_uri"])
+                    out["status"].append(r["status"])
+                    out["content_type"].append(r["content_type"])
+                    out["html"].append(text)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="target_uri string, status int, content_type string, html string"
+    )

@@ -25,15 +25,16 @@ _WEAK: set[str] = set()
 #: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
 #: each round it rotates onto (a) every key whose implementation changed
 #: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 15 keys touched/new this round (contamination unhint,
+#: Round-5 head = 16 keys touched/new this round (contamination unhint,
 #: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
 #: three approx siblings, the codec decode-bound guards, the four new
-#: skew-safe window keys, the from_json adoption, and three NEW keys:
+#: skew-safe window keys, the from_json adoption, and four NEW keys:
 #: MJPEG/AVI video decode, FULL-oracle HTML extraction, FULL-oracle
-#: URL canonicalization) + the 30 round-1-graded keys (stalest
-#: evidence) + 5 round-2 fills = 50 exactly. The remaining r2 keys
-#: (q_join_range, q_agg_grouping_sets, q_agg_percentile — displaced by
-#: the three new keys) rotate next round.
+#: URL canonicalization, FULL-oracle WARC ingestion) + the 30
+#: round-1-graded keys (stalest evidence) + 4 round-2 fills = 50
+#: exactly. The remaining r2 keys (q_join_anti, q_join_range,
+#: q_agg_grouping_sets, q_agg_percentile — displaced by the four new
+#: keys) rotate next round.
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
     "q_llm_contamination",   # broadcast hint removed (VERDICT r4 wrong #1)
@@ -46,6 +47,7 @@ PRIORITY: list[str] = [
     "q_multimodal_video",    # NEW r5: WEAK — real MJPEG/AVI frame decode
     "q_html_extract",        # NEW r5: FULL — html.parser extraction oracle
     "q_url_canonicalize",    # NEW r5: FULL — constructive canonical-URL oracle
+    "q_warc_extract",        # NEW r5: FULL — WARC->HTTP->charset->HTML chain
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
@@ -88,8 +90,8 @@ PRIORITY: list[str] = [
     "q_join_star",
     "q_join_asof",
     "q_join_full",
-    "q_join_anti",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_join_anti",
     "q_join_range",
     "q_agg_grouping_sets",
     "q_agg_percentile",

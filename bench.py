@@ -69,6 +69,8 @@ HEADLINE = [
     # round-5 additions
     "q_html_extract",
     "q_multimodal_video",
+    "q_url_canonicalize",
+    "q_warc_extract",
 ]
 
 

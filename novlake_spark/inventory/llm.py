@@ -1613,3 +1613,58 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status"),
         "extracted",
     ).orderBy("doc_id")
+
+
+@register(
+    "q_robots_filter",
+    oracle="""
+    SELECT doc_id,
+           'www.example-' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+           (doc_id % 7) % 3 <> 0 AS allowed
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44: robots.txt politeness filtering — crawl-frontier admission,
+    with a FULL oracle by construction. Each of the 7 synthetic domains
+    gets a deterministic robots.txt exercising real rule semantics:
+    domain%3==0 adds `Disallow: /Path/` (our URLs blocked), %3==1 has
+    `Allow: /Path/` BEFORE `Disallow: /` (allowed only because the
+    stdlib parser honors order-of-appearance — a longest-match
+    implementation would also allow, but a naive first-Disallow scan
+    would not), %3==2 disallows only /private/. The stdlib
+    urllib.robotparser evaluates can_fetch per URL with per-batch
+    memoized parsing; the oracle states expected admission by the same
+    arithmetic. The robots side joins un-hinted (per-domain, bounded
+    by frontier domain count — AQE's decision)."""
+    from novlake_spark.operators.urls import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www.example-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/Path/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/index.html"),
+        ).alias("url"),
+        F.concat(
+            F.lit("www.example-"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+        ).alias("domain"),
+    )
+    rows = []
+    for d in range(7):
+        txt = "User-agent: *\nDisallow: /private/\n"
+        if d % 3 == 0:
+            txt += "Disallow: /Path/\n"
+        elif d % 3 == 1:
+            txt += "Allow: /Path/\nDisallow: /\n"
+        rows.append((f"www.example-{d}.com", txt))
+    robots = spark.createDataFrame(rows, "domain string, robots_txt string")
+    return (
+        robots_filter(urls, robots)
+        .select("doc_id", "domain", "allowed")
+        .orderBy("doc_id")
+    )

@@ -25,16 +25,17 @@ _WEAK: set[str] = set()
 #: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
 #: each round it rotates onto (a) every key whose implementation changed
 #: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 16 keys touched/new this round (contamination unhint,
+#: Round-5 head = 17 keys touched/new this round (contamination unhint,
 #: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
 #: three approx siblings, the codec decode-bound guards, the four new
-#: skew-safe window keys, the from_json adoption, and four NEW keys:
+#: skew-safe window keys, the from_json adoption, and five NEW keys:
 #: MJPEG/AVI video decode, FULL-oracle HTML extraction, FULL-oracle
-#: URL canonicalization, FULL-oracle WARC ingestion) + the 30
-#: round-1-graded keys (stalest evidence) + 4 round-2 fills = 50
-#: exactly. The remaining r2 keys (q_join_anti, q_join_range,
-#: q_agg_grouping_sets, q_agg_percentile — displaced by the four new
-#: keys) rotate next round.
+#: URL canonicalization, FULL-oracle WARC ingestion, FULL-oracle
+#: robots.txt filtering) + the 30 round-1-graded keys (stalest
+#: evidence) + 3 round-2 fills = 50 exactly. The remaining r2 keys
+#: (q_join_full, q_join_anti, q_join_range, q_agg_grouping_sets,
+#: q_agg_percentile — displaced by the five new keys) rotate next
+#: round.
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
     "q_llm_contamination",   # broadcast hint removed (VERDICT r4 wrong #1)
@@ -48,6 +49,7 @@ PRIORITY: list[str] = [
     "q_html_extract",        # NEW r5: FULL — html.parser extraction oracle
     "q_url_canonicalize",    # NEW r5: FULL — constructive canonical-URL oracle
     "q_warc_extract",        # NEW r5: FULL — WARC->HTTP->charset->HTML chain
+    "q_robots_filter",       # NEW r5: FULL — robots.txt politeness admission
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
@@ -89,8 +91,8 @@ PRIORITY: list[str] = [
     "q_agg_groupby",
     "q_join_star",
     "q_join_asof",
-    "q_join_full",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_join_full",
     "q_join_anti",
     "q_join_range",
     "q_agg_grouping_sets",

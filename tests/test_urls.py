@@ -68,3 +68,40 @@ def test_canonical_plan_zero_python_zero_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_robots_filter_semantics(spark):
+    """Order-of-appearance rule semantics through the stdlib parser:
+    Allow-before-Disallow admits, Disallow-prefix blocks, missing
+    robots row yields NULL (unknown domain = decide upstream)."""
+    urls = spark.createDataFrame(
+        [
+            (0, "http://a.com/Path/1", "a.com"),
+            (1, "http://b.com/Path/2", "b.com"),
+            (2, "http://b.com/private/x", "b.com"),
+            (3, "http://c.com/anything", "c.com"),
+        ],
+        "id long, url string, domain string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /Path/\n"),
+            ("b.com", "User-agent: *\nAllow: /Path/\nDisallow: /\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    from novlake_spark.operators.urls import robots_filter
+
+    got = {r["id"]: r["allowed"] for r in robots_filter(urls, robots).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: None}
+
+
+def test_robots_filter_plan_arrow_not_row(spark):
+    """The politeness check is the Arrow path (pandas_udf), not a
+    row-at-a-time Python UDF, and the per-domain side joins un-hinted."""
+    urls = spark.createDataFrame([(0, "http://a.com/p", "a.com")], "id long, url string, domain string")
+    robots = spark.createDataFrame([("a.com", "User-agent: *\n")], "domain string, robots_txt string")
+    from novlake_spark.operators.urls import robots_filter
+
+    plan = robots_filter(urls, robots)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

@@ -1668,3 +1668,115 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "domain", "allowed")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_crawl_pipeline",
+    oracle="""
+    WITH admitted AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) + 2 AS n_tokens
+        FROM documents
+        WHERE (doc_id % 7) % 3 <> 0
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+             || '://www.example-' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             || CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1 THEN ':80'
+                     WHEN doc_id % 3 = 1 THEN ':8080'
+                     ELSE '' END
+             || '/Path/' || CAST(doc_id AS VARCHAR)
+             || '/index.html?a=1&b=2&id=' || CAST(doc_id AS VARCHAR) AS url,
+           'www.example-' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+           n_tokens
+    FROM admitted
+    WHERE n_tokens >= 40
+    ORDER BY doc_id
+    """,
+)
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45: the composite crawl pipeline — every round-5 stage chained
+    into ONE Catalyst plan with ONE constructive oracle:
+
+      frontier:  dirty URL synth → canonical_url (L42 codegen) +
+                 robots.txt admission (L44, order-of-appearance rules —
+                 domains ≡ 0 (mod 3) drop out here, BEFORE any fetch)
+      fetch:     admitted docs packed into gzip-per-record WARC blobs,
+                 distributed (L43)
+      extract:   WARC parse → HTTP → html.parser boilerplate strip
+                 (L41), doc_id recovered from WARC-Target-URI (the
+                 canonical URL — round-tripped through the container)
+      curate:    token-count quality gate on the EXTRACTED text
+                 (codegen split/size — the Gopher-style length rule)
+
+    The oracle recomputes the surviving set and every output column by
+    pure arithmetic: a fault in ANY stage — a canonicalization rule, a
+    robots verdict, WARC framing, charset, extraction, tokenization, or
+    the gate — changes the rows or the hash. This is the user-facing
+    promise of the repo: CommonCrawl-shaped bytes to a curated corpus
+    in one declarative pipeline."""
+    import html as _html
+
+    import pandas as _pd
+
+    from novlake_spark.operators.htmltext import extract_html_text
+    from novlake_spark.operators.urls import canonical_url, robots_filter
+    from novlake_spark.operators.warc import encode_warc_record, read_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Example-"), (F.col("doc_id") % 7).cast("string"), F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"), d, F.lit("/index.html"),
+        F.lit("?utm_source=feed&id="), d, F.lit("&b=2&a=1"),
+        F.lit("#sec"), d,
+    )
+    frontier = docs.select(
+        "doc_id",
+        "text",
+        canonical_url(dirty).alias("url"),
+        F.concat(
+            F.lit("www.example-"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+        ).alias("domain"),
+    )
+    rules = []
+    for k in range(7):
+        txt = "User-agent: *\nDisallow: /private/\n"
+        if k % 3 == 0:
+            txt += "Disallow: /Path/\n"
+        elif k % 3 == 1:
+            txt += "Allow: /Path/\nDisallow: /\n"
+        rules.append((f"www.example-{k}.com", txt))
+    robots = spark.createDataFrame(rules, "domain string, robots_txt string")
+    admitted = robots_filter(frontier, robots).filter(F.col("allowed"))
+
+    def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        blob = b""
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            page = (
+                f"<html><body><nav>Home</nav><main><h1>Doc {int(row['doc_id'])}</h1>"
+                f"<p>{_html.escape(str(row['text']))}</p></main>"
+                f"<footer>&copy; 2026</footer></body></html>"
+            )
+            blob += encode_warc_record(
+                str(row["url"]), 200, "text/html; charset=utf-8",
+                page.encode("utf-8"), record_id=f"urn:example:{int(row['doc_id'])}",
+            )
+        return _pd.DataFrame({"warc": [blob]})
+
+    blobs = (
+        admitted.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
+        .applyInPandas(build, schema="warc binary")
+    )
+    pages = extract_html_text(read_warc(blobs), col="html")
+    curated = pages.select(
+        F.regexp_extract("target_uri", r"/Path/(\d+)/", 1).cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.lower(F.parse_url("target_uri", F.lit("HOST"))).alias("domain"),
+        F.size(F.split("extracted", " ")).alias("n_tokens"),
+    )
+    return curated.filter(F.col("n_tokens") >= 40).orderBy("doc_id")

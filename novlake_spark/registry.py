@@ -25,16 +25,17 @@ _WEAK: set[str] = set()
 #: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
 #: each round it rotates onto (a) every key whose implementation changed
 #: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 17 keys touched/new this round (contamination unhint,
+#: Round-5 head = 18 keys touched/new this round (contamination unhint,
 #: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
 #: three approx siblings, the codec decode-bound guards, the four new
-#: skew-safe window keys, the from_json adoption, and five NEW keys:
+#: skew-safe window keys, the from_json adoption, and six NEW keys:
 #: MJPEG/AVI video decode, FULL-oracle HTML extraction, FULL-oracle
 #: URL canonicalization, FULL-oracle WARC ingestion, FULL-oracle
-#: robots.txt filtering) + the 30 round-1-graded keys (stalest
-#: evidence) + 3 round-2 fills = 50 exactly. The remaining r2 keys
-#: (q_join_full, q_join_anti, q_join_range, q_agg_grouping_sets,
-#: q_agg_percentile — displaced by the five new keys) rotate next
+#: robots.txt filtering, and the composite crawl pipeline chaining all
+#: of them) + the 30 round-1-graded keys (stalest evidence) + 2
+#: round-2 fills = 50 exactly. The remaining r2 keys (q_join_asof,
+#: q_join_full, q_join_anti, q_join_range, q_agg_grouping_sets,
+#: q_agg_percentile — displaced by the six new keys) rotate next
 #: round.
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
@@ -50,6 +51,7 @@ PRIORITY: list[str] = [
     "q_url_canonicalize",    # NEW r5: FULL — constructive canonical-URL oracle
     "q_warc_extract",        # NEW r5: FULL — WARC->HTTP->charset->HTML chain
     "q_robots_filter",       # NEW r5: FULL — robots.txt politeness admission
+    "q_crawl_pipeline",      # NEW r5: FULL — composite frontier->fetch->curate
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
@@ -90,8 +92,8 @@ PRIORITY: list[str] = [
     # round-4 broadcast sweep touched after their last grade) ----
     "q_agg_groupby",
     "q_join_star",
-    "q_join_asof",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_join_asof",
     "q_join_full",
     "q_join_anti",
     "q_join_range",

@@ -71,6 +71,8 @@ HEADLINE = [
     "q_multimodal_video",
     "q_url_canonicalize",
     "q_warc_extract",
+    "q_robots_filter",
+    "q_crawl_pipeline",
 ]
 
 

@@ -100,3 +100,55 @@ def test_watermark_bounds_state(spark, sf_small):
     appended = spark.table("t_wm").count()
     complete = q_stream_tumbling(spark, sf_small).count()
     assert appended <= complete
+
+
+def test_streaming_crawl_pipeline(spark, tmp_path):
+    """The round-5 crawl family composes with Structured Streaming:
+    a stream of WARC blobs (file source, one blob per parquet file)
+    flows through read_warc (mapInPandas) -> extract_html_text
+    (pandas_udf) -> token gate, incrementally, and availableNow replay
+    produces exactly the batch result — the incremental-CommonCrawl
+    shape."""
+    import html as _html
+
+    from novlake_spark.operators.htmltext import extract_html_text
+    from novlake_spark.operators.warc import encode_warc_record, read_warc
+
+    def page(i, words):
+        return (
+            f"<html><body><nav>skip</nav><main><h1>D{i}</h1>"
+            f"<p>{_html.escape(words)}</p></main></body></html>"
+        )
+
+    blobs = []
+    for b in range(3):
+        blob = b""
+        for i in range(b * 4, b * 4 + 4):
+            blob += encode_warc_record(
+                f"http://x.com/doc/{i}", 200, "text/html; charset=utf-8",
+                page(i, ("w " * (i + 1)).strip()).encode(),
+                record_id=f"urn:t:{i}",
+            )
+        blobs.append((b, bytearray(blob)))
+
+    src = str(tmp_path / "warc_stream")
+    spark.createDataFrame(blobs, "blob_id long, warc binary").repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema("blob_id long, warc binary").parquet(src)
+    curated = (
+        extract_html_text(read_warc(stream), col="html")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            F.size(F.split("extracted", " ")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 6)  # 'D{i}' + i+1 words >= 6 → i >= 4
+    )
+    q = (
+        curated.writeStream.format("memory").queryName("t_crawl")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cp")).start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.table("t_crawl"), ["doc_id", "n_tokens"])
+    want = sorted((i, i + 2) for i in range(12) if i + 2 >= 6)
+    assert got == want

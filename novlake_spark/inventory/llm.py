@@ -1780,3 +1780,23 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("extracted", " ")).alias("n_tokens"),
     )
     return curated.filter(F.col("n_tokens") >= 40).orderBy("doc_id")
+
+
+@register("q_llm_compress_ratio", weak=True)  # WEAK: DuckDB has no DEFLATE
+def q_llm_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L46: zlib compression ratio — the FineWeb/Gopher quality signal
+    that no token statistic replicates: templated/repetitive text
+    compresses far below natural prose, gibberish barely compresses.
+    deflated_len/raw_len at fixed level 6, deterministic byte-for-byte,
+    so rows-only grading is backed by exactness tests (pytest pins
+    determinism, planted-document ordering repetitive < natural <
+    random, and null/empty handling). One Arrow-batched pandas UDF,
+    zero shuffle — per-document CPU exactly like the other quality
+    signals it joins in the curation gate."""
+    from novlake_spark.operators.text import compression_ratio_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio_udf()
+    return docs.select(
+        "doc_id", ratio(F.col("text")).alias("compress_ratio")
+    ).orderBy("doc_id")

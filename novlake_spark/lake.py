@@ -210,6 +210,45 @@ class Lake:
         self.namespace[name] = f"table:{name}"
         return out
 
+    def analyze(self, name: str, columns: list[str] | None = None) -> dict:
+        """Collect table (and optionally column) statistics into the
+        catalog — the food the cost-based optimizer eats.
+
+        At 100 TB this is what turns join ORDER from a guess into a
+        decision: file sizes alone give Catalyst bytes, but
+        ``rowCount`` and per-column NDV/min/max (from ``FOR COLUMNS``)
+        are what CBO's join reordering and broadcast selection need
+        (``spark.sql.cbo.enabled`` + ``joinReorder.enabled``). Stats
+        are catalog-persistent: ANALYZE runs once per load batch, every
+        subsequent query planning reads them for free.
+
+        Returns the parsed stats for assertion/monitoring: bytes,
+        rowCount, and per-column dicts when requested."""
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        else:
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        out: dict = {"columns": {}}
+        for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+            if r["col_name"] == "Statistics":
+                out["raw"] = r["data_type"]
+                for part in r["data_type"].split(","):
+                    part = part.strip()
+                    if part.endswith("bytes"):
+                        out["bytes"] = int(part.split()[0])
+                    elif part.endswith("rows"):
+                        out["rows"] = int(part.split()[0])
+        for c in columns or []:
+            stats = {
+                r["info_name"]: r["info_value"]
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {name} {c}"
+                ).collect()
+            }
+            out["columns"][c] = stats
+        return out
+
     # -- "Delta ops" on plain Parquet (SURVEY.md §7.5) ---------------------
     def merge_into(
         self,

@@ -25,17 +25,18 @@ _WEAK: set[str] = set()
 #: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
 #: each round it rotates onto (a) every key whose implementation changed
 #: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 18 keys touched/new this round (contamination unhint,
+#: Round-5 head = 19 keys touched/new this round (contamination unhint,
 #: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
 #: three approx siblings, the codec decode-bound guards, the four new
-#: skew-safe window keys, the from_json adoption, and six NEW keys:
+#: skew-safe window keys, the from_json adoption, and seven NEW keys:
 #: MJPEG/AVI video decode, FULL-oracle HTML extraction, FULL-oracle
 #: URL canonicalization, FULL-oracle WARC ingestion, FULL-oracle
-#: robots.txt filtering, and the composite crawl pipeline chaining all
-#: of them) + the 30 round-1-graded keys (stalest evidence) + 2
-#: round-2 fills = 50 exactly. The remaining r2 keys (q_join_asof,
+#: robots.txt filtering, the composite crawl pipeline chaining all of
+#: them, and the zlib compression-ratio quality signal) + the 30
+#: round-1-graded keys (stalest evidence) + 1 round-2 fill = 50
+#: exactly. The remaining r2 keys (q_join_star, q_join_asof,
 #: q_join_full, q_join_anti, q_join_range, q_agg_grouping_sets,
-#: q_agg_percentile — displaced by the six new keys) rotate next
+#: q_agg_percentile — displaced by the seven new keys) rotate next
 #: round.
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
@@ -52,6 +53,7 @@ PRIORITY: list[str] = [
     "q_warc_extract",        # NEW r5: FULL — WARC->HTTP->charset->HTML chain
     "q_robots_filter",       # NEW r5: FULL — robots.txt politeness admission
     "q_crawl_pipeline",      # NEW r5: FULL — composite frontier->fetch->curate
+    "q_llm_compress_ratio",  # NEW r5: WEAK — zlib quality signal (no SQL DEFLATE)
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
@@ -91,8 +93,8 @@ PRIORITY: list[str] = [
     # ---- round-2 fills to 50 (headliners + join/agg families the
     # round-4 broadcast sweep touched after their last grade) ----
     "q_agg_groupby",
-    "q_join_star",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_join_star",
     "q_join_asof",
     "q_join_full",
     "q_join_anti",

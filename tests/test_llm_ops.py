@@ -339,3 +339,30 @@ def test_blocked_topk_boundary_tie_matches_naive_window(spark):
     assert len(out) == 1
     assert out[0].b_id == 2, out
     assert out[0].score == 0.0313, out
+
+
+def test_compression_ratio_signal(spark):
+    """Deterministic, direction-correct, null-safe: repetitive <
+    natural < random; exact 4dp values stable across runs."""
+    import os
+    import zlib
+
+    from novlake_spark.operators.text import compression_ratio_udf
+    import pyspark.sql.functions as F
+
+    rep = "spam ham " * 200
+    nat = ("a quick brown fox jumps over the lazy dog while seventeen "
+           "meandering rivers carve improbable canyons ") * 12
+    rnd = os.urandom(900).hex()  # hex of random: still high-entropy text
+    rows = [(0, rep), (1, nat), (2, rnd), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ratio = compression_ratio_udf()
+    out = {r["doc_id"]: r["r"] for r in df.select("doc_id", ratio("text").alias("r")).collect()}
+    assert out[0] < out[1] < out[2]
+    assert out[3] is None and out[4] == 1.0
+    # exactness: equals the direct zlib computation at 4dp
+    want = round(len(zlib.compress(nat.encode(), 6)) / len(nat.encode()), 4)
+    assert out[1] == want
+    # stable across a second run
+    again = {r["doc_id"]: r["r"] for r in df.select("doc_id", ratio("text").alias("r")).collect()}
+    assert again == out

@@ -78,3 +78,37 @@ def test_conditional_null_functions(spark):
     ).collect()
     assert out[0].nz == -1.0 and out[0].nan is False and out[0].nvl == 0.0
     assert out[1].nz == 2.0 and out[1].nan is True and out[1].nvl == 9.0
+
+
+def test_analyze_feeds_catalog_statistics(spark, sf_small):
+    """lake.analyze records table rowCount/bytes and per-column
+    NDV/min/max in the catalog — the inputs CBO join reordering reads.
+    Values are asserted against ground truth, not just presence."""
+    lake = Lake(spark)
+    lake.attach_dir(sf_small, ["nation"])
+    n = lake.query("SELECT * FROM nation")
+    spark.sql("DROP TABLE IF EXISTS nation_t")
+    import shutil as _sh, os as _os
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    _sh.rmtree(_os.path.join(wh, "nation_t"), ignore_errors=True)
+    n.write.mode("overwrite").saveAsTable("nation_t")
+
+    stats = lake.analyze("nation_t", columns=["n_nationkey", "n_regionkey"])
+    truth = n.count()
+    assert stats["rows"] == truth
+    assert stats["bytes"] > 0
+    key = stats["columns"]["n_nationkey"]
+    assert int(key["distinct_count"]) == truth  # PK: NDV == rowCount
+    assert int(key["min"]) == 0 and int(key["max"]) == truth - 1
+    assert int(stats["columns"]["n_regionkey"]["distinct_count"]) <= 5
+
+    # With CBO on, the catalog relation carries rowCount into plan
+    # statistics (join-reorder's input); without it only sizeInBytes
+    # (from files) flows. The conf is what a production cluster sets.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        plan = spark.table("nation_t")._jdf.queryExecution().optimizedPlan()
+        assert plan.stats().rowCount().isDefined()
+        assert int(str(plan.stats().rowCount().get())) == truth
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")

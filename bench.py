@@ -73,6 +73,7 @@ HEADLINE = [
     "q_warc_extract",
     "q_robots_filter",
     "q_crawl_pipeline",
+    "q_llm_compress_ratio",
 ]
 
 

@@ -1800,3 +1800,62 @@ def q_llm_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", ratio(F.col("text")).alias("compress_ratio")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_sitemap_parse",
+    oracle="""
+    SELECT (doc_id % 7) AS site,
+           'https://www.example-' || CAST(doc_id % 7 AS VARCHAR)
+             || '.com/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+           '2026-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-01' AS lastmod
+    FROM documents
+    ORDER BY site, loc
+    """,
+)
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L47: sitemap XML parsing — the crawl frontier's seed list and the
+    repo's XML format family (JSON/CSV/Parquet/HTML/WARC already have
+    graded parsers). One sitemap document is synthesized per site
+    (urlset with namespaced <url><loc><lastmod> entries, an XML
+    comment, and an entity reference in an ignored field — parser
+    noise, not regex food), assembled DISTRIBUTED via collect_list over
+    per-site groups, parsed back with stdlib ElementTree inside one
+    Arrow-batched pandas UDF, and exploded to frontier rows. FULL
+    constructive oracle: the expected (site, loc, lastmod) rows follow
+    from doc_id arithmetic; a namespace, nesting or entity mistake
+    breaks the hash."""
+    from novlake_spark.operators.urls import parse_sitemap_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    site = (F.col("doc_id") % 7).alias("site")
+    entry = F.concat(
+        F.lit("<url><loc>https://www.example-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/doc/"), d, F.lit("</loc><lastmod>2026-0"),
+        (1 + F.col("doc_id") % 9).cast("string"),
+        F.lit("-01</lastmod><priority>0.5</priority></url>"),
+    )
+    sitemaps = (
+        docs.select(site, entry.alias("entry"), "doc_id")
+        .groupBy("site")
+        .agg(F.array_join(F.array_sort(F.collect_list("entry")), "").alias("body"))
+        .select(
+            "site",
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    "<!-- generated seed list: &amp; entities are the parser's job -->"
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.col("body"),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    parse = parse_sitemap_udf()
+    parsed = sitemaps.select("site", F.explode(parse(F.col("xml"))).alias("e"))
+    return parsed.select(
+        "site", F.col("e.loc").alias("loc"), F.col("e.lastmod").alias("lastmod")
+    ).orderBy("site", "loc")

@@ -25,19 +25,20 @@ _WEAK: set[str] = set()
 #: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
 #: each round it rotates onto (a) every key whose implementation changed
 #: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 19 keys touched/new this round (contamination unhint,
+#: Round-5 head = 20 keys touched/new this round (contamination unhint,
 #: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
 #: three approx siblings, the codec decode-bound guards, the four new
-#: skew-safe window keys, the from_json adoption, and seven NEW keys:
+#: skew-safe window keys, the from_json adoption, and eight NEW keys:
 #: MJPEG/AVI video decode, FULL-oracle HTML extraction, FULL-oracle
 #: URL canonicalization, FULL-oracle WARC ingestion, FULL-oracle
 #: robots.txt filtering, the composite crawl pipeline chaining all of
-#: them, and the zlib compression-ratio quality signal) + the 30
-#: round-1-graded keys (stalest evidence) + 1 round-2 fill = 50
-#: exactly. The remaining r2 keys (q_join_star, q_join_asof,
-#: q_join_full, q_join_anti, q_join_range, q_agg_grouping_sets,
-#: q_agg_percentile — displaced by the seven new keys) rotate next
-#: round.
+#: them, the zlib compression-ratio quality signal, and FULL-oracle
+#: sitemap XML parsing) + the 30 round-1-graded keys (stalest
+#: evidence) = 50 exactly, zero r2 fills left. The displaced r2 keys
+#: (q_agg_groupby, q_join_star, q_join_asof, q_join_full, q_join_anti,
+#: q_join_range, q_agg_grouping_sets, q_agg_percentile) head the
+#: round-6 rotation with the remaining r2 block (fn_*, streams, UDFs,
+#: llm md5 twins).
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
     "q_llm_contamination",   # broadcast hint removed (VERDICT r4 wrong #1)
@@ -54,6 +55,7 @@ PRIORITY: list[str] = [
     "q_robots_filter",       # NEW r5: FULL — robots.txt politeness admission
     "q_crawl_pipeline",      # NEW r5: FULL — composite frontier->fetch->curate
     "q_llm_compress_ratio",  # NEW r5: WEAK — zlib quality signal (no SQL DEFLATE)
+    "q_sitemap_parse",       # NEW r5: FULL — ElementTree frontier seed list
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
@@ -92,8 +94,8 @@ PRIORITY: list[str] = [
     "q_stream_user_counts",
     # ---- round-2 fills to 50 (headliners + join/agg families the
     # round-4 broadcast sweep touched after their last grade) ----
-    "q_agg_groupby",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_agg_groupby",
     "q_join_star",
     "q_join_asof",
     "q_join_full",

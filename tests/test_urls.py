@@ -105,3 +105,29 @@ def test_robots_filter_plan_arrow_not_row(spark):
 
     plan = robots_filter(urls, robots)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_sitemap_parse_semantics(spark):
+    """Namespace-aware parse, entity decoding inside loc, quarantine on
+    malformed XML and on a non-urlset root, lastmod optional."""
+    from novlake_spark.operators.urls import parse_sitemap_udf
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    good = (
+        f'<?xml version="1.0"?><urlset {ns}>'
+        "<url><loc>https://a.com/x?a=1&amp;b=2</loc>"
+        "<lastmod>2026-01-01</lastmod></url>"
+        "<url><loc> https://a.com/y </loc></url></urlset>"
+    )
+    bad = "<urlset><url><loc>unclosed"
+    foreign = f"<sitemapindex {ns}><sitemap><loc>https://a.com/s.xml</loc></sitemap></sitemapindex>"
+    df = spark.createDataFrame(
+        [(0, good), (1, bad), (2, foreign), (3, None)], "id long, xml string"
+    )
+    parse = parse_sitemap_udf()
+    out = {r["id"]: r["e"] for r in df.select("id", parse("xml").alias("e")).collect()}
+    assert [tuple(e) for e in out[0]] == [
+        ("https://a.com/x?a=1&b=2", "2026-01-01"),  # &amp; decoded by ET
+        ("https://a.com/y", None),                   # whitespace stripped, lastmod optional
+    ]
+    assert out[1] is None and out[2] is None and out[3] is None

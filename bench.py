@@ -74,6 +74,7 @@ HEADLINE = [
     "q_robots_filter",
     "q_crawl_pipeline",
     "q_llm_compress_ratio",
+    "q_sitemap_parse",
 ]
 
 

@@ -1859,3 +1859,45 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "site", F.col("e.loc").alias("loc"), F.col("e.lastmod").alias("lastmod")
     ).orderBy("site", "loc")
+
+
+@register(
+    "q_pdf_extract",
+    oracle="""
+    SELECT doc_id, 0 AS page,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1 AS page, text FROM documents
+    ORDER BY doc_id, page
+    """,
+)
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: PDF text extraction — the format books and papers arrive
+    in, FULL-oracle-graded. Two-page PDFs (title page + body) are
+    written per document DISTRIBUTED (operators/pdftext.encode_pdf:
+    correct xref, FlateDecoded content streams, escaped literals),
+    then extract_pdf_text reads them back WITHOUT trusting the xref —
+    tolerant linear object scan, bounded inflate, BT/ET walk,
+    Tj/TJ/'/hex show-op strings with full escape handling. The oracle
+    states both pages per doc by construction; any stream-framing,
+    inflate, escape or show-op mistake breaks the hash. Scope honesty
+    (CMap/CID/OCR excluded) is documented in the module — the
+    machine-written-text case this grades is exact."""
+    import pandas as _pd
+
+    from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "pdf": []}
+            for _, row in pdf.iterrows():
+                i = int(row["doc_id"])
+                out["doc_id"].append(i)
+                out["pdf"].append(encode_pdf([f"Doc {i}", str(row["text"])]))
+            yield _pd.DataFrame(out)
+
+    pdfs = docs.mapInPandas(build, schema="doc_id long, pdf binary")
+    return extract_pdf_docs(pdfs).orderBy("doc_id", "page")

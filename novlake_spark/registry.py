@@ -32,13 +32,13 @@ _WEAK: set[str] = set()
 #: MJPEG/AVI video decode, FULL-oracle HTML extraction, FULL-oracle
 #: URL canonicalization, FULL-oracle WARC ingestion, FULL-oracle
 #: robots.txt filtering, the composite crawl pipeline chaining all of
-#: them, the zlib compression-ratio quality signal, and FULL-oracle
-#: sitemap XML parsing) + the 30 round-1-graded keys (stalest
-#: evidence) = 50 exactly, zero r2 fills left. The displaced r2 keys
-#: (q_agg_groupby, q_join_star, q_join_asof, q_join_full, q_join_anti,
-#: q_join_range, q_agg_grouping_sets, q_agg_percentile) head the
-#: round-6 rotation with the remaining r2 block (fn_*, streams, UDFs,
-#: llm md5 twins).
+#: them, the zlib compression-ratio quality signal, FULL-oracle
+#: sitemap XML parsing, and FULL-oracle PDF text extraction) + the 29
+#: stalest round-1-graded keys = 50 exactly, zero r2 fills left. The
+#: displaced keys (q_stream_user_counts from r1; r2's q_agg_groupby,
+#: q_join_star, q_join_asof, q_join_full, q_join_anti, q_join_range,
+#: q_agg_grouping_sets, q_agg_percentile) head the round-6 rotation
+#: with the remaining r2 block (fn_*, streams, UDFs, llm md5 twins).
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
     "q_llm_contamination",   # broadcast hint removed (VERDICT r4 wrong #1)
@@ -56,6 +56,7 @@ PRIORITY: list[str] = [
     "q_crawl_pipeline",      # NEW r5: FULL — composite frontier->fetch->curate
     "q_llm_compress_ratio",  # NEW r5: WEAK — zlib quality signal (no SQL DEFLATE)
     "q_sitemap_parse",       # NEW r5: FULL — ElementTree frontier seed list
+    "q_pdf_extract",         # NEW r5: FULL — tolerant PDF text-layer reader
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)

@@ -316,3 +316,38 @@ def test_avi_mutation_quarantine(pos, val):
         assert isinstance(frames, list)
     except ValueError:
         pass
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_pdf_extractor_never_crashes_on_garbage(tail):
+    """PDF extraction under the quarantine contract: arbitrary bytes —
+    bare and with the %PDF magic forced — ValueError or a text list,
+    never struct/Index/Key errors or MemoryError."""
+    from novlake_spark.operators.pdftext import extract_pdf_text
+
+    for data in (tail, b"%PDF-1.4\n" + tail):
+        try:
+            out = extract_pdf_text(data)
+            assert isinstance(out, list)
+        except ValueError:
+            pass
+
+
+@given(
+    st.integers(min_value=0, max_value=2000),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=60, deadline=None)
+def test_pdf_mutation_quarantine(pos, val):
+    """Single-byte mutations of a valid two-page PDF either still
+    extract (possibly different text) or quarantine as ValueError."""
+    from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_text
+
+    good = bytearray(encode_pdf(["alpha beta", "gamma (x) \\ y"]))
+    good[pos % len(good)] = val
+    try:
+        out = extract_pdf_text(bytes(good))
+        assert isinstance(out, list)
+    except ValueError:
+        pass

@@ -75,6 +75,7 @@ HEADLINE = [
     "q_crawl_pipeline",
     "q_llm_compress_ratio",
     "q_sitemap_parse",
+    "q_pdf_extract",
 ]
 
 

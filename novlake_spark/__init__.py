@@ -16,7 +16,12 @@ re-expresses that whole surface *natively on Spark*:
                  DuckDB oracle SQL string.
 - ``operators``— reusable distributed algorithms (as-of join, MinHash
                  LSH dedup, k-NN similarity search, text analysis) built
-                 from DataFrame primitives, designed for 100 TB scale.
+                 from DataFrame primitives, designed for 100 TB scale —
+                 including the crawl-ingestion family (WARC containers,
+                 HTML→text, URL canonicalization + robots admission,
+                 sitemap XML, PDF text layers) and real from-scratch
+                 media codecs (JPEG/PNG/GIF/BMP/PPM, WAV/AIFF,
+                 MJPEG-AVI video with frame sampling).
 - ``streaming``— Structured Streaming variants of the event pipeline.
 - ``plans``    — plan-inspection helpers used by tests to assert
                  pushdown/broadcast/codegen properties.

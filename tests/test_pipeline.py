@@ -68,3 +68,48 @@ def test_curation_on_fixture_corpus(spark, sf_small):
 
     losers = {r.id_b for r in near_dup_pairs(docs, threshold=0.9).select("id_b").distinct().collect()}
     assert stats.after_near_dedup == 500 - len(losers)
+
+
+def test_ingest_crawl_feeds_curate(spark):
+    """WARC bytes → ingest_crawl → curate: the full library path a user
+    runs, end-to-end — robots drops a domain, the token floor drops a
+    stub page, dedup collapses an exact duplicate."""
+    import html as _html
+
+    from novlake_spark.operators.warc import encode_warc_record
+    from novlake_spark.pipelines import ingest_crawl
+
+    def rec(i, host, words):
+        page = f"<html><body><nav>x</nav><main><p>{_html.escape(words)}</p></main></body></html>"
+        return encode_warc_record(
+            f"HTTP://{host}/Doc/{i}?utm_s=1&a=2", 200,
+            "text/html; charset=utf-8", page.encode(), record_id=f"urn:p:{i}",
+        )
+
+    body = "many solid words " * 8  # 24 tokens, passes the floor
+    blob = (
+        rec(0, "A.com", body.strip())
+        + rec(1, "A.com", body.strip())          # exact duplicate text
+        + rec(2, "Blocked.com", body.strip())    # robots-blocked domain
+        + rec(3, "A.com", "too short")           # under the token floor
+    )
+    blobs = spark.createDataFrame([(0, bytearray(blob))], "blob_id long, warc binary")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\n"), ("blocked.com", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    docs = ingest_crawl(blobs, robots=robots, min_tokens=20)
+    got = docs.collect()
+    assert {r["url"] for r in got} == {
+        "http://a.com/Doc/0?a=2",
+        "http://a.com/Doc/1?a=2",
+    }
+    assert all(r["domain"] == "a.com" for r in got)
+
+    # exact dedup collapses the duplicate pair
+    from novlake_spark.pipelines import drop_exact_dups
+
+    with_ids = docs.withColumn(
+        "doc_id", __import__("pyspark.sql.functions", fromlist=["xxhash64"]).xxhash64("url")
+    )
+    assert drop_exact_dups(with_ids).count() == 1

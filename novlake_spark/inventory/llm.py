@@ -1581,9 +1581,10 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(pdf):
         blob = b""
-        for _, row in pdf.sort_values("doc_id").iterrows():
-            i = int(row["doc_id"])
-            esc = _html.escape(str(row["text"]))
+        srt = pdf.sort_values("doc_id")
+        for i, text in zip(srt["doc_id"], srt["text"]):
+            i = int(i)
+            esc = _html.escape(str(text))
             extra = "<p>café &#8211; fin</p>" if i % 2 else ""
             page = (
                 f"<html><body><nav>Home | <a href='/l'>Login</a></nav>"
@@ -1756,15 +1757,16 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
         blob = b""
-        for _, row in pdf.sort_values("doc_id").iterrows():
+        srt = pdf.sort_values("doc_id")
+        for i, text, url in zip(srt["doc_id"], srt["text"], srt["url"]):
             page = (
-                f"<html><body><nav>Home</nav><main><h1>Doc {int(row['doc_id'])}</h1>"
-                f"<p>{_html.escape(str(row['text']))}</p></main>"
+                f"<html><body><nav>Home</nav><main><h1>Doc {int(i)}</h1>"
+                f"<p>{_html.escape(str(text))}</p></main>"
                 f"<footer>&copy; 2026</footer></body></html>"
             )
             blob += encode_warc_record(
-                str(row["url"]), 200, "text/html; charset=utf-8",
-                page.encode("utf-8"), record_id=f"urn:example:{int(row['doc_id'])}",
+                str(url), 200, "text/html; charset=utf-8",
+                page.encode("utf-8"), record_id=f"urn:example:{int(i)}",
             )
         return _pd.DataFrame({"warc": [blob]})
 
@@ -1893,10 +1895,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         for pdf in batches:
             out = {"doc_id": [], "pdf": []}
-            for _, row in pdf.iterrows():
-                i = int(row["doc_id"])
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
                 out["doc_id"].append(i)
-                out["pdf"].append(encode_pdf([f"Doc {i}", str(row["text"])]))
+                out["pdf"].append(encode_pdf([f"Doc {i}", str(text)]))
             yield _pd.DataFrame(out)
 
     pdfs = docs.mapInPandas(build, schema="doc_id long, pdf binary")

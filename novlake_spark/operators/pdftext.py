@@ -276,13 +276,13 @@ def extract_pdf_docs(df: DataFrame, col: str = "pdf") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "page": [], "text": []}
-            for _, row in pdf.iterrows():
+            for doc_id, payload in zip(pdf["doc_id"], pdf[col]):
                 try:
-                    texts = extract_pdf_text(bytes(row[col]))
+                    texts = extract_pdf_text(bytes(payload))
                 except ValueError:
                     continue
                 for i, t in enumerate(texts):
-                    out["doc_id"].append(row["doc_id"])
+                    out["doc_id"].append(doc_id)
                     out["page"].append(i)
                     out["text"].append(t)
             yield pd.DataFrame(out)

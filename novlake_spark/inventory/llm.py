@@ -1903,3 +1903,52 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pdfs = docs.mapInPandas(build, schema="doc_id long, pdf binary")
     return extract_pdf_docs(pdfs).orderBy("doc_id", "page")
+
+
+@register(
+    "q_tar_extract",
+    oracle="""
+    SELECT doc_id,
+           'corpus/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           strlen(text) AS n_bytes,
+           text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: tar-archive ingestion — the container model dumps and
+    dataset releases ship in, FULL-oracle-graded. Documents are packed
+    into deterministic ustar archives DISTRIBUTED (one per 50 docs,
+    zeroed metadata), then operators/warc.parse_tar reads members back
+    with the family guards (declared member sizes bounded BEFORE
+    reading, member-count cap, non-regular members skipped, TarError →
+    quarantine) and doc_id is recovered from the member path. The
+    oracle states (name, byte length, text) by construction — Spark's
+    octet_length and DuckDB's strlen both count UTF-8 bytes, so the
+    length column is engine-exact even for non-ASCII text."""
+    import pandas as _pd
+
+    from novlake_spark.operators.warc import encode_tar, read_tar
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        srt = pdf.sort_values("doc_id")
+        members = [
+            (f"corpus/doc_{int(i)}.txt", str(t).encode("utf-8"))
+            for i, t in zip(srt["doc_id"], srt["text"])
+        ]
+        return _pd.DataFrame({"tar": [encode_tar(members)]})
+
+    tars = (
+        docs.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
+        .applyInPandas(build, schema="tar binary")
+    )
+    members = read_tar(tars)
+    return members.select(
+        F.regexp_extract("name", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        "name",
+        F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
+        F.col("data").cast("string").alias("text"),
+    ).orderBy("doc_id")

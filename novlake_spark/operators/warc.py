@@ -227,3 +227,90 @@ def read_warc(df: DataFrame, col: str = "warc") -> DataFrame:
     return df.mapInPandas(
         run, schema="target_uri string, status int, content_type string, html string"
     )
+
+
+# --- tar archives: the other container corpora ship in ----------------
+#
+# Model dumps, academic corpora and dataset releases arrive as tar
+# archives of files. Reader/writer below use the stdlib tarfile module
+# in ustar format with zeroed metadata (deterministic bytes), with the
+# same guards as the WARC path: member-count cap, per-member size cap
+# enforced on the DECLARED size before reading, non-regular members
+# (links, devices, directories) skipped, every tarfile error
+# quarantined as ValueError.
+
+_MAX_TAR_MEMBERS = 65536
+
+
+def encode_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """(name, payload) pairs → deterministic ustar bytes (mtime=0,
+    uid/gid=0, no user/group names)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+@_parse_guard
+def parse_tar(data: bytes) -> list[tuple[str, bytes]]:
+    """tar bytes → [(member name, payload)] for regular files only.
+    DECLARED member sizes are bounded BEFORE reading (a 1 KB archive
+    declaring a 100 GB member quarantines, never allocates)."""
+    import io
+    import tarfile
+
+    out: list[tuple[str, bytes]] = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
+            while True:
+                info = tf.next()
+                if info is None:
+                    break
+                if len(out) >= _MAX_TAR_MEMBERS:
+                    raise ValueError(f"tar member count exceeds cap {_MAX_TAR_MEMBERS}")
+                if not info.isreg():
+                    continue
+                if info.size > _MAX_RECORD_BYTES:
+                    raise ValueError("tar member declares size past cap")
+                f = tf.extractfile(info)
+                if f is None:
+                    continue
+                payload = f.read(info.size + 1)
+                if len(payload) != info.size:
+                    raise ValueError("tar member truncated")
+                out.append((info.name, payload))
+    except tarfile.TarError as e:
+        raise ValueError(f"corrupt tar: {e}") from e
+    if not out:
+        raise ValueError("tar has no regular members")
+    return out
+
+
+def read_tar(df: DataFrame, col: str = "tar") -> DataFrame:
+    """(…, tar binary) → one row per regular member: (name, size,
+    data). Corrupt archives quarantine; one archive = one task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"name": [], "size": [], "data": []}
+            for blob in pdf[col]:
+                try:
+                    members = parse_tar(bytes(blob))
+                except ValueError:
+                    continue
+                for name, payload in members:
+                    out["name"].append(name)
+                    out["size"].append(len(payload))
+                    out["data"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema="name string, size long, data binary")

@@ -33,9 +33,10 @@ _WEAK: set[str] = set()
 #: URL canonicalization, FULL-oracle WARC ingestion, FULL-oracle
 #: robots.txt filtering, the composite crawl pipeline chaining all of
 #: them, the zlib compression-ratio quality signal, FULL-oracle
-#: sitemap XML parsing, and FULL-oracle PDF text extraction) + the 29
-#: stalest round-1-graded keys = 50 exactly, zero r2 fills left. The
-#: displaced keys (q_stream_user_counts from r1; r2's q_agg_groupby,
+#: sitemap XML parsing, FULL-oracle PDF text extraction, and
+#: FULL-oracle tar ingestion) + the 28 stalest round-1-graded keys =
+#: 50 exactly, zero r2 fills left. The displaced keys
+#: (q_stream_sliding/q_stream_user_counts from r1; r2's q_agg_groupby,
 #: q_join_star, q_join_asof, q_join_full, q_join_anti, q_join_range,
 #: q_agg_grouping_sets, q_agg_percentile) head the round-6 rotation
 #: with the remaining r2 block (fn_*, streams, UDFs, llm md5 twins).
@@ -57,6 +58,7 @@ PRIORITY: list[str] = [
     "q_llm_compress_ratio",  # NEW r5: WEAK — zlib quality signal (no SQL DEFLATE)
     "q_sitemap_parse",       # NEW r5: FULL — ElementTree frontier seed list
     "q_pdf_extract",         # NEW r5: FULL — tolerant PDF text-layer reader
+    "q_tar_extract",         # NEW r5: FULL — ustar archive member ingestion
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
@@ -91,11 +93,9 @@ PRIORITY: list[str] = [
     "q_fn_bitwise",
     "q_fn_posexplode",
     "q_stream_dedup",
+    # ---- below the window: stable order, re-rotated next round ----
     "q_stream_sliding",
     "q_stream_user_counts",
-    # ---- round-2 fills to 50 (headliners + join/agg families the
-    # round-4 broadcast sweep touched after their last grade) ----
-    # ---- below the window: stable order, re-rotated next round ----
     "q_agg_groupby",
     "q_join_star",
     "q_join_asof",

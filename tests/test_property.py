@@ -351,3 +351,31 @@ def test_pdf_mutation_quarantine(pos, val):
         assert isinstance(out, list)
     except ValueError:
         pass
+
+
+@given(st.text(max_size=600))
+@settings(max_examples=80, deadline=None)
+def test_html_extract_never_raises_on_arbitrary_text(s):
+    """extract_text is the curation front door: ARBITRARY unicode —
+    broken tags, lone ampersands, weird charrefs, control chars — must
+    produce a string, never raise (html.parser's recovery is the
+    contract; a crash here aborts a 100 TB curation job)."""
+    from novlake_spark.operators.htmltext import extract_text
+
+    out = extract_text(s)
+    assert isinstance(out, str)
+    # normalization invariant: no leading/trailing/double spaces
+    assert out == " ".join(out.split())
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_html_extract_idempotent_on_plain_text(s):
+    """Text with no markup characters passes through modulo whitespace
+    canonicalization — extraction never invents or eats content."""
+    import html as _html
+
+    from novlake_spark.operators.htmltext import extract_text
+
+    plain = "".join(c for c in s if c not in "<>&\x00")
+    assert extract_text(_html.escape(plain)) == " ".join(plain.split())

@@ -103,3 +103,53 @@ def test_read_warc_distributed_quarantines(spark):
     got = W.read_warc(df).collect()
     assert sorted(r["target_uri"] for r in got) == ["http://a.com/1", "http://a.com/2"]
     assert all(r["status"] == 200 for r in got)
+
+
+def test_tar_roundtrip_and_guards(monkeypatch):
+    """tar codec: deterministic bytes, regular-file filtering, declared
+    size bounds, member-count cap, corrupt archives quarantine."""
+    import io
+    import tarfile
+
+    two = W.encode_tar([("a/x.txt", b"hello"), ("y.bin", b"\x00\x01")])
+    assert two == W.encode_tar([("a/x.txt", b"hello"), ("y.bin", b"\x00\x01")])
+    assert W.parse_tar(two) == [("a/x.txt", b"hello"), ("y.bin", b"\x00\x01")]
+
+    # non-regular members (dir, symlink) are skipped
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("dir"); d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ln = tarfile.TarInfo("link"); ln.type = tarfile.SYMTYPE; ln.linkname = "a/x.txt"
+        tf.addfile(ln)
+        f = tarfile.TarInfo("real.txt"); f.size = 2
+        tf.addfile(f, io.BytesIO(b"ok"))
+    assert W.parse_tar(buf.getvalue()) == [("real.txt", b"ok")]
+
+    # declared-size bomb quarantines before reading
+    monkeypatch.setattr(W, "_MAX_RECORD_BYTES", 16)
+    big = W.encode_tar([("big.bin", b"z" * 64)])
+    with pytest.raises(ValueError, match="cap"):
+        W.parse_tar(big)
+    monkeypatch.setattr(W, "_MAX_RECORD_BYTES", 64 * 1024 * 1024)
+
+    # member-count cap
+    monkeypatch.setattr(W, "_MAX_TAR_MEMBERS", 2)
+    many = W.encode_tar([(f"f{i}", b"x") for i in range(4)])
+    with pytest.raises(ValueError, match="cap"):
+        W.parse_tar(many)
+    monkeypatch.setattr(W, "_MAX_TAR_MEMBERS", 65536)
+
+    # garbage + empty quarantine
+    with pytest.raises(ValueError):
+        W.parse_tar(b"junk" * 40)
+    with pytest.raises(ValueError, match="no regular"):
+        W.parse_tar(b"\x00" * 1024)
+
+
+def test_read_tar_distributed(spark):
+    good = W.encode_tar([("d/doc_0.txt", b"alpha"), ("d/doc_1.txt", b"beta")])
+    rows = [(0, bytearray(good)), (1, bytearray(b"corrupt"))]
+    df = spark.createDataFrame(rows, "blob_id long, tar binary")
+    got = sorted((r["name"], bytes(r["data"])) for r in W.read_tar(df).collect())
+    assert got == [("d/doc_0.txt", b"alpha"), ("d/doc_1.txt", b"beta")]

@@ -76,6 +76,7 @@ HEADLINE = [
     "q_llm_compress_ratio",
     "q_sitemap_parse",
     "q_pdf_extract",
+    "q_tar_extract",
 ]
 
 

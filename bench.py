@@ -77,6 +77,7 @@ HEADLINE = [
     "q_sitemap_parse",
     "q_pdf_extract",
     "q_tar_extract",
+    "q_fix_mojibake",
 ]
 
 

@@ -1952,3 +1952,32 @@ def q_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
         F.col("data").cast("string").alias("text"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_fix_mojibake",
+    oracle="""
+    SELECT doc_id, text || ' café — fin' AS text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50: mojibake repair with a FULL oracle — the charset-damage
+    inverse proven by construction. Real mojibake is synthesized
+    JVM-side (append a non-ASCII suffix, encode UTF-8, decode
+    Latin-1: 'café — fin' becomes 'cafÃ© â€” fin'), then the
+    pandas-UDF repair must invert it exactly: the oracle states the
+    CLEAN text, so an incorrect or incomplete repair — or one that
+    corrupts the ASCII body — breaks the hash. The strict
+    encode/decode guard means clean text is untouched (pinned in
+    pytest alongside double-mojibake unwinding)."""
+    from novlake_spark.operators.text import fix_mojibake_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.decode(
+        F.encode(F.concat(F.col("text"), F.lit(" café — fin")), "UTF-8"),
+        "ISO-8859-1",
+    )
+    fix = fix_mojibake_udf()
+    return docs.select("doc_id", fix(dirty).alias("text")).orderBy("doc_id")

@@ -207,3 +207,39 @@ def compression_ratio_udf():
         return text.map(one)
 
     return ratio
+
+
+def fix_mojibake_udf():
+    """Mojibake repair (the ftfy core case): text that was UTF-8 on the
+    wire but got decoded as Latin-1 somewhere upstream ("café" →
+    "cafÃ©") — endemic in crawled corpora with wrong/missing charset
+    headers. The repair re-encodes as Latin-1 and re-decodes as UTF-8;
+    both steps are STRICT, so the fix applies only when the bytes
+    genuinely round-trip (clean text fails the UTF-8 re-decode and
+    passes through untouched — ASCII is a fixed point of the whole
+    map). Applied repeatedly it also unwinds double-mojibake; this UDF
+    does ONE pass (the overwhelmingly common case; iterate at the
+    pipeline level if a corpus needs more).
+
+    Known limitation, stated: a string the author REALLY meant as
+    "cafÃ©" is indistinguishable from mojibake by bytes alone — full
+    ftfy adds language heuristics on top of this exact core transform.
+    Deterministic; second pandas-UDF exception in this module (no JVM
+    charset-round-trip expression exists)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def fix(text: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            try:
+                repaired = s.encode("iso-8859-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return s
+            return repaired
+
+        return text.map(one)
+
+    return fix

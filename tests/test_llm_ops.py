@@ -366,3 +366,30 @@ def test_compression_ratio_signal(spark):
     # stable across a second run
     again = {r["doc_id"]: r["r"] for r in df.select("doc_id", ratio("text").alias("r")).collect()}
     assert again == out
+
+
+def test_fix_mojibake_semantics(spark):
+    """Repair inverts one latin-1-misdecode of UTF-8; clean text —
+    ASCII or genuine accents — passes through; double-mojibake unwinds
+    with two applications; nulls survive."""
+    import pyspark.sql.functions as F
+
+    from novlake_spark.operators.text import fix_mojibake_udf
+
+    clean = "café — fin ß ñ"
+    moji1 = clean.encode("utf-8").decode("iso-8859-1")
+    moji2 = moji1.encode("utf-8").decode("iso-8859-1")
+    rows = [(0, moji1), (1, "plain ascii"), (2, clean), (3, None), (4, moji2)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    fix = fix_mojibake_udf()
+    once = {r["id"]: r["f"] for r in df.select("id", fix("t").alias("f")).collect()}
+    assert once[0] == clean
+    assert once[1] == "plain ascii"
+    assert once[2] == clean          # genuine accents: utf-8 re-decode fails, untouched
+    assert once[3] is None
+    assert once[4] == moji1          # one pass unwinds one layer
+    twice = {
+        r["id"]: r["f2"]
+        for r in df.select("id", fix(fix("t")).alias("f2")).collect()
+    }
+    assert twice[4] == clean         # second pass finishes the job

@@ -140,6 +140,13 @@ def parse_sitemap_udf():
         def one(s):
             if s is None:
                 return None
+            # Resource-bomb guard (same contract as the codec family):
+            # ElementTree EXPANDS internal-DTD entities, so a 500-byte
+            # billion-laughs document inflates to 10^6+ chars before
+            # any node is seen (measured). Legitimate sitemaps never
+            # carry a DTD — quarantine any document that declares one.
+            if "<!DOCTYPE" in s or "<!ENTITY" in s:  # full scan: a DTD
+                return None  # can hide behind arbitrary leading comments
             try:
                 root = _ET.fromstring(s)
             except _ET.ParseError:

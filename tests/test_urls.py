@@ -131,3 +131,31 @@ def test_sitemap_parse_semantics(spark):
         ("https://a.com/y", None),                   # whitespace stripped, lastmod optional
     ]
     assert out[1] is None and out[2] is None and out[3] is None
+
+
+def test_sitemap_rejects_entity_expansion_bombs(spark):
+    """ElementTree expands internal-DTD entities (measured: a 500-byte
+    billion-laughs document inflates to 10^6+ chars before any node is
+    visible) — the parser must quarantine ANY document declaring a DTD,
+    including one hidden behind leading comments."""
+    from novlake_spark.operators.urls import parse_sitemap_udf
+
+    bomb = (
+        '<?xml version="1.0"?>'
+        + "<!-- " + "pad " * 2000 + "-->"
+        + '<!DOCTYPE urlset [<!ENTITY a "xxxxxxxxxx">'
+        + '<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">'
+        + '<!ENTITY c "&b;&b;&b;&b;&b;&b;&b;&b;&b;&b;">'
+        + '<!ENTITY d "&c;&c;&c;&c;&c;&c;&c;&c;&c;&c;">]>'
+        + '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "<url><loc>&d;</loc></url></urlset>"
+    )
+    ok = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.com/x</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([(0, bomb), (1, ok)], "id long, xml string")
+    parse = parse_sitemap_udf()
+    out = {r["id"]: r["e"] for r in df.select("id", parse("xml").alias("e")).collect()}
+    assert out[0] is None
+    assert [e["loc"] for e in out[1]] == ["https://a.com/x"]

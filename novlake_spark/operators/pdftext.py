@@ -251,8 +251,14 @@ def extract_pdf_text(data: bytes) -> list[str]:
             raw = raw[:-2]
         elif raw.endswith(b"\n") or raw.endswith(b"\r"):
             raw = raw[:-1]
-        # the stream's dict is the nearest << ... >> before 'stream'
-        dict_at = data.rfind(b"<<", 0, m.start())
+        # The stream's dict is the nearest << ... >> before 'stream'.
+        # Bounded window: an UNbounded rfind re-scans the whole prefix
+        # whenever a crafted payload omits the dict, going quadratic
+        # with stream count (the same amplification class as the WARC
+        # inflate bug); a real stream dict sits within a few hundred
+        # bytes of its 'stream' keyword.
+        lo = max(0, m.start() - 4096)
+        dict_at = data.rfind(b"<<", lo, m.start())
         head = data[dict_at : m.start()] if dict_at >= 0 else b""
         if b"/FlateDecode" in head:
             dec = _zlib.decompressobj()

@@ -216,10 +216,14 @@ def _stream_text(content: bytes) -> str:
             if tail[:2] == b"Tj" or tail[:1] in (b"'", b'"'):
                 parts.append(s)
             else:
-                # inside a TJ array? strings accumulate until the ] TJ
-                after = block[end:].lstrip()
+                # Inside a TJ array? Strings accumulate until the ] TJ.
+                # Bounded search window (kerning numbers between array
+                # elements are a few bytes) — an unbounded find would
+                # re-scan the rest of the block per string, quadratic
+                # on crafted ]-free content.
+                after = block[end : end + 64].lstrip()
                 if after[:1] in (b"]", b")", b"(", b"-", b".") or after[:1].isdigit():
-                    close = block.find(b"]", end)
+                    close = block.find(b"]", end, end + 4096)
                     if close >= 0 and block[close : close + 4].replace(b" ", b"")[:3] == b"]TJ":
                         parts.append(s)
             k += 1

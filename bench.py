@@ -78,6 +78,7 @@ HEADLINE = [
     "q_pdf_extract",
     "q_tar_extract",
     "q_fix_mojibake",
+    "q_zip_extract",
 ]
 
 

@@ -1981,3 +1981,51 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fix = fix_mojibake_udf()
     return docs.select("doc_id", fix(dirty).alias("text")).orderBy("doc_id")
+
+
+@register(
+    "q_zip_extract",
+    oracle="""
+    SELECT doc_id,
+           'corpus/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+           strlen(text) AS n_bytes,
+           text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51: ZIP-archive ingestion — tar's random-access sibling (zip
+    carries a central directory + per-member DEFLATE + CRC-32, the
+    layout dataset releases and HF bundles use). Same constructive
+    FULL oracle as L49: documents packed into deterministic archives
+    distributed, members read back with the family guards (declared
+    sizes bounded, count caps, reads capped at declared+1, CRC
+    verified by the reader — corruption quarantines), doc_id recovered
+    from the member path. Sharing the tar oracle is deliberate: the
+    two containers must agree byte-for-byte on the extracted corpus."""
+    import pandas as _pd
+
+    from novlake_spark.operators.warc import encode_zip, read_zip
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        srt = pdf.sort_values("doc_id")
+        members = [
+            (f"corpus/doc_{int(i)}.txt", str(t).encode("utf-8"))
+            for i, t in zip(srt["doc_id"], srt["text"])
+        ]
+        return _pd.DataFrame({"zip": [encode_zip(members)]})
+
+    zips = (
+        docs.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
+        .applyInPandas(build, schema="zip binary")
+    )
+    members = read_zip(zips)
+    return members.select(
+        F.regexp_extract("name", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        "name",
+        F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
+        F.col("data").cast("string").alias("text"),
+    ).orderBy("doc_id")

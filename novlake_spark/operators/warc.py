@@ -314,3 +314,76 @@ def read_tar(df: DataFrame, col: str = "tar") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema="name string, size long, data binary")
+
+
+def encode_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """(name, payload) pairs → deterministic ZIP bytes (DEFLATE, fixed
+    DOS timestamp) — the random-access sibling of :func:`encode_tar`:
+    zip carries a central directory, so a reader can list and fetch
+    one member without touching the rest."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+@_parse_guard
+def parse_zip(data: bytes) -> list[tuple[str, bytes]]:
+    """ZIP bytes → [(member name, payload)] for file members.
+
+    Guards: member-count cap, DECLARED sizes bounded before reading,
+    reads capped at the declared size + 1 so a lying header cannot
+    balloon (zipfile verifies each member's CRC on read — corruption
+    surfaces as BadZipFile → ValueError quarantine)."""
+    import io
+    import zipfile
+
+    out: list[tuple[str, bytes]] = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(data), "r") as zf:
+            infos = zf.infolist()
+            if len(infos) > _MAX_TAR_MEMBERS:
+                raise ValueError(f"zip member count exceeds cap {_MAX_TAR_MEMBERS}")
+            for info in infos:
+                if info.is_dir():
+                    continue
+                if info.file_size > _MAX_RECORD_BYTES:
+                    raise ValueError("zip member declares size past cap")
+                with zf.open(info) as f:
+                    payload = f.read(info.file_size + 1)
+                if len(payload) != info.file_size:
+                    raise ValueError("zip member size mismatch")
+                out.append((info.filename, payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"corrupt zip: {e}") from e
+    if not out:
+        raise ValueError("zip has no file members")
+    return out
+
+
+def read_zip(df: DataFrame, col: str = "zip") -> DataFrame:
+    """(…, zip binary) → one row per file member: (name, size, data).
+    Corrupt archives quarantine; one archive = one task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"name": [], "size": [], "data": []}
+            for blob in pdf[col]:
+                try:
+                    members = parse_zip(bytes(blob))
+                except ValueError:
+                    continue
+                for name, payload in members:
+                    out["name"].append(name)
+                    out["size"].append(len(payload))
+                    out["data"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema="name string, size long, data binary")

@@ -34,13 +34,13 @@ _WEAK: set[str] = set()
 #: robots.txt filtering, the composite crawl pipeline chaining all of
 #: them, the zlib compression-ratio quality signal, FULL-oracle
 #: sitemap XML parsing, FULL-oracle PDF text extraction, FULL-oracle
-#: tar ingestion, and FULL-oracle mojibake repair) + the 27 stalest
-#: round-1-graded keys = 50 exactly, zero r2 fills left. The displaced
-#: keys (q_stream_dedup/q_stream_sliding/q_stream_user_counts from r1;
-#: r2's q_agg_groupby, q_join_star, q_join_asof, q_join_full,
-#: q_join_anti, q_join_range, q_agg_grouping_sets, q_agg_percentile)
-#: head the round-6 rotation with the remaining r2 block (fn_*,
-#: streams, UDFs, llm md5 twins).
+#: tar AND zip ingestion, and FULL-oracle mojibake repair) + the 26
+#: stalest round-1-graded keys = 50 exactly, zero r2 fills left. The
+#: displaced keys (q_fn_posexplode/q_stream_dedup/q_stream_sliding/
+#: q_stream_user_counts from r1; r2's q_agg_groupby, q_join_star,
+#: q_join_asof, q_join_full, q_join_anti, q_join_range,
+#: q_agg_grouping_sets, q_agg_percentile) head the round-6 rotation
+#: with the remaining r2 block (fn_*, streams, UDFs, llm md5 twins).
 PRIORITY: list[str] = [
     # ---- touched this round: re-grade first ----
     "q_llm_contamination",   # broadcast hint removed (VERDICT r4 wrong #1)
@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "q_pdf_extract",         # NEW r5: FULL — tolerant PDF text-layer reader
     "q_tar_extract",         # NEW r5: FULL — ustar archive member ingestion
     "q_fix_mojibake",        # NEW r5: FULL — charset-damage repair inverse
+    "q_zip_extract",         # NEW r5: FULL — zip (central-dir+CRC) ingestion
     "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
     "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
     "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
@@ -93,8 +94,8 @@ PRIORITY: list[str] = [
     "q_agg_string_agg",
     "q_event_retention",
     "q_fn_bitwise",
-    "q_fn_posexplode",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_fn_posexplode",
     "q_stream_dedup",
     "q_stream_sliding",
     "q_stream_user_counts",

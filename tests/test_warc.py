@@ -153,3 +153,56 @@ def test_read_tar_distributed(spark):
     df = spark.createDataFrame(rows, "blob_id long, tar binary")
     got = sorted((r["name"], bytes(r["data"])) for r in W.read_tar(df).collect())
     assert got == [("d/doc_0.txt", b"alpha"), ("d/doc_1.txt", b"beta")]
+
+
+def test_zip_roundtrip_and_guards(monkeypatch):
+    """zip codec: deterministic bytes, CRC verification, declared-size
+    bounds, member caps, directory skipping, corruption quarantine."""
+    import io
+    import zipfile
+
+    two = W.encode_zip([("a/x.txt", b"hello"), ("y.bin", b"\x00\x01" * 50)])
+    assert two == W.encode_zip([("a/x.txt", b"hello"), ("y.bin", b"\x00\x01" * 50)])
+    assert W.parse_zip(two) == [("a/x.txt", b"hello"), ("y.bin", b"\x00\x01" * 50)]
+
+    # CRC corruption quarantines (zipfile verifies on read)
+    bad = bytearray(two)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt zip|CRC"):
+        W.parse_zip(bytes(bad))
+
+    # directories skipped
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("d/", date_time=(1980, 1, 1, 0, 0, 0)), b"")
+        zf.writestr(zipfile.ZipInfo("d/f.txt", date_time=(1980, 1, 1, 0, 0, 0)), b"ok")
+    assert W.parse_zip(buf.getvalue()) == [("d/f.txt", b"ok")]
+
+    # declared-size bomb quarantines before reading
+    monkeypatch.setattr(W, "_MAX_RECORD_BYTES", 16)
+    with pytest.raises(ValueError, match="cap"):
+        W.parse_zip(W.encode_zip([("big.bin", b"z" * 64)]))
+    monkeypatch.setattr(W, "_MAX_RECORD_BYTES", 64 * 1024 * 1024)
+
+    # member-count cap
+    monkeypatch.setattr(W, "_MAX_TAR_MEMBERS", 2)
+    with pytest.raises(ValueError, match="cap"):
+        W.parse_zip(W.encode_zip([(f"f{i}", b"x") for i in range(4)]))
+    monkeypatch.setattr(W, "_MAX_TAR_MEMBERS", 65536)
+
+    # garbage / truncation quarantine
+    with pytest.raises(ValueError):
+        W.parse_zip(b"junk" * 40)
+    for cut in range(4, len(two), 31):
+        try:
+            W.parse_zip(two[:cut])
+        except ValueError:
+            pass
+
+
+def test_read_zip_distributed(spark):
+    good = W.encode_zip([("d/doc_0.txt", b"alpha"), ("d/doc_1.txt", b"beta")])
+    rows = [(0, bytearray(good)), (1, bytearray(b"corrupt"))]
+    df = spark.createDataFrame(rows, "blob_id long, zip binary")
+    got = sorted((r["name"], bytes(r["data"])) for r in W.read_zip(df).collect())
+    assert got == [("d/doc_0.txt", b"alpha"), ("d/doc_1.txt", b"beta")]

@@ -421,9 +421,10 @@ def q_ts_diff_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_cumsum_skewsafe",
     oracle="""
     SELECT event_id, user_id,
-           sum(CAST(round(value * 100) AS BIGINT)) OVER
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_cents
     FROM events
     """,
 )
@@ -437,11 +438,21 @@ def q_win_cumsum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift in the last ulp, so money-like columns scale to integers
     (the same discipline Spark's own partial aggregates rely on).
     FULL oracle: DuckDB computes the naive one-shot window over the
-    same cents — hash equality proves the re-associated plan exact."""
+    same cents — hash equality proves the re-associated plan exact.
+
+    Cross-engine result-TYPE discipline (the round-5 driver failure,
+    CORRECTNESS_r05): DuckDB's windowed ``sum(BIGINT)`` widens to
+    HUGEINT, which pandas materializes as float64 — the driver hashes
+    ``6.0`` against Spark's int64 ``6`` and fails even though every
+    VALUE is equal. The oracle therefore CASTs the window back to
+    BIGINT. Cents scaling is ``floor(value*100 + 0.5)`` on BOTH
+    engines — F.round is HALF_UP on the shortest-repr decimal while
+    DuckDB rounds the binary double, which can disagree at exact .5
+    boundaries; one shared floor form has no boundary at all."""
     from novlake_spark.operators.skew import skew_safe_cumsum
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "_cents", F.round(F.col("value") * 100, 0).cast("long")
+        "_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     )
     summed = skew_safe_cumsum(
         ev, part="user_id", order=["ts", "event_id"], value="_cents", n_buckets=16
@@ -479,7 +490,7 @@ def q_win_rownum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_moving_avg_skewsafe",
     oracle="""
     SELECT event_id, user_id,
-           round(sum(CAST(round(value * 100) AS BIGINT))
+           round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                  / (count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -501,11 +512,13 @@ def q_win_moving_avg_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine implementation detail — integer frame sums are exact under
     ANY execution strategy and cross-engine, so the graded key takes
     the guaranteed path. FULL oracle: the same integer-cents
-    formulation in DuckDB, 4-dp rounded."""
+    formulation in DuckDB, 4-dp rounded. Cents scale via the shared
+    boundary-free ``floor(value*100 + 0.5)`` form on both engines
+    (see q_win_cumsum_skewsafe's type-discipline note)."""
     from novlake_spark.operators.skew import skew_safe_moving_avg
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "_cents", F.round(F.col("value") * 100, 0).cast("long")
+        "_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     )
     m = skew_safe_moving_avg(
         ev, part="user_id", order=["ts", "event_id"], value="_cents",

@@ -20,54 +20,108 @@ _ORACLES: dict[str, str] = {}
 _WEAK: set[str] = set()
 
 #: The correctness driver grades roughly the FIRST 50 keys in the order
-#: ``queries()`` yields them. After round 4 the driver-graded union hit
-#: 175/175 (every registered key green at least once, zero failures ever),
-#: so from round 5 on the head's job is EVIDENCE FRESHNESS, not coverage:
-#: each round it rotates onto (a) every key whose implementation changed
-#: since its last grade, then (b) the keys with the OLDEST driver grades.
-#: Round-5 head = 20 keys touched/new this round (contamination unhint,
-#: q_join_inner hint swap, the kNN-kernel HALF_UP rounding fix and its
-#: three approx siblings, the codec decode-bound guards, the four new
-#: skew-safe window keys, the from_json adoption, and eight NEW keys:
-#: MJPEG/AVI video decode, FULL-oracle HTML extraction, FULL-oracle
-#: URL canonicalization, FULL-oracle WARC ingestion, FULL-oracle
-#: robots.txt filtering, the composite crawl pipeline chaining all of
-#: them, the zlib compression-ratio quality signal, FULL-oracle
-#: sitemap XML parsing, FULL-oracle PDF text extraction, FULL-oracle
-#: tar AND zip ingestion, and FULL-oracle mojibake repair) + the 26
-#: stalest round-1-graded keys = 50 exactly, zero r2 fills left. The
-#: displaced keys (q_fn_posexplode/q_stream_dedup/q_stream_sliding/
-#: q_stream_user_counts from r1; r2's q_agg_groupby, q_join_star,
-#: q_join_asof, q_join_full, q_join_anti, q_join_range,
-#: q_agg_grouping_sets, q_agg_percentile) head the round-6 rotation
-#: with the remaining r2 block (fn_*, streams, UDFs, llm md5 twins).
+#: ``queries()`` yields them. The graded union hit every registered key
+#: by round 5, so the head's job is EVIDENCE FRESHNESS: each round it
+#: rotates onto (a) ROUND_HEAD — keys whose implementation or oracle
+#: changed since their last grade — then (b) the keys with the OLDEST
+#: driver grades, in stable order. No counts in prose: the rotation is
+#: machine-checked by tests/test_contract.py::test_priority_rotation,
+#: which recomputes staleness from CORRECTNESS_r0*.json and fails if any
+#: key outside the window is staler than a non-head key inside it
+#: (ADVICE r4 #5 / VERDICT r5 wrong #3 — hand-maintained arithmetic
+#: drifted twice; it is now derived, not asserted).
+
+#: Keys that MUST be re-graded this round: implementation or oracle
+#: changed since their last driver grade.
+ROUND_HEAD: list[str] = [
+    # round 6: oracle repaired (CAST the windowed sum back to BIGINT —
+    # DuckDB widens sum(BIGINT) to HUGEINT which pandas reads as float64,
+    # the round-5 hash failure) + boundary-free floor(x*100+0.5) cents
+    "q_win_cumsum_skewsafe",
+    # round 6: cents scaling moved to the same shared floor form on both
+    # engines (was F.round vs DuckDB round, unpinned at .5 boundaries)
+    "q_win_moving_avg_skewsafe",
+]
+
 PRIORITY: list[str] = [
-    # ---- touched this round: re-grade first ----
-    "q_llm_contamination",   # broadcast hint removed (VERDICT r4 wrong #1)
-    "q_join_inner",          # D9 demo hint moved to bounded side (wrong #2)
-    "q_llm_knn_join",        # kernel selection now F.round-faithful (ADVICE)
-    "q_llm_dedup_embed",     # shares blocked_topk_candidates kernel
-    "q_llm_knn_lsh",         # WEAK — same kernel
-    "q_llm_knn_ivf",         # WEAK — same kernel
-    "q_multimodal_decode",   # WEAK — decode-bound guards added (ADVICE)
-    "q_multimodal_video",    # NEW r5: WEAK — real MJPEG/AVI frame decode
-    "q_html_extract",        # NEW r5: FULL — html.parser extraction oracle
-    "q_url_canonicalize",    # NEW r5: FULL — constructive canonical-URL oracle
-    "q_warc_extract",        # NEW r5: FULL — WARC->HTTP->charset->HTML chain
-    "q_robots_filter",       # NEW r5: FULL — robots.txt politeness admission
-    "q_crawl_pipeline",      # NEW r5: FULL — composite frontier->fetch->curate
-    "q_llm_compress_ratio",  # NEW r5: WEAK — zlib quality signal (no SQL DEFLATE)
-    "q_sitemap_parse",       # NEW r5: FULL — ElementTree frontier seed list
-    "q_pdf_extract",         # NEW r5: FULL — tolerant PDF text-layer reader
-    "q_tar_extract",         # NEW r5: FULL — ustar archive member ingestion
-    "q_fix_mojibake",        # NEW r5: FULL — charset-damage repair inverse
-    "q_zip_extract",         # NEW r5: FULL — zip (central-dir+CRC) ingestion
-    "q_ts_diff_skewsafe",    # NEW r5: two-phase hot-key window (wrong #3)
-    "q_win_cumsum_skewsafe", # NEW r5: cumsum member of the same family
-    "q_win_rownum_skewsafe", # NEW r5: row_number member (ones-cumsum)
-    "q_win_moving_avg_skewsafe",  # NEW r5: bounded-frame member (ghosts)
-    "q_json_extract",        # from_json adoption (VERDICT r4 next #7)
-    # ---- oldest driver evidence: the 30 round-1-graded keys ----
+    # ---- ROUND_HEAD: changed this round, re-grade first ----
+    "q_win_cumsum_skewsafe",
+    "q_win_moving_avg_skewsafe",
+    # ---- stalest driver evidence: the four round-1-graded keys ----
+    "q_fn_posexplode",
+    "q_stream_dedup",
+    "q_stream_sliding",
+    "q_stream_user_counts",
+    # ---- the stalest round-2-graded block, stable order (the leftover
+    # ---- r2 keys lead the tail below and head round 7) ----
+    "q_agg_groupby",
+    "q_join_star",
+    "q_join_asof",
+    "q_join_full",
+    "q_join_anti",
+    "q_join_range",
+    "q_agg_grouping_sets",
+    "q_agg_percentile",
+    "q_case_when",
+    "q_distinct",
+    "q_event_funnel",
+    "q_filter_bool",
+    "q_fn_array",
+    "q_scd2_build",
+    "q_project_compute",
+    "q_topk_global",
+    "q_win_row_number",
+    "q_win_lag_lead",
+    "q_win_range_frame",
+    "q_win_moving_avg",
+    "q_win_topk_per_group",
+    "q_set_union_all",
+    "q_set_intersect",
+    "q_set_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_map",
+    "q_fn_hash",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_udtf_split",
+    "q_llm_dedup_exact",
+    "q_llm_minhash_md5",
+    "q_llm_simhash_md5",
+    "q_llm_textstats",
+    "q_llm_quality",
+    "q_llm_langid",
+    "q_llm_token_count",
+    "q_llm_tfidf",
+    "q_llm_knn_single",
+    # ---- below the window: stable order, re-rotated next round ----
+    "q_tpch_q5",
+    "q_llm_contamination",
+    "q_join_inner",
+    "q_llm_knn_join",
+    "q_llm_dedup_embed",
+    "q_llm_knn_lsh",
+    "q_llm_knn_ivf",
+    "q_multimodal_decode",
+    "q_multimodal_video",
+    "q_html_extract",
+    "q_url_canonicalize",
+    "q_warc_extract",
+    "q_robots_filter",
+    "q_crawl_pipeline",
+    "q_llm_compress_ratio",
+    "q_sitemap_parse",
+    "q_pdf_extract",
+    "q_tar_extract",
+    "q_fix_mojibake",
+    "q_zip_extract",
+    "q_ts_diff_skewsafe",
+    "q_win_rownum_skewsafe",
+    "q_json_extract",
     "q_scan_parquet",
     "q_scan_events_ts",
     "q_join_left",
@@ -94,24 +148,6 @@ PRIORITY: list[str] = [
     "q_agg_string_agg",
     "q_event_retention",
     "q_fn_bitwise",
-    # ---- below the window: stable order, re-rotated next round ----
-    "q_fn_posexplode",
-    "q_stream_dedup",
-    "q_stream_sliding",
-    "q_stream_user_counts",
-    "q_agg_groupby",
-    "q_join_star",
-    "q_join_asof",
-    "q_join_full",
-    "q_join_anti",
-    "q_join_range",
-    "q_agg_grouping_sets",
-    "q_agg_percentile",
-    "q_case_when",
-    "q_distinct",
-    "q_event_funnel",
-    "q_filter_bool",
-    "q_fn_array",
     "q_llm_jaccard_pairs",
     "q_llm_cosine_pairs",
     "q_llm_tf_topk",
@@ -202,38 +238,6 @@ PRIORITY: list[str] = [
     "q_multimodal_bytes",
     "q_llm_pii_scrub",
     "q_llm_span_dedup",
-    "q_scd2_build",
-    "q_project_compute",
-    "q_topk_global",
-    "q_win_row_number",
-    "q_win_lag_lead",
-    "q_win_range_frame",
-    "q_win_moving_avg",
-    "q_win_topk_per_group",
-    "q_set_union_all",
-    "q_set_intersect",
-    "q_set_except",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_map",
-    "q_fn_hash",
-    "q_stream_tumbling",
-    "q_stream_session",
-    "q_udf_scalar",
-    "q_udf_pandas",
-    "q_udaf_grouped",
-    "q_udtf_split",
-    "q_llm_dedup_exact",
-    "q_llm_minhash_md5",
-    "q_llm_simhash_md5",
-    "q_llm_textstats",
-    "q_llm_quality",
-    "q_llm_langid",
-    "q_llm_token_count",
-    "q_llm_tfidf",
-    "q_llm_knn_single",
-    "q_tpch_q5",
     "q_tpch_q18",
     "q_subquery_correlated",
 ]

@@ -22,30 +22,61 @@ def test_registry_shape():
     assert set(qs) - set(oracles) == registry.weak_keys()
 
 
-def test_priority_order():
-    """The driver grades ~the first 50 keys of queries(). After round 4
-    the driver-graded union reached every registered key, so the
-    standing policy (registry.PRIORITY docstring) is evidence FRESHNESS:
-    any key with NO driver grade in any recorded CORRECTNESS_r0*.json —
-    i.e. keys added this round — must sit inside the graded head, and
-    the head must be exactly the window the driver will take."""
+def _latest_grades():
     import glob
     import json
     import os
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        rnd = int(os.path.basename(p).split("_r0")[1].split(".")[0])
+        with open(p) as f:
+            for k in json.load(f):
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest
+
+
+def test_priority_order():
+    """The driver grades ~the first 50 keys of queries(): PRIORITY must
+    name only registered keys, without duplicates, and any key with NO
+    driver grade in any recorded CORRECTNESS_r0*.json (i.e. keys added
+    this round) must sit inside the graded window."""
     qs = contract.queries()
     missing = [k for k in registry.PRIORITY if k not in qs]
     assert not missing, f"PRIORITY names unregistered keys: {missing}"
+    assert len(registry.PRIORITY) == len(set(registry.PRIORITY)), "dup PRIORITY keys"
     head = list(qs)[:50]
-    already = set()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
-        with open(p) as f:
-            already |= set(json.load(f))
-    never = [k for k in qs if k not in already]
+    latest = _latest_grades()
+    never = [k for k in qs if k not in latest]
     outside = [k for k in never if k not in head]
     assert not outside, f"never-graded keys outside the graded window: {outside}"
-    assert len(registry.PRIORITY) == len(set(registry.PRIORITY)), "dup PRIORITY keys"
+
+
+def test_priority_rotation():
+    """Machine-check of the rotation policy the PRIORITY comment states
+    (VERDICT r5 wrong #3: hand-maintained arithmetic in the comment
+    drifted twice, so the counts now live HERE, recomputed from the
+    CORRECTNESS history): the window is ROUND_HEAD (keys changed since
+    their last grade — must be re-graded) plus the stalest evidence,
+    meaning no key OUTSIDE the window may have an older latest-grade
+    than any non-head key INSIDE it."""
+    qs = contract.queries()
+    window = list(qs)[:50]
+    in_window = set(window)
+    for k in registry.ROUND_HEAD:
+        assert k in in_window, f"ROUND_HEAD key {k} outside the graded window"
+    latest = _latest_grades()
+    non_head = [k for k in window if k not in registry.ROUND_HEAD]
+    # never-graded keys count as staleness 0 (most urgent)
+    worst_inside = max(latest.get(k, 0) for k in non_head)
+    staler_outside = [
+        k for k in qs if k not in in_window and latest.get(k, 0) < worst_inside
+    ]
+    assert not staler_outside, (
+        f"keys staler than the window's non-head tail (r{worst_inside}) were "
+        f"left outside it: {staler_outside}"
+    )
 
 
 def test_all_queries_documented():

@@ -31,15 +31,20 @@ from novlake_spark.sources.tables import TABLES  # noqa: E402
 
 
 def _cell(v) -> str:
-    """Canonical string for one value — engine-agnostic."""
+    """Canonical string for one value — engine-agnostic but TYPE-faithful.
+
+    Round-5 lesson (CORRECTNESS_r05 q_win_cumsum_skewsafe): the driver's
+    hash distinguishes float ``6.0`` from int ``6``; this harness used to
+    canonicalize them together and shipped an oracle whose windowed
+    sum(BIGINT) came back from DuckDB as HUGEINT→float64. Floats now hash
+    as floats — an int-vs-float drift fails locally exactly like it fails
+    on the driver."""
     if v is None:
         return "@N"
     if isinstance(v, float):
         if math.isnan(v):
             return "@N"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 and 3 hash alike
-        return repr(round(v, 9))
+        return repr(round(v, 9))  # 3.0 hashes as '3.0', never '3'
     if isinstance(v, (int,)):
         return str(v)
     if isinstance(v, pd.Timestamp):
@@ -103,14 +108,27 @@ def main() -> int:
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
         elif canon_hash(sdf) != canon_hash(odf):
             problems.append("hash mismatch")
+        # Result-TYPE drift is a FAILURE, not a warning (round-5 lesson:
+        # the driver hashes values type-faithfully, so a Spark int64
+        # against an oracle float64 is red there even when every value
+        # is numerically equal). Same-KIND width differences (int32 vs
+        # int64, datetime64[us] vs [ns]) repr identically and stay
+        # benign; cross-kind (int vs float, object vs numeric) fails.
+        dt = [
+            f"{c}:{sdf[c].dtype}!={odf[c].dtype}"
+            for c in sdf.columns
+            if c in odf.columns and sdf[c].dtype.kind != odf[c].dtype.kind
+        ]
+        if dt:
+            problems.append(f"dtype kind {dt}")
         else:
-            dt = [
-                f"{c}:{sdf[c].dtype}!={odf[c].dtype}"
+            width = [
+                f"{c}:{sdf[c].dtype}~{odf[c].dtype}"
                 for c in sdf.columns
-                if str(sdf[c].dtype) != str(odf[c].dtype)
+                if c in odf.columns and str(sdf[c].dtype) != str(odf[c].dtype)
             ]
-            if dt:
-                print(f"{key}: DTYPE WARN {dt}")
+            if width:
+                print(f"{key}: WIDTH NOTE {width}")  # same kind, repr-equal
         if problems:
             print(f"{key}: FAIL {', '.join(problems)} ({time.time()-t0:.1f}s)")
             if "hash mismatch" in problems and len(sdf) == len(odf):

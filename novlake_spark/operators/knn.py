@@ -77,17 +77,30 @@ def _round_half_up_4dp(x: np.ndarray) -> np.ndarray:
     ``repr(float)``) ``.setScale(4, HALF_UP)`` — half away from zero.
     ``np.round`` is HALF_EVEN on the scaled binary value, so the two
     disagree at .xxxx5 boundaries. Fast path: scale by 1e4 and
-    floor(+0.5)/ceil(−0.5). Because IEEE multiply is correctly rounded
-    and half-integers are exactly representable at this magnitude, the
-    fast path can only disagree with Java where the scaled product
-    lands EXACTLY on a half-integer — those few cells are re-resolved
-    through ``decimal.Decimal(repr(x))``, bit-faithful to
-    ``Double.toString``. Everything else stays vectorized.
+    floor(+0.5)/ceil(−0.5). The fast path can disagree with Java
+    anywhere the DECIMAL value of x's shortest repr sits on (or within
+    rounding error of) a half at the 4th decimal place — that includes
+    cells whose binary scaled product is NOT exactly a half-integer:
+    ``repr(0.00015)`` ends in 5 but 0.00015*1e4 is 1.4999999999999998,
+    so an exact-half test misses it while Spark still rounds UP to
+    0.0002 (ADVICE r5). Since |decimal(repr(x))·1e4 − x·1e4| ≤ ~1.5 ulp
+    of the scaled value, every possible disagreement lives within a few
+    ulps of a half-integer: re-resolve EVERY cell within a conservative
+    tolerance of a half (absolute 1e-9, widened relatively for large
+    magnitudes — vastly above the ulp bound, still a ~0 fraction of
+    random doubles) through ``decimal.Decimal(repr(x))``, bit-faithful
+    to ``Double.toString``. Everything else stays vectorized, and an
+    over-wide tolerance only costs extra Decimal calls — the Decimal
+    path IS the ground truth, so correctness never depends on the
+    tolerance being tight.
     """
     scaled = x * 10000.0
     with np.errstate(invalid="ignore"):  # ±inf sentinel rows → nan in frac
         r = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
-        half = np.isfinite(scaled) & (scaled - np.floor(scaled) == 0.5)
+        tol = np.maximum(1e-9, np.abs(scaled) * 1e-11)
+        half = np.isfinite(scaled) & (
+            np.abs(scaled - np.floor(scaled) - 0.5) <= tol
+        )
     if half.any():
         from decimal import ROUND_HALF_UP, Decimal
 
@@ -98,6 +111,49 @@ def _round_half_up_4dp(x: np.ndarray) -> np.ndarray:
                 Decimal(repr(float(flat_x[i]))).quantize(q, rounding=ROUND_HALF_UP)
             ) * 10000.0
     return r / 10000.0
+
+
+def _topk_final_order(sims: np.ndarray, b_ids: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row top-``kk`` column indices under the FINAL candidate
+    ordering (Spark-HALF_UP-rounded score desc, b_id asc) — exactly what
+    a downstream ``F.round``-then-window top-k selects.
+
+    Round-5 measured the straightforward form (round the FULL Q×D score
+    matrix, lexsort whole rows) costing q_llm_knn_join +45% at sf1, so
+    this takes an argpartition prefilter with an exactness guarantee
+    rather than a heuristic: keep the top ``M ≥ kk+64`` candidates by
+    RAW score, round/lexsort only those, then PROVE per row that nothing
+    excluded can reach the selection — rounding is monotone, so if the
+    raw cutoff (the M-th best raw score) rounds strictly below the row's
+    kk-th selected ROUNDED value, every excluded candidate rounds below
+    it too and can neither beat nor tie it. Rows where the proof fails
+    (a rounding-boundary tie straddles the cut — rare, but e.g. blocks
+    of near-identical vectors hit it) fall back to the exact full-row
+    path, so the result is bit-identical to the unfiltered form always,
+    not just usually.
+    """
+    n_d = sims.shape[1]
+    m = min(n_d, max(4 * kk, kk + 64))
+    if m >= n_d:
+        rounded = _round_half_up_4dp(sims)
+        return np.lexsort((np.broadcast_to(b_ids, sims.shape), -rounded), axis=1)[:, :kk]
+    part = np.argpartition(-sims, m - 1, axis=1)[:, :m]  # top-m raw, unordered
+    sub = np.take_along_axis(sims, part, axis=1)
+    sub_rounded = _round_half_up_4dp(sub)
+    order = np.lexsort((b_ids[part], -sub_rounded), axis=1)[:, :kk]
+    sel = np.take_along_axis(part, order, axis=1)
+    # exactness proof per row; -inf sentinels (self-pairs) round to -inf
+    # and only ever FAIL the proof, routing the row to the exact path
+    with np.errstate(invalid="ignore"):
+        cut_rounded = _round_half_up_4dp(sub.min(axis=1))
+        kth_rounded = np.take_along_axis(sub_rounded, order, axis=1)[:, -1]
+        bad = ~(cut_rounded < kth_rounded)
+    if bad.any():
+        full_rounded = _round_half_up_4dp(sims[bad])
+        sel[bad] = np.lexsort(
+            (np.broadcast_to(b_ids, full_rounded.shape), -full_rounded), axis=1
+        )[:, :kk]
+    return sel
 
 
 def blocked_topk_candidates(
@@ -146,13 +202,12 @@ def blocked_topk_candidates(
         kk = min(k, sims.shape[1])
         # selection must use the FINAL ordering (rounded score desc,
         # b_id asc) or boundary ties would keep different rows than the
-        # downstream window — lexsort on (b_id, -rounded). ADVICE r4:
-        # the rounding here must be the WINDOW's rounding (Java HALF_UP,
-        # F.round), not np.round's HALF_EVEN — at exactly-representable
-        # .xxxx5 scores (dyadic dot products like 1/32) the two disagree
-        # and the kernel would drop a candidate the window ranks top-k.
-        rounded = _round_half_up_4dp(sims)
-        order = np.lexsort((np.broadcast_to(b_ids, sims.shape), -rounded), axis=1)[:, :kk]
+        # downstream window. ADVICE r4: the rounding must be the
+        # WINDOW's rounding (Java HALF_UP via F.round), not np.round's
+        # HALF_EVEN; _topk_final_order guarantees that selection while
+        # only rounding/sorting an argpartitioned candidate slice (the
+        # r5 full-matrix form cost q_llm_knn_join +45% at sf1).
+        order = _topk_final_order(sims, b_ids, kk)
         top_scores = np.take_along_axis(sims, order, axis=1)
         keep = np.isfinite(top_scores)
         return pd.DataFrame(

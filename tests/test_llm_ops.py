@@ -310,6 +310,12 @@ def test_round_half_up_4dp_matches_spark_f_round(spark):
         0.5, -0.5, 0.00005, -0.00005, 0.99995,
         0.0, 1.0, -1.0, 123.45675, -123.45675,
         np.nextafter(0.03125, 0), np.nextafter(0.03125, 1),
+        # ADVICE r5: repr ends in 5 at the 5th significant decimal but
+        # the scaled binary product is NOT an exact half-integer
+        # (0.00015*1e4 = 1.4999999999999998) — an exact-half fast-path
+        # test misses these while BigDecimal.valueOf rounds them UP
+        0.00015, -0.00015, 0.00145, -0.00145, 0.00465, -0.00465,
+        0.10015, -0.10015, 2.00015, 0.99985, -0.99985,
     ]
     ours = K._round_half_up_4dp(np.array(vals, dtype=np.float64))
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
@@ -318,6 +324,44 @@ def test_round_half_up_4dp_matches_spark_f_round(spark):
         assert a == b, f"{v!r}: kernel {a!r} != F.round {b!r}"
     # and np.round genuinely differs on at least one of these (the bug)
     assert any(np.round(v, 4) != t for v, t in zip(vals, theirs))
+
+
+def test_topk_final_order_prefilter_exact():
+    """The argpartition prefilter in _topk_final_order must be
+    bit-identical to the unfiltered round-everything-lexsort form on
+    (a) random matrices wide enough to trigger the prefilter,
+    (b) tie-heavy matrices (many identical scores straddle the raw cut,
+    forcing the per-row exactness-proof FALLBACK), and (c) matrices
+    with -inf self-pair sentinels."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+
+    def brute(sims, b_ids, kk):
+        rounded = K._round_half_up_4dp(sims)
+        return np.lexsort(
+            (np.broadcast_to(b_ids, sims.shape), -rounded), axis=1
+        )[:, :kk]
+
+    b_ids = np.arange(500, dtype=np.int64)
+    rng.shuffle(b_ids)
+
+    cases = []
+    cases.append(rng.rand(40, 500) * 2 - 1)            # random, prefilter on
+    tie = np.full((40, 500), 0.03125)                  # all-equal: cut ties
+    tie[:, ::7] = 0.03121                              # two rounding classes
+    cases.append(tie)
+    quant = np.round(rng.rand(40, 500), 4) + 0.00005   # every score on a half
+    cases.append(quant)
+    with_inf = rng.rand(40, 500)
+    with_inf[np.arange(40), np.arange(40)] = -np.inf   # self-pair sentinels
+    cases.append(with_inf)
+
+    for sims in cases:
+        for kk in (1, 5, 10):
+            got = K._topk_final_order(sims.copy(), b_ids, kk)
+            want = brute(sims, b_ids, kk)
+            assert np.array_equal(got, want), f"kk={kk}"
 
 
 def test_blocked_topk_boundary_tie_matches_naive_window(spark):

@@ -100,6 +100,7 @@ def ingest_crawl(
     robots: DataFrame | None = None,
     min_tokens: int = 20,
     blob_col: str = "warc",
+    missing_robots_allowed: bool = True,
 ) -> DataFrame:
     """Crawl ingestion front-end for :func:`curate`: WARC blobs →
     (url, domain, text) documents ready for the curation pipeline.
@@ -132,9 +133,15 @@ def ingest_crawl(
         F.col("extracted").alias("text"),
     )
     if robots is not None:
+        # robots_filter yields allowed=NULL for domains with no robots
+        # row ("unknown domain = decide upstream"); a bare filter on the
+        # boolean would silently DROP those NULLs (ADVICE r5). Standard
+        # crawl semantics say a missing robots.txt permits fetching, so
+        # the default admits them; missing_robots_allowed=False opts
+        # into the strict only-known-domains policy explicitly.
         docs = (
             robots_filter(docs, robots)
-            .filter(F.col("allowed"))
+            .filter(F.coalesce(F.col("allowed"), F.lit(missing_robots_allowed)))
             .drop("allowed", "robots_txt")
         )
     return docs.filter(F.size(F.split("text", " ")) >= min_tokens)

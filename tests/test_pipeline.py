@@ -92,19 +92,34 @@ def test_ingest_crawl_feeds_curate(spark):
         + rec(1, "A.com", body.strip())          # exact duplicate text
         + rec(2, "Blocked.com", body.strip())    # robots-blocked domain
         + rec(3, "A.com", "too short")           # under the token floor
+        + rec(4, "NoRobots.org", body.strip())   # domain with NO robots row
     )
     blobs = spark.createDataFrame([(0, bytearray(blob))], "blob_id long, warc binary")
     robots = spark.createDataFrame(
         [("a.com", "User-agent: *\n"), ("blocked.com", "User-agent: *\nDisallow: /\n")],
         "domain string, robots_txt string",
     )
+    # Default policy: a domain absent from the robots table is ADMITTED
+    # (missing robots.txt = fetch allowed — the standard crawl rule).
+    # ADVICE r5: the old bare filter on `allowed` dropped the NULLs
+    # robots_filter deliberately emits for unknown domains.
     docs = ingest_crawl(blobs, robots=robots, min_tokens=20)
     got = docs.collect()
     assert {r["url"] for r in got} == {
         "http://a.com/Doc/0?a=2",
         "http://a.com/Doc/1?a=2",
+        "http://norobots.org/Doc/4?a=2",
     }
-    assert all(r["domain"] == "a.com" for r in got)
+
+    # strict opt-out: only domains with a KNOWN, permitting robots.txt
+    strict = ingest_crawl(
+        blobs, robots=robots, min_tokens=20, missing_robots_allowed=False
+    )
+    assert {r["url"] for r in strict.collect()} == {
+        "http://a.com/Doc/0?a=2",
+        "http://a.com/Doc/1?a=2",
+    }
+    assert all(r["domain"] == "a.com" for r in strict.collect())
 
     # exact dedup collapses the duplicate pair
     from novlake_spark.pipelines import drop_exact_dups

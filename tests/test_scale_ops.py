@@ -277,3 +277,44 @@ def test_skew_safe_moving_avg_equals_naive_window(spark):
             ).select("event_id", "_mavg").collect()
         }
         assert all(math.isclose(got_f[e], naive_f[e], rel_tol=1e-9) for e in naive_f), k
+
+
+def test_skew_safe_moving_avg_boundary_order_ties(spark):
+    """ADVICE r5: when the order key is NOT a total order and a tie
+    group straddles an index-bucket boundary, a ghosted bucket-tail row
+    ties with the next bucket's head — the window now breaks the tie on
+    the exact global row number, so frames stay well-defined. The
+    one-shot window is itself frame-nondeterministic under duplicate
+    order keys, so the test makes the TIED rows carry equal values
+    (any consistent tiebreak then yields value-identical frames) and
+    demands exact agreement with the naive plan, with ties planted
+    exactly at every bucket junction."""
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import skew_safe_moving_avg
+
+    # 16 rows, n_buckets=4 -> bucket size 4: junctions after positions
+    # 4, 8, 12. Rows 3..4, 7..8, 11..12 (0-based) share one ts value per
+    # junction and one VALUE per tie group; everything else is distinct.
+    ts_vals = [0, 1, 2, 3, 3, 5, 6, 7, 7, 9, 10, 11, 11, 13, 14, 15]
+    tie_value = {3: 100, 4: 100, 7: 200, 8: 200, 11: 300, 12: 300}
+    rows = [
+        (i, 0, ts_vals[i], tie_value.get(i, (i + 1) * 7))
+        for i in range(len(ts_vals))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, v long")
+
+    k = 3
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")  # unique tiebreak for the REFERENCE
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    naive = {r.event_id: r.m for r in df.select("event_id", F.avg("v").over(w).alias("m")).collect()}
+    got = {
+        r.event_id: r._mavg
+        for r in skew_safe_moving_avg(
+            df, "user_id", ["ts"], "v", frame_rows=k, n_buckets=4  # ties in ts!
+        ).select("event_id", "_mavg").collect()
+    }
+    assert got == naive

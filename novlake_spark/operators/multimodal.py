@@ -536,8 +536,8 @@ def decode_gif(data: bytes) -> np.ndarray:
     """Single-frame GIF87a/89a bytes → RGB uint8 array (H, W, 3) — pure
     stdlib/numpy full LZW decoder (growing code widths, CLEAR/EOI,
     KwKwK case, 12-bit cap). Extensions are skipped; 4-pass interlaced
-    images deinterlace (round 5); local color tables raise
-    ``ValueError`` (quarantine)."""
+    images deinterlace (round 5); a local color table overrides the
+    global one for its frame, per the spec."""
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):

@@ -79,6 +79,27 @@ def test_priority_rotation():
     )
 
 
+def test_plan_audit_covers_bench_set():
+    """PLANS.json is the repo's main scale evidence (per-query plan-shape
+    counters: exchanges, broadcast joins, Python evals). VERDICT r5
+    missing #2: it silently lagged the bench set by two keys. Pin
+    set(PLANS.json) == set(bench.HEADLINE) so plan coverage can't drift
+    from what the benchmark claims to measure."""
+    import json
+    import os
+
+    import bench
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.json")) as f:
+        plans = json.load(f)
+    assert set(plans) == set(bench.HEADLINE), (
+        f"PLANS.json out of sync with bench.HEADLINE — missing: "
+        f"{sorted(set(bench.HEADLINE) - set(plans))}, stale: "
+        f"{sorted(set(plans) - set(bench.HEADLINE))}"
+    )
+
+
 def test_all_queries_documented():
     for key, fn in contract.queries().items():
         assert fn.__doc__, f"{key} missing docstring"

@@ -79,6 +79,8 @@ HEADLINE = [
     "q_tar_extract",
     "q_fix_mojibake",
     "q_zip_extract",
+    # round-6 additions
+    "q_pdf_cmap_extract",
 ]
 
 

@@ -1906,6 +1906,51 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pdf_cmap_extract",
+    oracle="""
+    SELECT doc_id, 0 AS page,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1 AS page, text FROM documents
+    ORDER BY doc_id, page
+    """,
+)
+def q_pdf_cmap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48b (round 6): PDF text extraction through a subset-embedded
+    font's /ToUnicode CMap — how REAL machine-written PDFs encode text:
+    the body page's show strings are glyph CODES in first-use order
+    (what font subsetters assign), unreadable without applying the
+    CMap stream's bfchar/bfrange mapping back to Unicode; the title
+    page stays on the plain standard-encoding font, so one document
+    also exercises Tf font SWITCHING between decoders. The same
+    constructive FULL oracle as q_pdf_extract: any fault in the object
+    graph walk (/Resources /Font → font object → /ToUnicode stream),
+    the CMap parse, or the per-show font tracking yields mojibake and
+    breaks the hash. Scale shape unchanged: one document = one task
+    (mapInPandas), zero shuffle on the parse path."""
+    import pandas as _pd
+
+    from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "pdf": []}
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                out["doc_id"].append(i)
+                out["pdf"].append(
+                    encode_pdf([f"Doc {i}", str(text)], subset_font=[False, True])
+                )
+            yield _pd.DataFrame(out)
+
+    pdfs = docs.mapInPandas(build, schema="doc_id long, pdf binary")
+    return extract_pdf_docs(pdfs).orderBy("doc_id", "page")
+
+
+@register(
     "q_tar_extract",
     oracle="""
     SELECT doc_id,

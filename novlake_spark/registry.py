@@ -41,12 +41,15 @@ ROUND_HEAD: list[str] = [
     # round 6: cents scaling moved to the same shared floor form on both
     # engines (was F.round vs DuckDB round, unpinned at .5 boundaries)
     "q_win_moving_avg_skewsafe",
+    # round 6 NEW: /ToUnicode CMap PDF extraction (subset-font codes)
+    "q_pdf_cmap_extract",
 ]
 
 PRIORITY: list[str] = [
     # ---- ROUND_HEAD: changed this round, re-grade first ----
     "q_win_cumsum_skewsafe",
     "q_win_moving_avg_skewsafe",
+    "q_pdf_cmap_extract",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -97,8 +100,8 @@ PRIORITY: list[str] = [
     "q_llm_langid",
     "q_llm_token_count",
     "q_llm_tfidf",
-    "q_llm_knn_single",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_knn_single",
     "q_tpch_q5",
     "q_llm_contamination",
     "q_join_inner",

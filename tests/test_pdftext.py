@@ -89,6 +89,119 @@ def test_byte_truncations_never_crash():
             pass
 
 
+def test_cmap_roundtrip_all_variants():
+    """Round 6: subset-font pages show first-use-order glyph CODES as
+    hex strings; the /ToUnicode CMap must reconstruct the text exactly
+    — including non-latin-1 text the plain path can't carry, 2-byte
+    codespaces past 255 distinct chars, mixed plain/subset pages
+    (font switching through Tf), and both compressed and raw CMaps."""
+    uni = ["Doc 7", "the fox — 100% übermäßig ✓ λόγος ..."]
+    for compress in (True, False):
+        pdf = P.encode_pdf(uni, compress=compress, subset_font=True)
+        assert b"/ToUnicode" in pdf
+        assert P.extract_pdf_text(pdf) == uni
+    # mixed fonts: page 0 plain /F1, page 1 subset /F2
+    assert P.extract_pdf_text(P.encode_pdf(uni, subset_font=[False, True])) == uni
+    # >255 distinct chars forces the 2-byte codespace
+    wide = "".join(chr(0x100 + i) for i in range(300)) + " tail"
+    pdf = P.encode_pdf([wide], subset_font=True)
+    assert P.extract_pdf_text(pdf) == [wide]
+
+
+def test_cmap_without_handling_would_be_mojibake():
+    """The subset page's codes are NOT the characters — a reader that
+    ignores the CMap gets garbage, which is what this feature fixes."""
+    pages = ["zyxw"]
+    pdf = P.encode_pdf(pages, subset_font=True, compress=False)
+    # first-use codes are 1..4, so the raw shown string is \x01..\x04
+    assert b"<01020304> Tj" in pdf
+    assert P.extract_pdf_text(pdf) == pages
+
+
+def test_parse_tounicode_bfrange_forms():
+    """bfrange in both spec forms: incremented destination (consecutive
+    codes -> consecutive chars, with carry across UTF-16 units) and the
+    explicit array form; plus multi-unit (ligature) bfchar targets."""
+    cm = b"""
+    /CIDInit /ProcSet findresource begin
+    begincmap
+    1 begincodespacerange <00> <ff> endcodespacerange
+    2 beginbfchar
+    <01> <0041>
+    <02> <00660069>
+    endbfchar
+    2 beginbfrange
+    <10> <12> <0061>
+    <20> <22> [<0058> <0059> <005a>]
+    endbfrange
+    endcmap end
+    """
+    width, mapping = P._parse_tounicode(cm)
+    assert width == 1
+    assert mapping[0x01] == "A"
+    assert mapping[0x02] == "fi"  # ligature: two UTF-16 units
+    assert [mapping[c] for c in (0x10, 0x11, 0x12)] == ["a", "b", "c"]
+    assert [mapping[c] for c in (0x20, 0x21, 0x22)] == ["X", "Y", "Z"]
+
+
+def test_cmap_malformed_and_bomb_quarantine():
+    import re
+
+    with pytest.raises(ValueError, match="width"):
+        P._parse_tounicode(b"1 begincodespacerange <000000> <ffffff> endcodespacerange")
+    with pytest.raises(ValueError, match="bfchar"):
+        P._parse_tounicode(b"beginbfchar <01> endbfchar")
+    with pytest.raises(ValueError, match="bounds"):
+        P._parse_tounicode(
+            b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+            b"beginbfrange <ff00> <0001> <0041> endbfrange"
+        )
+    with pytest.raises(ValueError, match="unterminated"):
+        P._parse_tounicode(b"beginbfrange <01> <02> [<0041> endbfrange")
+    # destination overflow: incrementing past the width is malformed
+    with pytest.raises(ValueError, match="overflow"):
+        P._parse_tounicode(
+            b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+            b"beginbfrange <0000> <ffff> <ffff> endbfrange"
+        )
+    # entry-count bomb: overlapping ranges re-writing the same keys
+    # must hit the insertion cap, not loop forever
+    with pytest.raises(ValueError, match="cap"):
+        P._parse_tounicode(
+            b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+            + b"beginbfrange <0000> <fff0> <0000> endbfrange\n" * 3
+        )
+    # unmapped codes surface as U+FFFD, not a crash ("azq" is
+    # non-consecutive so the writer emits bfchar entries, droppable
+    # one at a time — consecutive text would fold into a bfrange)
+    pdf = P.encode_pdf(["azq"], subset_font=True, compress=False)
+    broken = re.sub(rb"<01> <\w+>\n", b"", pdf)  # drop 'a's bfchar entry
+    assert broken != pdf
+    [page] = P.extract_pdf_text(broken)
+    assert page == "�zq"
+
+
+def test_conflicting_font_bindings_quarantine():
+    """One name bound to two different font objects is ambiguous for
+    the document-wide map — quarantined, never guessed."""
+    pdf = bytearray(P.encode_pdf(["a", "b"], subset_font=True, compress=False))
+    # graft a second resources dict binding /F2 to a different object
+    evil = bytes(pdf).replace(
+        b"%%EOF", b"99 0 obj\n<< /Font << /F2 1 0 R >> >>\nendobj\n%%EOF"
+    )
+    with pytest.raises(ValueError, match="conflicting"):
+        P.extract_pdf_text(evil)
+
+
+def test_cmap_byte_truncations_never_crash():
+    pdf = P.encode_pdf(["some words here", "—ünïcødé page—"], subset_font=[False, True])
+    for cut in range(1, len(pdf), 41):
+        try:
+            P.extract_pdf_text(pdf[:cut])
+        except ValueError:
+            pass
+
+
 def test_extract_pdf_docs_spark(spark):
     import pandas as pd
 

@@ -81,6 +81,7 @@ HEADLINE = [
     "q_zip_extract",
     # round-6 additions
     "q_pdf_cmap_extract",
+    "q_llm_span_coverage",
 ]
 
 

@@ -1014,6 +1014,85 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_span_coverage",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(range(1, len(toks) - 1)) AS i,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+          FROM t),
+    dup AS (SELECT ngram, min(doc_id) AS first_doc
+            FROM (SELECT DISTINCT doc_id, ngram FROM g)
+            GROUP BY ngram HAVING count(*) > 1),
+    cov AS (SELECT g.doc_id, unnest([g.i, g.i + 1, g.i + 2]) AS p
+            FROM g JOIN dup USING (ngram)
+            WHERE g.doc_id <> dup.first_doc),
+    cnt AS (SELECT doc_id, count(DISTINCT p) AS n_dup_pos FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+           COALESCE(cnt.n_dup_pos, 0) AS n_dup_pos
+    FROM t LEFT JOIN cnt USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_llm_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52 (round 6): per-document duplicated-span coverage — the APPLY
+    half of substring-level training-data dedup (Lee et al. 2022),
+    completing q_llm_span_dedup's detection half: for every document,
+    how many of its token positions sit inside a 3-gram that also
+    occurs in another document (the canonical min-doc_id holder keeps
+    its spans — only non-keeper occurrences count as duplication).
+    This is the standard curation signal for "mostly boilerplate"
+    filtering and memorization-risk scoring.
+
+    Output is INTEGERS ONLY (n_tokens, covered positions) — the ratio
+    is the consumer's one division; emitting it here would put a
+    round() on a float boundary for no reason (SURVEY §5.3 discipline).
+
+    Plan at 100 TB: shingling is Arrow map-side; the duplicated-span
+    set aggregates on the span hash (partial agg, one exchange); the
+    positions join shuffles (span, doc, pos) triples only for spans
+    that ARE duplicated — boilerplate-heavy skew lands on AQE's
+    skew-split because this is a JOIN, not a window; the final
+    distinct-position count keys on doc_id. No driver state, no
+    broadcast of SF-scaled sides (hint policy: AQE decides)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(T.shingles_arrow(F.col("text"), 3)).alias("i", "ngram"),
+    )
+    dup = (
+        docs.select(
+            "doc_id",
+            F.explode(T.shingles_arrow(F.col("text"), 3, unique=True)).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .select("ngram", "first_doc")
+    )
+    covered = (
+        pos.join(dup, "ngram")
+        .filter(F.col("doc_id") != F.col("first_doc"))
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 2)).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("n_dup_pos"))
+    )
+    return (
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_pos"), F.lit(0).cast("long")).alias("n_dup_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("q_llm_bpe_encode", weak=True)  # WEAK: depends on the iterative trainer
 def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L14: apply a trained BPE merge table to the corpus — top-30

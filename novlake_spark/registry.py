@@ -43,6 +43,9 @@ ROUND_HEAD: list[str] = [
     "q_win_moving_avg_skewsafe",
     # round 6 NEW: /ToUnicode CMap PDF extraction (subset-font codes)
     "q_pdf_cmap_extract",
+    # round 6 NEW: per-doc duplicated-span coverage (apply half of
+    # substring dedup; q_llm_span_dedup is the detection half)
+    "q_llm_span_coverage",
 ]
 
 PRIORITY: list[str] = [
@@ -50,6 +53,7 @@ PRIORITY: list[str] = [
     "q_win_cumsum_skewsafe",
     "q_win_moving_avg_skewsafe",
     "q_pdf_cmap_extract",
+    "q_llm_span_coverage",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -99,8 +103,8 @@ PRIORITY: list[str] = [
     "q_llm_quality",
     "q_llm_langid",
     "q_llm_token_count",
-    "q_llm_tfidf",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_tfidf",
     "q_llm_knn_single",
     "q_tpch_q5",
     "q_llm_contamination",

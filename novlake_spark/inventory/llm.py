@@ -1093,6 +1093,44 @@ def q_llm_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_normalize_unicode",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               nfc_normalize('e' || chr(769) || ' ' || text
+                             || chr(7) || '  o' || chr(776)),
+               '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+             ' {2,}', ' ', 'g') AS clean_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_llm_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 (round 6): Unicode normalization — the curation stage that
+    runs BEFORE any hashing/dedup, so visually-identical strings digest
+    identically: NFC composition (crawled text freely mixes composed
+    é with decomposed e+U+0301), C0/C1-control stripping (except tab
+    and newline), and space-run collapse. FULL constructive oracle:
+    both engines build the same damaged input in-query (a decomposed
+    accent pair, a BEL control, a double space appended around each
+    document's text) and state the cleaned output independently —
+    Python's unicodedata NFC vs DuckDB's nfc_normalize, and the same
+    explicit regex class on both sides; canonical composition is
+    standardized, so the hash match is a real cross-implementation
+    check, not an echo. Zero shuffle: one ArrowEval over the scan
+    (the orderBy is oracle-comparison framing only)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = F.concat(
+        F.lit("e\u0301 "),        # decomposed e + COMBINING ACUTE
+        F.col("text"),
+        F.lit("\u0007  o\u0308"),  # BEL control, space run, decomposed o-diaeresis
+    )
+    clean = T.nfc_clean_udf()
+    return docs.select("doc_id", clean(messy).alias("clean_text")).orderBy("doc_id")
+
+
 @register("q_llm_bpe_encode", weak=True)  # WEAK: depends on the iterative trainer
 def q_llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L14: apply a trained BPE merge table to the corpus — top-30

@@ -243,3 +243,41 @@ def fix_mojibake_udf():
         return text.map(one)
 
     return fix
+
+
+def nfc_clean_udf():
+    """Unicode text normalization — the curation stage that runs before
+    ANY hashing/dedup so visually-identical strings digest identically:
+    NFC composition (decomposed e+COMBINING ACUTE → é; crawled text
+    mixes both forms freely), C0/C1-control stripping (except \\t and
+    \\n, which carry layout), and space-run collapse.
+
+    Cross-engine contract (the FULL-oracle key): DuckDB's
+    ``nfc_normalize`` implements the same Unicode NFC the stdlib's
+    ``unicodedata.normalize("NFC", …)`` does — canonical composition is
+    standardized, not implementation-defined — and the control-strip +
+    collapse steps are expressed as the SAME explicit regex class on
+    both sides. Third pandas-UDF exception in this module: Spark has no
+    built-in NFC expression (only a JVM-private one behind SQL's
+    ``normalize`` in newer dialects — not exposed in pyspark.sql.functions)."""
+    import re as _recln
+    import unicodedata as _ud
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    ctrl = _recln.compile("[\x00-\x08\x0b-\x1f\x7f]")
+    runs = _recln.compile(" {2,}")
+
+    @pandas_udf(StringType())
+    def clean(text: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            s = _ud.normalize("NFC", s)
+            s = ctrl.sub("", s)
+            return runs.sub(" ", s)
+
+        return text.map(one)
+
+    return clean

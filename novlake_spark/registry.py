@@ -46,6 +46,8 @@ ROUND_HEAD: list[str] = [
     # round 6 NEW: per-doc duplicated-span coverage (apply half of
     # substring dedup; q_llm_span_dedup is the detection half)
     "q_llm_span_coverage",
+    # round 6 NEW: NFC + control-strip + space-collapse normalization
+    "q_llm_normalize_unicode",
 ]
 
 PRIORITY: list[str] = [
@@ -54,6 +56,7 @@ PRIORITY: list[str] = [
     "q_win_moving_avg_skewsafe",
     "q_pdf_cmap_extract",
     "q_llm_span_coverage",
+    "q_llm_normalize_unicode",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -102,8 +105,8 @@ PRIORITY: list[str] = [
     "q_llm_textstats",
     "q_llm_quality",
     "q_llm_langid",
-    "q_llm_token_count",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_token_count",
     "q_llm_tfidf",
     "q_llm_knn_single",
     "q_tpch_q5",

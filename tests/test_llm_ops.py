@@ -437,3 +437,32 @@ def test_fix_mojibake_semantics(spark):
         for r in df.select("id", fix(fix("t")).alias("f2")).collect()
     }
     assert twice[4] == clean         # second pass finishes the job
+
+
+def test_nfc_clean_semantics(spark):
+    """Round 6 (q_llm_normalize_unicode's kernel): NFC composes
+    decomposed sequences, C0/C1 controls strip EXCEPT tab and newline
+    (layout carriers), space runs collapse, clean text is a fixed
+    point, nulls survive."""
+    from novlake_spark.operators.text import nfc_clean_udf
+
+    rows = [
+        (0, "e\u0301 and o\u0308"),        # decomposed -> composed
+        (1, "a\x00b\x07c\x1fd\x7fe"),         # controls stripped
+        (2, "tab\there\nnewline"),             # tab/newline preserved
+        (3, "x    y  z"),                      # runs collapse
+        (4, "already clean \u00e9 \u00f6 text"),  # fixed point (composed)
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    clean = nfc_clean_udf()
+    got = {r["id"]: r["c"] for r in df.select("id", clean("t").alias("c")).collect()}
+    assert got[0] == "\u00e9 and \u00f6" and len(got[0]) == 7  # composed single chars
+    assert got[1] == "abcde"
+    assert got[2] == "tab\there\nnewline"
+    assert got[3] == "x y z"
+    assert got[4] == rows[4][1]
+    assert got[5] is None
+    # idempotent: normalize twice == once
+    twice = {r["id"]: r["c"] for r in df.select("id", clean(clean("t")).alias("c")).collect()}
+    assert twice == got

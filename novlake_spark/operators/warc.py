@@ -182,11 +182,22 @@ def parse_warc(data: bytes) -> list[dict]:
                     k, _, v = part.strip().partition("=")
                     if k.lower() == "charset" and v:
                         charset = v.strip("\"' ").lower()
+                body = content[http_end + 4 :]
+                # A byte-order mark OUTRANKS the header charset (WHATWG
+                # Encoding sniffing order) — real servers mislabel
+                # UTF-16 pages as utf-8/latin-1 constantly, and the
+                # BOM is the page telling the truth about itself. The
+                # utf-8 BOM also pins charset so a stray latin-1 label
+                # can't double-decode the mark into 'ï»¿' mojibake.
+                if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                    charset = "utf-16"  # stdlib codec sniffs LE/BE and eats the BOM
+                elif body[:3] == b"\xef\xbb\xbf":
+                    charset = "utf-8-sig"
                 rec.update(
                     status=int(status_line[1]),
                     content_type=ctype.split(";")[0].strip(),
                     charset=charset,
-                    body=content[http_end + 4 :],
+                    body=body,
                 )
             records.append(rec)
             # records end with CRLF CRLF per spec; tolerate their absence

@@ -206,3 +206,40 @@ def test_read_zip_distributed(spark):
     df = spark.createDataFrame(rows, "blob_id long, zip binary")
     got = sorted((r["name"], bytes(r["data"])) for r in W.read_zip(df).collect())
     assert got == [("d/doc_0.txt", b"alpha"), ("d/doc_1.txt", b"beta")]
+
+
+def test_bom_outranks_header_charset(spark):
+    """WHATWG sniffing order: a byte-order mark wins over the header's
+    charset label — mislabeled UTF-16 pages decode instead of being
+    quarantined, and a utf-8 BOM never surfaces as 'ï»¿' mojibake."""
+    page = "<html><body>ünïcode page — verified</body></html>"
+    recs = (
+        # UTF-16LE body labeled utf-8 (the classic server lie)
+        W.encode_warc_record("http://a.com/16le", 200,
+                             "text/html; charset=utf-8",
+                             page.encode("utf-16-le"), record_id="urn:b:0")
+        # UTF-16 with explicit BOM, labeled latin-1
+        + W.encode_warc_record("http://a.com/16bom", 200,
+                               "text/html; charset=iso-8859-1",
+                               "﻿".encode("utf-16-be") + page.encode("utf-16-be"),
+                               record_id="urn:b:1")
+        # utf-8 with BOM, labeled latin-1 (double-decode trap)
+        + W.encode_warc_record("http://a.com/8bom", 200,
+                               "text/html; charset=iso-8859-1",
+                               b"\xef\xbb\xbf" + page.encode("utf-8"),
+                               record_id="urn:b:2")
+        # honest plain utf-8, no BOM: unchanged behavior
+        + W.encode_warc_record("http://a.com/plain", 200,
+                               "text/html; charset=utf-8",
+                               page.encode("utf-8"), record_id="urn:b:3")
+    )
+    df = spark.createDataFrame([(0, bytearray(recs))], "blob_id long, warc binary")
+    got = {r["target_uri"]: r["html"] for r in W.read_warc(df).collect()}
+    # the LE body has no BOM: utf-16-le bytes of ASCII-ish text decode
+    # as utf-8 only by luck of NULs — it must NOT round-trip to `page`
+    # silently wrong; with no BOM the header wins (documented), so the
+    # labeled-utf-8 NUL-ridden decode fails and the row is dropped.
+    assert "http://a.com/16le" not in got
+    assert got["http://a.com/16bom"] == page
+    assert got["http://a.com/8bom"] == page
+    assert got["http://a.com/plain"] == page

@@ -83,6 +83,7 @@ HEADLINE = [
     "q_pdf_cmap_extract",
     "q_llm_span_coverage",
     "q_llm_normalize_unicode",
+    "q_multimodal_phash",
 ]
 
 

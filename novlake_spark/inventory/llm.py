@@ -1552,6 +1552,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_stdlib(media).orderBy("media_id")
 
 
+@register("q_multimodal_phash", weak=True)  # WEAK: pixel hashes have no SQL oracle
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10d (round 6): perceptual image fingerprints — the image twin
+    of MinHash dedup: decode (all five from-scratch codecs) → luma →
+    8×9 bilinear downsample → 64-bit dHash, 8 bytes per image leaving
+    the task. Near-dup PAIRING composes via Hamming LSH
+    (operators/multimodal.phash_near_dup_pairs: 16-bit bands give
+    pigeonhole-guaranteed recall ≤3 bits, JVM bit_count verification) —
+    recall/separation pinned by planted-duplicate tests in
+    tests/test_multimodal.py. Rows-only grade: pixel hashes have no
+    cross-engine SQL oracle; deterministic across runs (seeded
+    synthesis, deterministic codecs + kernel)."""
+    from novlake_spark.operators.multimodal import phash_images, synthesize_images
+
+    media = synthesize_images(spark, n=30)
+    return phash_images(media).orderBy("media_id")
+
+
 @register("q_multimodal_video", weak=True)  # WEAK: frame pixels have no SQL oracle
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10c: REAL video decoding, distributed — MJPEG-in-AVI payloads

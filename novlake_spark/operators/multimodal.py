@@ -722,6 +722,26 @@ def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataF
     return spark.createDataFrame(rows, media_schema)
 
 
+def decode_any_image(data: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the five from-scratch codecs → (H, W, 3)
+    uint8, or ValueError for foreign/corrupt payloads (callers
+    quarantine). The single decode entry point decode/resize/phash all
+    share."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:4] == b"GIF8":
+        return decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        from novlake_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unrecognized image payload")
+
+
 def decode_image_stdlib(df: DataFrame) -> DataFrame:
     """REAL image decode for the formats the stdlib can parse — BMP
     24bpp, PPM P6, and compressed PNG (8-bit truecolor/RGBA) — no
@@ -746,22 +766,8 @@ def decode_image_stdlib(df: DataFrame) -> DataFrame:
             # zip-iterate columns: iterrows materializes a Series per
             # row (~26 µs) — pure overhead at 10⁹ media rows
             for media_id, payload in zip(imgs["media_id"], imgs["payload"]):
-                data = bytes(payload)
                 try:
-                    if data[:2] == b"BM":
-                        px = decode_bmp(data)
-                    elif data[:2] == b"P6":
-                        px = decode_ppm(data)
-                    elif data[:8] == _PNG_SIG:
-                        px = decode_png(data)
-                    elif data[:4] == b"GIF8":
-                        px = decode_gif(data)
-                    elif data[:2] == b"\xff\xd8":
-                        from novlake_spark.operators.jpeg import decode_jpeg
-
-                        px = decode_jpeg(data)
-                    else:
-                        continue
+                    px = decode_any_image(bytes(payload))
                 except (ValueError, IndexError):
                     continue
                 means = px.reshape(-1, 3).mean(axis=0)
@@ -1259,22 +1265,8 @@ def resize_images(df: DataFrame, target: int = 64, method: str = "bilinear") -> 
                 continue
             out = {"media_id": [], "width": [], "height": [], "payload": []}
             for media_id, payload in zip(imgs["media_id"], imgs["payload"]):
-                data = bytes(payload)
                 try:
-                    if data[:2] == b"BM":
-                        px = decode_bmp(data)
-                    elif data[:2] == b"P6":
-                        px = decode_ppm(data)
-                    elif data[:8] == _PNG_SIG:
-                        px = decode_png(data)
-                    elif data[:4] == b"GIF8":
-                        px = decode_gif(data)
-                    elif data[:2] == b"\xff\xd8":
-                        from novlake_spark.operators.jpeg import decode_jpeg
-
-                        px = decode_jpeg(data)
-                    else:
-                        continue
+                    px = decode_any_image(bytes(payload))
                     h, w = px.shape[:2]
                     scale = target / max(h, w)
                     dh = max(1, int(round(h * scale)))
@@ -1290,4 +1282,105 @@ def resize_images(df: DataFrame, target: int = 64, method: str = "bilinear") -> 
 
     return df.mapInPandas(
         run, schema="media_id long, width int, height int, payload binary"
+    )
+
+
+# --- Perceptual hashing: image near-dup detection at corpus scale -----
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash of an (H, W, 3) image: ITU-R 601 luma →
+    bilinear resize to 8×9 → sign of each horizontal gradient = one
+    bit. Near-identical images (re-encodes, mild noise, small
+    brightness shifts) land within a few bits of Hamming distance;
+    unrelated images differ in ~32 — the standard cheap image
+    fingerprint (dHash), from the published construction.
+    """
+    gray = np.clip(
+        px.astype(np.float64) @ np.array([0.299, 0.587, 0.114]), 0, 255
+    ).astype(np.uint8)
+    g3 = np.repeat(gray[:, :, None], 3, axis=2)
+    small = _resample(g3, 8, 9, method="bilinear")[:, :, 0].astype(np.int16)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # two's-complement into int64 so Spark's LongType holds it
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def phash_images(df: DataFrame) -> DataFrame:
+    """(media table) → (media_id, dhash long): decode (any of the five
+    codecs) → dHash, one Arrow batch per task, quarantine on corrupt
+    payloads. 8 bytes per image leave the task — the shuffle-weight
+    profile that makes image dedup feasible at 100 TB (pixels never
+    move; only fingerprints do)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            if imgs.empty:
+                continue
+            out = {"media_id": [], "dhash": []}
+            for media_id, payload in zip(imgs["media_id"], imgs["payload"]):
+                try:
+                    px = decode_any_image(bytes(payload))
+                except (ValueError, IndexError):
+                    continue
+                out["media_id"].append(media_id)
+                out["dhash"].append(dhash64(px))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema="media_id long, dhash long")
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 6,
+    num_bands: int = 4,
+    max_bucket: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, dhash) → near-dup pairs (id_a < id_b, hamming ≤ max_distance).
+
+    Candidate generation is Hamming LSH: the 64-bit hash splits into
+    ``num_bands`` 16-bit bands; by pigeonhole, any pair within
+    ``num_bands - 1`` bits of each other agrees EXACTLY on some band
+    (guaranteed recall there; pairs between that and ``max_distance``
+    are found when their differing bits cluster — raise num_bands for
+    guaranteed recall at higher radii). Verification is one JVM-side
+    ``bit_count(a XOR b)`` — no Python in the pair path. Buckets above
+    ``max_bucket`` drop before pair expansion (the same quadratic
+    guard as MinHash LSH)."""
+    band_cols = [
+        F.shiftrightunsigned(F.col("dhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"_pb{b}")
+        for b in range(num_bands)
+    ]
+    buckets = hashes.select(
+        F.col(id_col), F.col("dhash"), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    members = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "dhash"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms")) - i - 1),
+                lambda y: F.struct(
+                    x[id_col].alias("id_a"),
+                    y[id_col].alias("id_b"),
+                    x["dhash"].alias("ha"),
+                    y["dhash"].alias("hb"),
+                ),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
     )

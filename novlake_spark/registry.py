@@ -48,6 +48,8 @@ ROUND_HEAD: list[str] = [
     "q_llm_span_coverage",
     # round 6 NEW: NFC + control-strip + space-collapse normalization
     "q_llm_normalize_unicode",
+    # round 6 NEW: perceptual image fingerprints (dHash + Hamming LSH)
+    "q_multimodal_phash",
 ]
 
 PRIORITY: list[str] = [
@@ -57,6 +59,7 @@ PRIORITY: list[str] = [
     "q_pdf_cmap_extract",
     "q_llm_span_coverage",
     "q_llm_normalize_unicode",
+    "q_multimodal_phash",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -104,8 +107,8 @@ PRIORITY: list[str] = [
     "q_llm_simhash_md5",
     "q_llm_textstats",
     "q_llm_quality",
-    "q_llm_langid",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_langid",
     "q_llm_token_count",
     "q_llm_tfidf",
     "q_llm_knn_single",

@@ -967,3 +967,62 @@ def test_resize_images_distributed_chain(spark):
         )
     ).collect()
     assert len(chained) == 10
+
+
+def test_dhash_codec_invariance_and_separation():
+    """dHash (round 6): identical pixels hash identically through
+    different LOSSLESS codecs, brightness shifts are invariant
+    (gradients unchanged), mild noise stays within a small Hamming
+    ball, unrelated images differ in ~half the bits."""
+    import numpy as np
+
+    from novlake_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(3)
+    base = (rng.randint(0, 128, size=(24, 32, 3)) + np.linspace(0, 127, 32, dtype=int)[None, :, None]).astype(np.uint8)
+
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+
+    h_px = M.dhash64(base)
+    assert M.dhash64(M.decode_bmp(M.encode_bmp(base))) == h_px
+    assert M.dhash64(M.decode_png(M.encode_png(base))) == h_px
+
+    bright = np.clip(base.astype(int) + 17, 0, 255).astype(np.uint8)
+    assert ham(h_px, M.dhash64(bright)) <= 2
+
+    noisy = np.clip(base.astype(int) + rng.randint(-4, 5, size=base.shape), 0, 255).astype(np.uint8)
+    assert ham(h_px, M.dhash64(noisy)) <= 12
+
+    other = rng.randint(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    assert ham(h_px, M.dhash64(other)) >= 16
+
+
+def test_phash_near_dup_pairs_planted(spark):
+    """Planted near-dups collide in a Hamming LSH band and verify by
+    bit_count; unrelated images do not pair. Pigeonhole: any pair
+    within num_bands-1 = 3 bits is GUARANTEED found."""
+    import numpy as np
+
+    from novlake_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(11)
+    base = (rng.randint(0, 128, size=(24, 32, 3)) + np.linspace(0, 127, 32, dtype=int)[None, :, None]).astype(np.uint8)
+    noisy = np.clip(base.astype(int) + rng.randint(-3, 4, size=base.shape), 0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, size=(24, 32, 3)).astype(np.uint8)
+
+    rows = [
+        (0, "image", M.encode_png(base), (32, 24, None, None, "png")),
+        (1, "image", M.encode_bmp(base), (32, 24, None, None, "bmp")),   # exact dup, other codec
+        (2, "image", M.encode_png(noisy), (32, 24, None, None, "png")),  # near dup
+        (3, "image", M.encode_png(other), (32, 24, None, None, "png")),  # unrelated
+        (4, "image", b"corrupt", (1, 1, None, None, "png")),             # quarantined
+    ]
+    media = spark.createDataFrame(rows, M.media_schema)
+    hashes = M.phash_images(media)
+    assert hashes.count() == 4  # corrupt row quarantined
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             M.phash_near_dup_pairs(hashes, max_distance=12).collect()}
+    assert pairs[(0, 1)] == 0          # codec-invariant exact dup
+    assert (0, 2) in pairs             # planted near-dup found
+    assert all(3 not in p for p in pairs), pairs  # unrelated never pairs

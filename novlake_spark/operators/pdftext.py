@@ -166,7 +166,12 @@ def encode_pdf(
     content_ids = []
     for text, sub in zip(pages, subset):
         if sub:
-            shown = "".join(f"{codes[ch]:0{width * 2}x}" for ch in text)
+            # bytes(...).hex() is one C pass — a per-char f-string
+            # format measured ~4x the whole encode cost at sf1
+            if width == 1:
+                shown = bytes(codes[ch] for ch in text).hex()
+            else:
+                shown = b"".join(codes[ch].to_bytes(2, "big") for ch in text).hex()
             raw = f"BT /F2 12 Tf 72 720 Td <{shown}> Tj ET".encode("ascii")
         else:
             raw = f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(text)}) Tj ET".encode(
@@ -421,13 +426,24 @@ def _parse_tounicode(cm: bytes) -> tuple[int, dict[int, str]]:
 
 def _apply_cmap(s: str, width: int, mapping: dict[int, str]) -> str:
     """Shown string (latin-1-faithful code bytes) → text via the CMap;
-    unmapped codes surface as U+FFFD, the standard extractor behavior."""
+    unmapped codes surface as U+FFFD, the standard extractor behavior.
+
+    Width-1 decoders carry a precomputed 256-entry translate table
+    (``_translate_table``) so the per-code Python loop — measured the
+    hottest line of the sf1 CMap bench — becomes one C-speed
+    ``str.translate`` pass; width-2 keeps the generic path."""
+    if width == 1:
+        table = mapping.get("_translate_table")  # type: ignore[call-overload]
+        if table is None:
+            table = {i: mapping.get(i, "�") for i in range(256)}
+            mapping["_translate_table"] = table  # type: ignore[index]
+        return s.translate(table)
     bs = s.encode("latin-1", "replace")
-    if width == 2 and len(bs) % 2:
+    if len(bs) % 2:
         bs += b"\x00"
     return "".join(
-        mapping.get(int.from_bytes(bs[i : i + width], "big"), "�")
-        for i in range(0, len(bs), width)
+        mapping.get(int.from_bytes(bs[i : i + 2], "big"), "�")
+        for i in range(0, len(bs), 2)
     )
 
 

@@ -103,8 +103,8 @@ class SignatureIndex:
 
     def _index_empty(self) -> bool:
         try:
-            return self.sigs.latest_version() < 0
-        except Exception:
+            return self.sigs.latest_version() is None
+        except Exception:  # no log directory yet
             return True
 
     # -- API ----------------------------------------------------------

@@ -96,3 +96,51 @@ def test_exactly_once_txn_replay(spark, index):
 def test_bad_family_config_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="fit in num_hashes"):
         SignatureIndex(spark, str(tmp_path / "x"), num_hashes=8, num_bands=8, rows_per_band=4)
+
+
+def test_streaming_admission_matches_batch(spark, tmp_path):
+    """The streaming shape (round 6): raw docs land in a txlog table, a
+    foreachBatch pipe admits each micro-batch through the SAME
+    SignatureIndex — cross-batch near-dedup without rescanning admitted
+    corpus, with availableNow == batch semantics. Two pump rounds share
+    one checkpoint, so round 2's duplicates of round-1 ADMITTED docs
+    must reject against the index the stream itself built."""
+    from novlake_spark.sources.txlog_source import register_txlog_source
+    from novlake_spark.txlog import TxTable
+
+    register_txlog_source(spark)
+    raw = TxTable(spark, str(tmp_path / "raw"))
+    index = SignatureIndex(spark, str(tmp_path / "idx"))
+    out = TxTable(spark, str(tmp_path / "admitted"))
+
+    def admit_batch(batch_df, batch_id):
+        adm = index.admit(batch_df, threshold=0.8, txn=f"b{batch_id}")
+        out.commit(adm.select("doc_id", "text"), txn=f"out{batch_id}")
+
+    def pump():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", str(tmp_path / "raw"))
+            .load()
+            .writeStream.foreachBatch(admit_batch)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    raw.commit(_docs(spark, [(1, BASE), (2, BASE), (3, OTHER)]))
+    pump()
+    assert {r.doc_id for r in out.read().collect()} == {1, 3}
+
+    # a solid near-dup (one appended token, true J ≈ 0.93 — well above
+    # the threshold even under the 32-hash estimator's variance; a
+    # single mid-string word swap sits at J ≈ 0.79, ON the 0.8 line,
+    # where the estimate legitimately straddles)
+    near = BASE + " coda"
+    raw.commit(_docs(spark, [(10, near), (11, "fresh prose on entirely "
+                                              "novel themes like gardening "
+                                              "rainfall soil and patient compost")]))
+    pump()
+    assert {r.doc_id for r in out.read().collect()} == {1, 3, 11}
+    assert index.indexed_count() == 3

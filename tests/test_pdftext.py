@@ -193,6 +193,31 @@ def test_conflicting_font_bindings_quarantine():
         P.extract_pdf_text(evil)
 
 
+def test_object_scan_linear_on_endobj_free_markers():
+    """The object index must stay O(n) on crafted inputs: thousands of
+    `N 0 obj` markers with NO endobj would re-scan to EOF per marker
+    under a naive find() (the WARC-inflate quadratic class); the
+    two-pointer merge parses both shapes in comparable, bounded time."""
+    import time
+
+    filler = b"%PDF-1.4\n" + b"9 0 obj\n<< >>\n" * 20000 + b"endobj\n"
+    t0 = time.perf_counter()
+    spans = P._object_spans(filler)
+    dt = time.perf_counter() - t0
+    assert dt < 1.0, f"object scan took {dt:.2f}s on 20k endobj-free markers"
+    assert len(spans) == 1  # all markers resolve to the single endobj; first wins
+
+    # and many complete objects with /Font dicts parse linearly too
+    many = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n<< /Font << /F1 1 0 R >> >>\nendobj\n" % i for i in range(2, 8000)
+    )
+    t0 = time.perf_counter()
+    spans = P._object_spans(many)
+    P._font_decoders(many, spans)
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f"font-dict walk took {dt:.2f}s on 8k objects"
+
+
 def test_cmap_byte_truncations_never_crash():
     pdf = P.encode_pdf(["some words here", "—ünïcødé page—"], subset_font=[False, True])
     for cut in range(1, len(pdf), 41):

@@ -84,6 +84,7 @@ HEADLINE = [
     "q_llm_span_coverage",
     "q_llm_normalize_unicode",
     "q_multimodal_phash",
+    "q_llm_langseg",
 ]
 
 

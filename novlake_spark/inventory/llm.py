@@ -383,6 +383,91 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langseg_oracle() -> str:
+    from novlake_spark.operators.text import LANG_MARKERS
+
+    hit = {
+        lang: f"len(list_filter(seg, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    cases = " ".join(f"WHEN {hit[lang]} = best THEN '{lang}'" for lang in LANG_MARKERS)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    segs AS (SELECT doc_id,
+                    unnest(list_transform(
+                        range(0, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1)),
+                        i -> list_slice(toks, i * 10 + 1, i * 10 + 10))) AS seg
+             FROM t),
+    scored AS (SELECT doc_id, seg, {best} AS best FROM segs),
+    langs AS (SELECT doc_id, CASE {cases} ELSE 'und' END AS seg_lang FROM scored),
+    counts AS (SELECT doc_id, seg_lang, count(*) AS n FROM langs GROUP BY 1, 2),
+    ranked AS (SELECT doc_id, seg_lang, n,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, seg_lang) AS rn,
+                      CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_segments,
+                      CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+               FROM counts)
+    SELECT doc_id, n_segments, n_langs,
+           seg_lang AS majority_lang, CAST(n AS BIGINT) AS majority_count
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+@register("q_llm_langseg", oracle=_langseg_oracle())
+def q_llm_langseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55 (round 6): per-SEGMENT language analysis — the mixed-language
+    curation signal whole-document langid (L langid row) washes out: a
+    document is split into fixed 10-token segments, each segment gets
+    the same marker-cascade language call, and the doc reports segment
+    count, distinct-language count, the majority language and its
+    segment count (integers + a categorical ONLY — a mixed-fraction
+    ratio would put a float round on a boundary for nothing; the
+    consumer divides). Majority ties break on (count desc, lang asc),
+    stated identically in both engines' window. The windowed sum in the
+    oracle CASTs back to BIGINT — the round-6 HUGEINT discipline.
+
+    Plan shape: segmentation + per-segment langid are pure codegen
+    (explode of JVM-side slices, CASE cascade); one exchange keys the
+    (doc, lang) counts; the majority window partitions by doc_id —
+    bounded at the languages-per-doc fan-in, never a hot-key risk."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_seg = F.greatest(F.ceil(F.size(toks) / F.lit(10.0)).cast("int"), F.lit(1))
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.slice(toks, i * 10 + 1, 10),
+    )
+    seg_lang = (
+        docs.select("doc_id", F.explode(segs).alias("seg"))
+        .select("doc_id", T.lang_id(F.col("seg")).alias("seg_lang"))
+    )
+    counts = seg_lang.groupBy("doc_id", "seg_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.col("n").desc(), F.col("seg_lang").asc())),
+        )
+        .withColumn("n_segments", F.sum("n").over(w).cast("long"))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_langs",
+            F.col("seg_lang").alias("majority_lang"),
+            F.col("n").cast("long").alias("majority_count"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _langid_oracle() -> str:
     from novlake_spark.operators.text import LANG_MARKERS
 

@@ -50,6 +50,8 @@ ROUND_HEAD: list[str] = [
     "q_llm_normalize_unicode",
     # round 6 NEW: perceptual image fingerprints (dHash + Hamming LSH)
     "q_multimodal_phash",
+    # round 6 NEW: per-segment language analysis (mixed-language signal)
+    "q_llm_langseg",
 ]
 
 PRIORITY: list[str] = [
@@ -60,6 +62,7 @@ PRIORITY: list[str] = [
     "q_llm_span_coverage",
     "q_llm_normalize_unicode",
     "q_multimodal_phash",
+    "q_llm_langseg",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -106,8 +109,8 @@ PRIORITY: list[str] = [
     "q_llm_minhash_md5",
     "q_llm_simhash_md5",
     "q_llm_textstats",
-    "q_llm_quality",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_quality",
     "q_llm_langid",
     "q_llm_token_count",
     "q_llm_tfidf",

@@ -85,6 +85,7 @@ HEADLINE = [
     "q_llm_normalize_unicode",
     "q_multimodal_phash",
     "q_llm_langseg",
+    "q_emb_quantize",
 ]
 
 

@@ -438,3 +438,41 @@ def q_emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(F.col("c") * 10).cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_emb_quantize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)
+                               * (127.0 / list_max(list_transform(embedding,
+                                      y -> abs(CAST(y AS DOUBLE)))))
+                               + 0.5) AS INT)) AS codes
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56 (round 6): symmetric int8 embedding quantization — the
+    storage/serving step of every embedding pipeline (4× smaller than
+    float32, 8× than the doubled compute form): per vector, scale =
+    127/amax, code_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. FULL
+    oracle with INTEGER output lists and the boundary-free shared
+    floor(x·s + 0.5) form (the round-6 cents discipline): both engines
+    widen float32→double first, then the divide and multiply are
+    IEEE-correctly-rounded identical operations, so the codes are
+    bit-equal cross-engine with no rounding-mode boundary anywhere.
+    Zero shuffle — one codegen transform over the scan (the orderBy is
+    oracle-comparison framing)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda y: F.abs(y.cast("double")))
+    )
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * (F.lit(127.0) / amax) + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return emb.select("vec_id", codes.alias("codes")).orderBy("vec_id")

@@ -52,6 +52,8 @@ ROUND_HEAD: list[str] = [
     "q_multimodal_phash",
     # round 6 NEW: per-segment language analysis (mixed-language signal)
     "q_llm_langseg",
+    # round 6 NEW: symmetric int8 embedding quantization
+    "q_emb_quantize",
 ]
 
 PRIORITY: list[str] = [
@@ -63,6 +65,7 @@ PRIORITY: list[str] = [
     "q_llm_normalize_unicode",
     "q_multimodal_phash",
     "q_llm_langseg",
+    "q_emb_quantize",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -108,8 +111,8 @@ PRIORITY: list[str] = [
     "q_llm_dedup_exact",
     "q_llm_minhash_md5",
     "q_llm_simhash_md5",
-    "q_llm_textstats",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_textstats",
     "q_llm_quality",
     "q_llm_langid",
     "q_llm_token_count",

@@ -86,6 +86,7 @@ HEADLINE = [
     "q_multimodal_phash",
     "q_llm_langseg",
     "q_emb_quantize",
+    "q_multimodal_audio",
 ]
 
 

@@ -1655,6 +1655,25 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_images(media).orderBy("media_id")
 
 
+@register("q_multimodal_audio", weak=True)  # WEAK: PCM features have no SQL oracle
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10e (round 6): REAL audio feature extraction, distributed —
+    completes the graded modality triple (image decode, video decode,
+    audio features): alternating WAV (stdlib wave) and AIFF (the
+    from-scratch FORM/80-bit-extended writer) payloads stream through
+    the container-agnostic mapInPandas path and come back with the
+    standard cheap curation signals — duration/rate/sample counts,
+    rms/peak, rFFT dominant frequency (recovers the synthesized tone
+    within one bin — pinned in pytest) and zero-crossing count.
+    Integer features wherever possible; deterministic (seeded
+    synthesis, fixed-order reductions); rows-only grade — PCM feature
+    extraction has no cross-engine SQL oracle."""
+    from novlake_spark.operators.multimodal import audio_features, synthesize_audio
+
+    media = synthesize_audio(spark, n=24)
+    return audio_features(media).orderBy("media_id")
+
+
 @register("q_multimodal_video", weak=True)  # WEAK: frame pixels have no SQL oracle
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10c: REAL video decoding, distributed — MJPEG-in-AVI payloads

@@ -54,6 +54,8 @@ ROUND_HEAD: list[str] = [
     "q_llm_langseg",
     # round 6 NEW: symmetric int8 embedding quantization
     "q_emb_quantize",
+    # round 6 NEW: audio feature extraction (completes the modality triple)
+    "q_multimodal_audio",
 ]
 
 PRIORITY: list[str] = [
@@ -66,6 +68,7 @@ PRIORITY: list[str] = [
     "q_multimodal_phash",
     "q_llm_langseg",
     "q_emb_quantize",
+    "q_multimodal_audio",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -110,8 +113,8 @@ PRIORITY: list[str] = [
     "q_udtf_split",
     "q_llm_dedup_exact",
     "q_llm_minhash_md5",
-    "q_llm_simhash_md5",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_simhash_md5",
     "q_llm_textstats",
     "q_llm_quality",
     "q_llm_langid",

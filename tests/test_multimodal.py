@@ -1026,3 +1026,29 @@ def test_phash_near_dup_pairs_planted(spark):
     assert pairs[(0, 1)] == 0          # codec-invariant exact dup
     assert (0, 2) in pairs             # planted near-dup found
     assert all(3 not in p for p in pairs), pairs  # unrelated never pairs
+
+
+def test_audio_features_recover_synth_ground_truth(spark):
+    """audio_features (round 6): the rFFT dominant frequency recovers
+    each synthesized sine's generator frequency within one bin for BOTH
+    containers; zero crossings track 2·f·duration; corrupt payloads
+    quarantine."""
+    from novlake_spark.operators import multimodal as M
+
+    media = M.synthesize_audio(spark, n=8)
+    rows = {r.media_id: r for r in M.audio_features(media).collect()}
+    assert len(rows) == 8
+    for i, r in rows.items():
+        want = 220.0 * (1 + i % 8)
+        bin_hz = r.sample_rate / r.n_samples
+        assert abs(r.dominant_freq_hz - want) <= bin_hz + 1, (i, r.dominant_freq_hz, want)
+        # a sine at f crosses zero ~2f per second
+        dur_s = r.n_samples / r.sample_rate
+        assert abs(r.zero_crossings - 2 * want * dur_s) <= 4, (i, r.zero_crossings)
+        assert r.container == ("wav" if i % 2 == 0 else "aiff")
+
+    corrupt = spark.createDataFrame(
+        [(99, "audio", b"not audio at all", (None, None, 8000, 100, "wav"))],
+        M.media_schema,
+    )
+    assert M.audio_features(corrupt).count() == 0

@@ -240,6 +240,45 @@ def read_warc(df: DataFrame, col: str = "warc") -> DataFrame:
     )
 
 
+def read_warc_pdf_text(df: DataFrame, col: str = "warc") -> DataFrame:
+    """(…, warc binary) → one row per ``application/pdf`` response
+    record: (target_uri, status, content_type, extracted string) —
+    the PDF route of a multi-format crawl: real archives carry papers
+    and reports alongside HTML, and a text-only reader silently drops
+    them. Bodies go through the tolerant PDF text-layer reader
+    (operators/pdftext.extract_pdf_text — xref-less scan, bounded
+    inflate, /ToUnicode CMaps) with pages joined by newline; corrupt
+    PDFs and blobs quarantine. Same scale shape as :func:`read_warc`:
+    one blob = one task, Arrow-batched, zero shuffle."""
+    from novlake_spark.operators.pdftext import extract_pdf_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"target_uri": [], "status": [], "content_type": [], "extracted": []}
+            for blob in pdf[col]:
+                try:
+                    recs = parse_warc(bytes(blob))
+                except ValueError:
+                    continue
+                for r in recs:
+                    if r["body"] is None or r["content_type"] != "application/pdf":
+                        continue
+                    try:
+                        pages = extract_pdf_text(r["body"])
+                    except ValueError:
+                        continue
+                    out["target_uri"].append(r["target_uri"])
+                    out["status"].append(r["status"])
+                    out["content_type"].append(r["content_type"])
+                    out["extracted"].append("\n".join(pages))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema="target_uri string, status int, content_type string, extracted string",
+    )
+
+
 # --- tar archives: the other container corpora ship in ----------------
 #
 # Model dumps, academic corpora and dataset releases arrive as tar

@@ -101,6 +101,7 @@ def ingest_crawl(
     min_tokens: int = 20,
     blob_col: str = "warc",
     missing_robots_allowed: bool = True,
+    include_pdf: bool = False,
 ) -> DataFrame:
     """Crawl ingestion front-end for :func:`curate`: WARC blobs →
     (url, domain, text) documents ready for the curation pipeline.
@@ -122,16 +123,23 @@ def ingest_crawl(
         registered_domain,
         robots_filter,
     )
-    from novlake_spark.operators.warc import read_warc
+    from novlake_spark.operators.warc import read_warc, read_warc_pdf_text
 
-    pages = extract_html_text(read_warc(warc_blobs, col=blob_col), col="html")
-    docs = pages.select(
-        canonical_url(F.col("target_uri")).alias("url"),
-        registered_domain(
-            F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST")))
-        ).alias("domain"),
-        F.col("extracted").alias("text"),
-    )
+    def to_docs(pages: DataFrame) -> DataFrame:
+        return pages.select(
+            canonical_url(F.col("target_uri")).alias("url"),
+            registered_domain(
+                F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST")))
+            ).alias("domain"),
+            F.col("extracted").alias("text"),
+        )
+
+    docs = to_docs(extract_html_text(read_warc(warc_blobs, col=blob_col), col="html"))
+    if include_pdf:
+        # real crawls carry papers/reports as application/pdf alongside
+        # HTML; route them through the PDF text-layer reader and union —
+        # still one lazy plan, both branches scanning the same blobs
+        docs = docs.unionByName(to_docs(read_warc_pdf_text(warc_blobs, col=blob_col)))
     if robots is not None:
         # robots_filter yields allowed=NULL for domains with no robots
         # row ("unknown domain = decide upstream"); a bare filter on the

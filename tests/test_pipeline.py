@@ -128,3 +128,42 @@ def test_ingest_crawl_feeds_curate(spark):
         "doc_id", __import__("pyspark.sql.functions", fromlist=["xxhash64"]).xxhash64("url")
     )
     assert drop_exact_dups(with_ids).count() == 1
+
+
+def test_ingest_crawl_pdf_route(spark):
+    """Multi-format crawl (round 6): application/pdf response records
+    route through the PDF text-layer reader (CMap'd pages included) and
+    join the HTML documents in one pipeline; corrupt PDFs quarantine;
+    the default HTML-only mode ignores PDFs unchanged."""
+    import html as _html
+
+    from novlake_spark.operators.pdftext import encode_pdf
+    from novlake_spark.operators.warc import encode_warc_record
+    from novlake_spark.pipelines import ingest_crawl
+
+    body = "many solid words " * 8
+    page = (
+        f"<html><body><main><p>{_html.escape(body.strip())}</p></main></body></html>"
+    )
+    pdf_text = ("portable document words " * 6).strip()
+    blob = (
+        encode_warc_record("http://a.com/page", 200,
+                           "text/html; charset=utf-8", page.encode(),
+                           record_id="urn:m:0")
+        + encode_warc_record("http://a.com/paper.pdf", 200,
+                             "application/pdf",
+                             encode_pdf([pdf_text], subset_font=True),
+                             record_id="urn:m:1")
+        + encode_warc_record("http://a.com/broken.pdf", 200,
+                             "application/pdf", b"%PDF-corrupt",
+                             record_id="urn:m:2")
+    )
+    blobs = spark.createDataFrame([(0, bytearray(blob))], "blob_id long, warc binary")
+
+    got = {r.url: r.text for r in ingest_crawl(blobs, min_tokens=5, include_pdf=True).collect()}
+    assert got["http://a.com/page"] == body.strip()
+    assert got["http://a.com/paper.pdf"] == pdf_text
+    assert "http://a.com/broken.pdf" not in got
+
+    html_only = {r.url for r in ingest_crawl(blobs, min_tokens=5).collect()}
+    assert html_only == {"http://a.com/page"}

@@ -379,3 +379,38 @@ def test_html_extract_idempotent_on_plain_text(s):
 
     plain = "".join(c for c in s if c not in "<>&\x00")
     assert extract_text(_html.escape(plain)) == " ".join(plain.split())
+
+
+# --- kNN prefilter exactness (round 6): arbitrary score matrices ------
+
+_score_cell = st.one_of(
+    # quantized values maximize rounding-boundary ties (the fallback path)
+    st.integers(-40, 40).map(lambda v: v / 4.0 / 10000.0 * 5000),
+    st.floats(-1.0, 1.0, allow_nan=False, width=64),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(st.lists(_score_cell, min_size=90, max_size=90), min_size=2, max_size=6),
+    kk=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_topk_final_order_equals_bruteforce(data, kk, seed):
+    """The argpartition prefilter (operators/knn._topk_final_order) must
+    be BIT-identical to the round-everything-lexsort form for any score
+    matrix — hypothesis drives quantized grids (tie floods straddling
+    the raw cut → the per-row proof FAILS → exact fallback) and smooth
+    random scores (prefilter proof holds) through both paths."""
+    import numpy as np
+
+    from novlake_spark.operators import knn as K
+
+    sims = np.array(data, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    b_ids = rng.permutation(sims.shape[1]).astype(np.int64)
+
+    rounded = K._round_half_up_4dp(sims)
+    want = np.lexsort((np.broadcast_to(b_ids, sims.shape), -rounded), axis=1)[:, :kk]
+    got = K._topk_final_order(sims.copy(), b_ids, kk)
+    assert np.array_equal(got, want)

@@ -154,6 +154,25 @@ class SignatureIndex:
         """
         new_sig = self.signatures(docs, id_col=id_col, text_col=text_col)
         new_sig = new_sig.cache()  # probed three ways below
+        try:
+            return self._admit_cached(docs, new_sig, threshold, id_col, txn)
+        finally:
+            new_sig.unpersist()
+
+    def _admit_cached(
+        self,
+        docs: DataFrame,
+        new_sig: DataFrame,
+        threshold: float,
+        id_col: str,
+        txn: str | None,
+    ) -> DataFrame:
+        # an empty batch (or one with only sub-shingle docs) must not
+        # publish empty index commits on every tick — a streaming pipe
+        # calling admit() per micro-batch would grow the log for nothing
+        if new_sig.isEmpty():
+            return docs.limit(0)
+
         new_buckets = self._band_buckets(new_sig, "doc_id")
 
         a_cols = [F.col(f"s{i}").alias(f"sa{i}") for i in range(self.num_hashes)]
@@ -213,11 +232,9 @@ class SignatureIndex:
             self._band_buckets(admitted_sig, "doc_id"),
             txn=f"{txn}:buckets" if txn else None,
         )
-        admitted = docs.join(
+        return docs.join(
             admitted_sig.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
         )
-        new_sig.unpersist()
-        return admitted
 
     def indexed_count(self) -> int:
         return 0 if self._index_empty() else self.sigs.read().count()

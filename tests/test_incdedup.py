@@ -144,3 +144,15 @@ def test_streaming_admission_matches_batch(spark, tmp_path):
     pump()
     assert {r.doc_id for r in out.read().collect()} == {1, 3, 11}
     assert index.indexed_count() == 3
+
+
+def test_empty_batch_publishes_no_commit(spark, index):
+    """An empty (or all-sub-shingle) batch must not grow the index log —
+    a per-micro-batch streaming caller would otherwise publish an empty
+    commit every tick."""
+    index.admit(_docs(spark, [(1, BASE)]))
+    v = index.sigs.latest_version()
+    out = index.admit(_docs(spark, [(9, "too short")]))  # no shingles
+    assert out.count() == 0
+    assert index.sigs.latest_version() == v
+    assert index.indexed_count() == 1

@@ -464,7 +464,11 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-correctly-rounded identical operations, so the codes are
     bit-equal cross-engine with no rounding-mode boundary anywhere.
     Zero shuffle — one codegen transform over the scan (the orderBy is
-    oracle-comparison framing)."""
+    oracle-comparison framing). Contract: vectors must be non-zero
+    (the fixture's are unit-norm) — an all-zero vector has no symmetric
+    scale (127/0), and the engines diverge on the degenerate case
+    (Spark casts the resulting inf to NULL, DuckDB errors), so a
+    production wrapper filters amax > 0 first."""
     emb = load_table(spark, sf_dir, "embeddings")
     # hoist the scale to its own column: referencing the amax
     # sub-expression INSIDE the per-element lambda re-evaluates the

@@ -87,6 +87,7 @@ HEADLINE = [
     "q_llm_langseg",
     "q_emb_quantize",
     "q_multimodal_audio",
+    "q_session_skewsafe",
 ]
 
 

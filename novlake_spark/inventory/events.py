@@ -463,6 +463,50 @@ def q_win_cumsum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_session_skewsafe",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+    FROM g
+    """,
+)
+def q_session_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3b (round 6): per-EVENT session ids through the skew-safe plan —
+    sessionization (gaps-and-islands) is the FOURTH hot-key window
+    shape: a hot user's whole history is one indivisible partition for
+    the naive lag+cumsum formulation AND for session_window's state
+    store alike. operators/skew.skew_safe_sessionize composes the two
+    existing stitches (lag recovers each event's predecessor timestamp
+    across bucket seams; cumsum turns new-session flags into 1-based
+    ids with integer-exact re-association). Richer output than
+    q_stream_session's per-user aggregate: the per-event session id is
+    what downstream session-level features join on. FULL gaps-and-
+    islands oracle; the gap compares in integer MICROS on the Spark
+    side, exactly DuckDB's interval comparison, and the windowed sum
+    CASTs back to BIGINT (the round-6 HUGEINT discipline)."""
+    from novlake_spark.operators.skew import skew_safe_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = skew_safe_sessionize(
+        ev, part="user_id", order=["ts", "event_id"], ts_col="ts",
+        gap_seconds=600, n_buckets=16,
+    )
+    return s.select(
+        "event_id", "user_id", F.col("_session").cast("long").alias("session_id")
+    )
+
+
+@register(
     "q_win_rownum_skewsafe",
     oracle="""
     SELECT event_id, user_id,

@@ -339,3 +339,56 @@ def skew_safe_moving_avg(
     return scored.filter(~F.col("_ghost")).drop(
         "_ssrn", "_cnt", "_skb", "_pos", "_ghost"
     )
+
+
+def skew_safe_sessionize(
+    df: DataFrame,
+    part: str | list[str],
+    order: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    n_buckets: int = 64,
+    out: str = "_session",
+) -> DataFrame:
+    """Gaps-and-islands sessionization — ``session_id = running count of
+    new-session flags OVER (PARTITION BY part ORDER BY order)`` — without
+    any partition becoming one indivisible task. Sessionization is the
+    fourth hot-key window shape after lag/cumsum/row_number, and it
+    COMPOSES from two existing stitches: :func:`skew_safe_lag` recovers
+    each event's predecessor timestamp (the boundary stitch hands each
+    bucket's first row its true predecessor, so no session break is
+    invented at bucket seams), the new-session indicator is pure
+    codegen (first event, or gap > ``gap_seconds``), and
+    :func:`skew_safe_cumsum` turns indicators into 1-based session ids
+    (integer addition — bit-exact under the re-associated fold).
+
+    Gap compares on ``unix_micros`` so sub-second gaps behave exactly
+    like an engine's native interval comparison (a seconds-level cast
+    would truncate and disagree with the one-shot window near the
+    boundary). Contract: ``ts_col`` non-null (the skew_safe_lag
+    contract it inherits).
+
+    Scale shape: both phases inherit the family's uniform (part,
+    bucket) shuffles; the indicator adds no exchange. A user holding
+    9% of all events sessionizes across ``n_buckets`` tasks instead of
+    one straggler.
+    """
+    parts = [part] if isinstance(part, str) else list(part)
+    lagged = skew_safe_lag(
+        df, parts, order, value=ts_col, n_buckets=n_buckets, out="_prev_ts"
+    )
+    flagged = lagged.withColumn(
+        "_ns",
+        F.when(
+            F.col("_prev_ts").isNull()
+            | (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev_ts"))
+                > F.lit(int(gap_seconds) * 1_000_000)
+            ),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    res = skew_safe_cumsum(
+        flagged, parts, order, value="_ns", n_buckets=n_buckets, out=out
+    )
+    return res.drop("_prev_ts", "_ns")

@@ -56,6 +56,8 @@ ROUND_HEAD: list[str] = [
     "q_emb_quantize",
     # round 6 NEW: audio feature extraction (completes the modality triple)
     "q_multimodal_audio",
+    # round 6 NEW: skew-safe sessionization (4th hot-key window shape)
+    "q_session_skewsafe",
 ]
 
 PRIORITY: list[str] = [
@@ -69,6 +71,7 @@ PRIORITY: list[str] = [
     "q_llm_langseg",
     "q_emb_quantize",
     "q_multimodal_audio",
+    "q_session_skewsafe",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -112,8 +115,8 @@ PRIORITY: list[str] = [
     "q_udaf_grouped",
     "q_udtf_split",
     "q_llm_dedup_exact",
-    "q_llm_minhash_md5",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_minhash_md5",
     "q_llm_simhash_md5",
     "q_llm_textstats",
     "q_llm_quality",

@@ -318,3 +318,57 @@ def test_skew_safe_moving_avg_boundary_order_ties(spark):
         ).select("event_id", "_mavg").collect()
     }
     assert got == naive
+
+
+def test_skew_safe_sessionize_equals_naive_window(spark):
+    """skew_safe_sessionize == the one-shot lag+cumsum sessionization
+    for a hot key, sparse keys, singleton keys, and gaps landing
+    EXACTLY on the threshold (strictly-greater semantics) and at
+    sub-second offsets around it (micros compare, not seconds)."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from novlake_spark.operators.skew import skew_safe_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    t = 0.0
+    import random
+
+    rng = random.Random(23)
+    for _ in range(400):  # hot user 0: gaps hovering around 600 s
+        t += rng.choice([30.0, 599.999999, 600.0, 600.000001, 1200.0])
+        rows.append((eid, 0, base + dt.timedelta(seconds=t)))
+        eid += 1
+    for u in (1, 2):  # sparse users
+        for j in range(3):
+            rows.append((eid, u, base + dt.timedelta(seconds=j * 700)))
+            eid += 1
+    rows.append((eid, 9, base))  # singleton
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r.event_id: r.sid
+        for r in df.withColumn("_p", F.lag("ts").over(w))
+        .withColumn(
+            "_ns",
+            F.when(
+                F.col("_p").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("_p") > 600 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .select("event_id", F.sum("_ns").over(wc).alias("sid"))
+        .collect()
+    }
+    got = {
+        r.event_id: r._session
+        for r in skew_safe_sessionize(
+            df, "user_id", ["ts", "event_id"], "ts", gap_seconds=600, n_buckets=8
+        ).select("event_id", "_session").collect()
+    }
+    assert got == naive

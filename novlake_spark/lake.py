@@ -177,6 +177,57 @@ class Lake:
         """A9: export a result as CSV files."""
         df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
+    def dump_jsonl(
+        self,
+        df: DataFrame,
+        path: str,
+        max_records_per_file: int = 100_000,
+        compression: str | None = "gzip",
+        manifest: bool = True,
+    ) -> dict:
+        """A9b (round 6): export a curated corpus as sharded JSONL — the
+        delivery format training jobs actually consume (one JSON object
+        per line, gzip shards a loader can stream and shuffle at file
+        granularity). ``maxRecordsPerFile`` bounds shard size so the
+        trainer's shard-level shuffle has enough pieces; ``manifest``
+        writes ``_manifest.json`` beside the shards (row count, column
+        names, shard list + sizes) — the contract file a downstream
+        loader validates against instead of re-listing and re-counting
+        100 TB. Returns the manifest dict."""
+        import json as _json
+        import os as _os
+
+        w = df.write.mode("overwrite").option(
+            "maxRecordsPerFile", str(max_records_per_file)
+        )
+        if compression:
+            w = w.option("compression", compression)
+        w.json(path)
+        if not manifest:
+            return {}
+        # shard listing via the JVM filesystem so remote paths work too
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        shards = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("part-"):
+                shards.append({"name": name, "bytes": st.getLen()})
+        man = {
+            "format": "jsonl",
+            "compression": compression,
+            "columns": df.columns,
+            "n_rows": self.spark.read.json(path).count(),
+            "n_shards": len(shards),
+            "shards": sorted(shards, key=lambda s: s["name"]),
+        }
+        tmp = _os.path.join(path, "._manifest.json.tmp")
+        out = _os.path.join(path, "_manifest.json")
+        with open(tmp, "w") as f:  # local-fs manifest write; HDFS-path
+            _json.dump(man, f, indent=1)  # deployments swap in fs.create
+        _os.replace(tmp, out)
+        return man
+
     # -- scale utilities ---------------------------------------------------
     def save_bucketed(
         self,

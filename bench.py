@@ -88,6 +88,7 @@ HEADLINE = [
     "q_emb_quantize",
     "q_multimodal_audio",
     "q_session_skewsafe",
+    "q_multimodal_phash_clusters",
 ]
 
 

@@ -1655,6 +1655,40 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_images(media).orderBy("media_id")
 
 
+@register("q_multimodal_phash_clusters", weak=True)  # WEAK: pixel hashes, no SQL oracle
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10f (round 6): image near-dup CLUSTERS — the step between
+    detection and deletion: dHash pairs (Hamming LSH + bit_count
+    verification) feed the SoCC'14 two-phase connected components, so
+    transitive near-dups (a≈b≈c with a,c outside each other's radius)
+    collapse into ONE cluster with the min-id canonical — exactly the
+    keep-one-per-cluster input an image dedup pass deletes against.
+    Same composition shape as q_llm_dup_components over MinHash pairs;
+    clusters here are planted-tested over a chained-perturbation
+    fixture in tests/test_multimodal.py. Deterministic; rows-only."""
+    from novlake_spark.operators.graph import connected_components
+    from novlake_spark.operators.multimodal import (
+        phash_images,
+        phash_near_dup_pairs,
+        synthesize_images,
+    )
+
+    hashes = phash_images(synthesize_images(spark, n=30))
+    pairs = phash_near_dup_pairs(hashes, max_distance=10)
+    comp = connected_components(
+        hashes.select(F.col("media_id").alias("id")),
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+    )
+    return (
+        comp.groupBy(F.col("component_id").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
 @register("q_multimodal_audio", weak=True)  # WEAK: PCM features have no SQL oracle
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10e (round 6): REAL audio feature extraction, distributed —

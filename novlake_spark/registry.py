@@ -58,6 +58,8 @@ ROUND_HEAD: list[str] = [
     "q_multimodal_audio",
     # round 6 NEW: skew-safe sessionization (4th hot-key window shape)
     "q_session_skewsafe",
+    # round 6 NEW: image near-dup clusters (phash pairs -> components)
+    "q_multimodal_phash_clusters",
 ]
 
 PRIORITY: list[str] = [
@@ -72,6 +74,7 @@ PRIORITY: list[str] = [
     "q_emb_quantize",
     "q_multimodal_audio",
     "q_session_skewsafe",
+    "q_multimodal_phash_clusters",
     # ---- stalest driver evidence: the four round-1-graded keys ----
     "q_fn_posexplode",
     "q_stream_dedup",
@@ -114,8 +117,8 @@ PRIORITY: list[str] = [
     "q_udf_pandas",
     "q_udaf_grouped",
     "q_udtf_split",
-    "q_llm_dedup_exact",
     # ---- below the window: stable order, re-rotated next round ----
+    "q_llm_dedup_exact",
     "q_llm_minhash_md5",
     "q_llm_simhash_md5",
     "q_llm_textstats",

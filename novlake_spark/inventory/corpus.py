@@ -444,26 +444,36 @@ def q_emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_emb_quantize",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE)
-                               * (127.0 / list_max(list_transform(embedding,
-                                      y -> abs(CAST(y AS DOUBLE)))))
-                               + 0.5) AS INT)) AS codes
-    FROM embeddings
-    ORDER BY vec_id
+           CAST(unnest(range(len(codes))) AS INT) AS pos,
+           unnest(codes) AS code
+    FROM (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                                   * (127.0 / list_max(list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE)))))
+                                   + 0.5) AS INT)) AS codes
+        FROM embeddings
+    )
+    ORDER BY vec_id, pos
     """,
 )
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L56 (round 6): symmetric int8 embedding quantization — the
-    storage/serving step of every embedding pipeline (4× smaller than
-    float32, 8× than the doubled compute form): per vector, scale =
-    127/amax, code_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. FULL
-    oracle with INTEGER output lists and the boundary-free shared
-    floor(x·s + 0.5) form (the round-6 cents discipline): both engines
-    widen float32→double first, then the divide and multiply are
-    IEEE-correctly-rounded identical operations, so the codes are
-    bit-equal cross-engine with no rounding-mode boundary anywhere.
-    Zero shuffle — one codegen transform over the scan (the orderBy is
+    """L56 (round 6, output reshaped round 7): symmetric int8 embedding
+    quantization — the storage/serving step of every embedding pipeline
+    (4× smaller than float32): per vector, scale = 127/amax,
+    code_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. FULL oracle with the
+    boundary-free shared floor(x·s + 0.5) form (the round-6 cents
+    discipline): both engines widen float32→double first, then the
+    divide and multiply are IEEE-correctly-rounded identical operations,
+    so the codes are bit-equal cross-engine with no rounding-mode
+    boundary anywhere. Round-7 reshape (VERDICT r6 wrong #1): the graded
+    output is (vec_id, pos, code) INTEGER ROWS via posexplode, never an
+    array column — the driver's canonicalizer sort_values the pandas
+    frame over all columns and ndarray cells are unhashable (both r6
+    red rows were exactly this). Position-wise rows also STRENGTHEN the
+    oracle: a transposed code pair now fails the hash. Zero shuffle —
+    one codegen transform + generator over the scan (the orderBy is
     oracle-comparison framing). Contract: vectors must be non-zero
     (the fixture's are unit-norm) — an all-zero vector has no symmetric
     scale (127/0), and the engines diverge on the degenerate case
@@ -482,4 +492,8 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.col("_scale") + F.lit(0.5)).cast("int"),
     )
-    return scaled.select("vec_id", codes.alias("codes")).orderBy("vec_id")
+    return (
+        scaled.select("vec_id", codes.alias("codes"))
+        .select("vec_id", F.posexplode("codes").alias("pos", "code"))
+        .orderBy("vec_id", "pos")
+    )

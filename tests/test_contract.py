@@ -23,6 +23,12 @@ def test_registry_shape():
 
 
 def _latest_grades():
+    """Latest driver grade per key, from rounds STRICTLY BEFORE
+    registry.ROUND — the evidence that existed when the current
+    PRIORITY window was rotated. Including the current round's file
+    (which the driver writes AFTER the builder's final commit) made the
+    suite red at every round boundary (VERDICT r6 wrong #2): the fresh
+    grades make the just-set window stale by construction."""
     import glob
     import json
     import os
@@ -31,6 +37,8 @@ def _latest_grades():
     latest: dict[str, int] = {}
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
         rnd = int(os.path.basename(p).split("_r0")[1].split(".")[0])
+        if rnd >= registry.ROUND:
+            continue
         with open(p) as f:
             for k in json.load(f):
                 latest[k] = max(latest.get(k, 0), rnd)
@@ -103,6 +111,23 @@ def test_plan_audit_covers_bench_set():
 def test_all_queries_documented():
     for key, fn in contract.queries().items():
         assert fn.__doc__, f"{key} missing docstring"
+
+
+def test_no_complex_typed_result_columns(spark, sf_small):
+    """VERDICT r6 task #2, the sweep that kills the array-column class:
+    the driver's canonicalizer (pandas sort_values over all columns)
+    cannot hash array/map/struct cells — both r6 red rows were exactly
+    that. No registered key may RETURN a complex-typed column; emit
+    integer rows (posexplode) or a joined string (the q_agg_collect
+    discipline) instead. Schema-only: builds each plan, executes none."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for key, fn in contract.queries().items():
+        for f in fn(spark, sf_small).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{key}.{f.name}:{f.dataType.simpleString()}")
+    assert not offenders, f"driver-unhashable result columns: {offenders}"
 
 
 def test_queries_run_at_sf0001(spark, sf_small):

@@ -148,6 +148,56 @@ def test_seq_pack_offsets_are_contiguous_per_shard(spark, sf_small):
             want += r.n_tokens
 
 
+def test_seq_pack_split_is_token_exact(spark, sf_small):
+    """Boundary-split packing invariants: (a) each doc's split rows sum
+    to its token count; (b) within a shard, every sequence except the
+    last holds EXACTLY 2048 tokens; (c) in-sequence spans tile each
+    sequence with no gaps or overlaps."""
+    from collections import defaultdict
+
+    from novlake_spark.inventory.llm import q_llm_seq_pack, q_llm_seq_pack_split
+
+    rows = q_llm_seq_pack_split(spark, sf_small).collect()
+    base = {r.doc_id: r.n_tokens for r in q_llm_seq_pack(spark, sf_small).collect()}
+
+    per_doc = defaultdict(int)
+    per_seq = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.tok_in_seq <= 2048, r
+        assert 0 <= r.seq_off < 2048, r
+        per_doc[r.doc_id] += r.tok_in_seq
+        per_seq[(r.shard, r.seq_id)].append(r)
+    assert per_doc == base, "split rows must sum to each doc's token count"
+
+    last_seq = {}
+    for (shard, seq_id), _ in per_seq.items():
+        last_seq[shard] = max(last_seq.get(shard, -1), seq_id)
+    for (shard, seq_id), seq_rows in per_seq.items():
+        spans = sorted((r.seq_off, r.seq_off + r.tok_in_seq) for r in seq_rows)
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 == b0, f"gap/overlap inside {(shard, seq_id)}"
+        assert spans[0][0] == 0
+        total = spans[-1][1]
+        if seq_id != last_seq[shard]:
+            assert total == 2048, f"non-final sequence {(shard, seq_id)} has {total}"
+        else:
+            assert total <= 2048
+
+
+def test_dedup_incremental_key_rejects_planted(spark, sf_small):
+    """The graded admission summary: batch 2's planted exact copies of
+    batch-1 docs must ALL be rejected against the persistent index."""
+    from novlake_spark.inventory.llm import q_llm_dedup_incremental
+
+    rows = {r.batch: r for r in q_llm_dedup_incremental(spark, sf_small).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_admitted <= rows[1].n_submitted
+    assert rows[2].n_planted_admitted == 0
+    # the 50 planted copies inflate batch 2's submissions beyond the odd half
+    assert rows[2].n_submitted == rows[1].n_submitted + 50
+    assert rows[2].n_admitted <= rows[2].n_submitted - 50
+
+
 def test_det_shuffle_is_a_permutation_and_stable(spark, sf_small):
     from novlake_spark.inventory.llm import q_llm_shuffle_det
 

@@ -73,6 +73,45 @@ def test_dtype_kind_gate_matches_driver_repro():
     assert V.canon_hash(spark_side) == V.canon_hash(fixed)
 
 
+def test_unhashable_cells_flags_arrays():
+    """The round-6 failure class: the driver's _canon sort_values the
+    result frame and numpy-array cells are unhashable (CORRECTNESS_r06
+    q_emb_quantize + q_multimodal_phash_clusters both crashed there
+    while this harness sailed through). unhashable_cells must flag the
+    exact shapes that shipped red."""
+    import numpy as np
+
+    # q_emb_quantize's old shape: codes as ndarray cells (toPandas of
+    # array<int> yields object column of np.ndarray)
+    quantize_old = pd.DataFrame(
+        {"vec_id": [1, 2], "codes": [np.array([1, 2]), np.array([3, 4])]}
+    )
+    assert V.unhashable_cells(quantize_old) == ["codes"]
+    # q_multimodal_phash_clusters' old shape: members as list cells
+    clusters_old = pd.DataFrame({"cluster_rep": [0], "members": [[0, 1, 2]]})
+    assert V.unhashable_cells(clusters_old) == ["members"]
+    # the driver dies on these frames exactly as CORRECTNESS_r06 recorded
+    import pytest
+
+    with pytest.raises(TypeError):
+        quantize_old.sort_values(by=list(quantize_old.columns))
+
+
+def test_unhashable_cells_passes_repaired_shapes():
+    """The round-7 repairs — posexplode'd integer rows and the
+    array_join'd string — must be clean, as must ordinary frames."""
+    quantize_new = pd.DataFrame(
+        {"vec_id": [1, 1, 2], "pos": [0, 1, 0], "code": [5, -3, 7]}
+    )
+    clusters_new = pd.DataFrame(
+        {"cluster_rep": [0], "n_members": [3], "members": ["0,1,2"]}
+    )
+    plain = pd.DataFrame({"a": [1.5, None], "b": ["x", None], "c": [b"\x00", b"y"]})
+    for df in (quantize_new, clusters_new, plain):
+        assert V.unhashable_cells(df) == []
+        df.sort_values(by=list(df.columns))  # driver-canon survives
+
+
 def test_floor_cents_boundary_free():
     """floor(x*100 + 0.5) is the shared cents form on both engines: no
     rounding-mode boundary exists, so repr-vs-binary .5 disagreements

@@ -64,6 +64,34 @@ def canon_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+def unhashable_cells(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells the DRIVER's canonicalizer cannot hash.
+
+    Round-6 lesson (CORRECTNESS_r06: q_emb_quantize +
+    q_multimodal_phash_clusters): the driver's ``_canon`` does pandas
+    ``sort_values`` over ALL columns before hashing, which factorizes
+    object cells — numpy arrays / lists / dicts are unhashable there
+    and the check dies with TypeError before comparing anything. This
+    harness's ``canon_hash`` string-joins sequences (``_cell``), i.e.
+    it is MORE robust than the driver — the wrong direction for a
+    gate. So any array/map-typed result column is a local FAILURE for
+    every key (the driver canonicalizes WEAK keys' frames too — the
+    r6 clusters key was weak and still crashed). Emit integer rows via
+    ``posexplode`` or a joined string (the q_agg_collect discipline)
+    instead.
+    """
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            col = df[c].dropna()
+            if len(col) and col.map(
+                lambda v: isinstance(v, (list, tuple, dict, set))
+                or type(v).__name__ == "ndarray"
+            ).any():
+                bad.append(c)
+    return bad
+
+
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     keys = sys.argv[1:] or sorted(queries().keys())
@@ -90,6 +118,14 @@ def main() -> int:
             sdf = qs[key](spark, sf_dir).toPandas()
         except Exception as e:
             print(f"{key}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures.append(key)
+            continue
+        bad = unhashable_cells(sdf)
+        if bad:
+            print(
+                f"{key}: FAIL driver-unhashable array/map cells in columns {bad} "
+                f"(posexplode or array_join them — CORRECTNESS_r06 class)"
+            )
             failures.append(key)
             continue
         if key not in oracles:

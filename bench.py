@@ -96,6 +96,9 @@ HEADLINE = [
     # latency, not data throughput; its scale story lives in
     # SCALING.md and tests/test_incdedup.py.
     "q_llm_seq_pack_split",
+    "q_llm_vocab_coverage",
+    # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
+    # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]
 
 

@@ -7,6 +7,7 @@ from novlake_spark.inventory import (  # noqa: F401
     events,
     functions,
     joins,
+    lakehouse,
     llm,
     profiling,
     projection,
@@ -25,6 +26,7 @@ MODULES = [
     events,
     functions,
     joins,
+    lakehouse,
     llm,
     profiling,
     projection,

@@ -351,6 +351,66 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                   count(*) AS vocab_size
+            FROM counts),
+    top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+            FROM counts ORDER BY c DESC, tok LIMIT 10000)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST((SELECT sum(c) FROM top WHERE r <= ks.k) AS BIGINT)
+               AS tokens_covered,
+           tot.total_tokens,
+           tot.vocab_size
+    FROM (VALUES (100), (1000), (10000)) ks(k), tot
+    """,
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59 (round 7): top-k vocabulary coverage — the tokenizer-design
+    diagnostic (what share of all corpus tokens would a k-entry vocab
+    cover?): tokens_covered at k ∈ {100, 1000, 10000} plus the corpus
+    totals, ALL INTEGERS (the consumer does the one division — no
+    rounding boundary exists in the graded output).
+
+    Scale shape (the q_llm_zipf pattern): token counts collapse
+    map-side (the shuffle carries the VOCABULARY, not tokens); the head
+    is exact top-k by (count desc, token) via orderBy+limit —
+    TakeOrderedAndProject, a distributed per-partition heap + driver
+    merge of K rows, never a global sort of the vocabulary — and the
+    row_number/cumulation run on K ≤ 10000 rows (one bounded
+    partition). The totals are a 1-row aggregate broadcast-joined onto
+    3 rows. Deterministic: the (count desc, token asc) tie-break is a
+    total order on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(10000)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    )
+    ks = spark.createDataFrame([(100,), (1000,), (10000,)], "k bigint")
+    covered = (
+        ks.join(ranked, ranked["r"] <= ks["k"])
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("tokens_covered"))
+    )
+    return covered.crossJoin(F.broadcast(tot))
+
+
+@register(
     "q_emb_norm_stats",
     oracle="""
     SELECT label, count(*) AS n_vecs,
@@ -492,8 +552,11 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.col("_scale") + F.lit(0.5)).cast("int"),
     )
-    return (
-        scaled.select("vec_id", codes.alias("codes"))
-        .select("vec_id", F.posexplode("codes").alias("pos", "code"))
-        .orderBy("vec_id", "pos")
+    # no orderBy: the driver's hash is order-insensitive, and a global
+    # sort over the exploded rows (n_vectors × dim) is the one operation
+    # here that would NOT survive a 100× scale-up (measured sf1: 5.9 s
+    # with the sort, 2.0 s without — the oracle keeps its ORDER BY for
+    # readability, which the comparison ignores)
+    return scaled.select("vec_id", codes.alias("codes")).select(
+        "vec_id", F.posexplode("codes").alias("pos", "code")
     )

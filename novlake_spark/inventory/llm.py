@@ -1809,7 +1809,10 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     hashes = phash_images(synthesize_images(spark, n=30))
-    pairs = phash_near_dup_pairs(hashes, max_distance=10)
+    # 8 bands: pigeonhole guarantees recall for pairs ≤ 7 bits apart and
+    # tools/phash_tier.py measures 0.99 at the d=10 radius used here —
+    # the 4-band default was 0.72 at d=10 (ANN_TIER.json "phash")
+    pairs = phash_near_dup_pairs(hashes, max_distance=10, num_bands=8)
     comp = connected_components(
         hashes.select(F.col("media_id").alias("id")),
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),

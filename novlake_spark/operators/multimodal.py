@@ -1344,16 +1344,26 @@ def phash_near_dup_pairs(
     """(id, dhash) → near-dup pairs (id_a < id_b, hamming ≤ max_distance).
 
     Candidate generation is Hamming LSH: the 64-bit hash splits into
-    ``num_bands`` 16-bit bands; by pigeonhole, any pair within
-    ``num_bands - 1`` bits of each other agrees EXACTLY on some band
-    (guaranteed recall there; pairs between that and ``max_distance``
-    are found when their differing bits cluster — raise num_bands for
-    guaranteed recall at higher radii). Verification is one JVM-side
-    ``bit_count(a XOR b)`` — no Python in the pair path. Buckets above
-    ``max_bucket`` drop before pair expansion (the same quadratic
-    guard as MinHash LSH)."""
+    ``num_bands`` equal bands of ``64 // num_bands`` bits; by
+    pigeonhole, any pair within ``num_bands - 1`` bits of each other
+    agrees EXACTLY on some band (guaranteed recall there; pairs between
+    that and ``max_distance`` are found when their differing bits
+    cluster — raise num_bands for guaranteed recall at higher radii,
+    at the cost of coarser bands bucketing more loosely). Verification
+    is one JVM-side ``bit_count(a XOR b)`` — no Python in the pair
+    path. Buckets above ``max_bucket`` drop before pair expansion (the
+    same quadratic guard as MinHash LSH).
+
+    Round 7: band width derives from ``num_bands`` (was hardcoded
+    16-bit — a ``num_bands`` above 4 silently shifted past the 64-bit
+    hash, leaving degenerate all-zero bands; tools/phash_tier.py's
+    pigeonhole assertion caught it)."""
+    if 64 % num_bands:
+        raise ValueError(f"num_bands must divide 64, got {num_bands}")
+    width = 64 // num_bands
+    mask = (1 << width) - 1
     band_cols = [
-        F.shiftrightunsigned(F.col("dhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"_pb{b}")
+        F.shiftrightunsigned(F.col("dhash"), width * b).bitwiseAND(F.lit(mask)).alias(f"_pb{b}")
         for b in range(num_bands)
     ]
     buckets = hashes.select(

@@ -58,6 +58,12 @@ ROUND_HEAD: list[str] = [
     # round 7 NEW: incremental dedup through the persistent
     # SignatureIndex as a graded key (WEAK — LSH admission)
     "q_llm_dedup_incremental",
+    # round 7 NEW: the txlog ACID layer driver-graded FULL (MERGE
+    # three-way partition; VERSION AS OF immutability)
+    "q_txlog_merge",
+    "q_txlog_timetravel",
+    # round 7 NEW: top-k vocabulary coverage (integer-only FULL)
+    "q_llm_vocab_coverage",
 ]
 
 PRIORITY: list[str] = [
@@ -67,6 +73,9 @@ PRIORITY: list[str] = [
     "q_pdf_cmap_extract",
     "q_llm_seq_pack_split",
     "q_llm_dedup_incremental",
+    "q_txlog_merge",
+    "q_txlog_timetravel",
+    "q_llm_vocab_coverage",
     # ---- stalest driver evidence first: the 12 keys last graded in
     # ---- round 2 (displaced from the r6 window), then the 45
     # ---- round-3-vintage keys in stable order; the graded window is

@@ -97,6 +97,9 @@ HEADLINE = [
     # SCALING.md and tests/test_incdedup.py.
     "q_llm_seq_pack_split",
     "q_llm_vocab_coverage",
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
+    "q_llm_fertility",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

@@ -238,6 +238,105 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT event_id AS p_id, user_id,
+           CASE WHEN last_click_us IS NOT NULL
+                     AND us - last_click_us <= 3600000000
+                THEN last_click ELSE -1 END AS click_1h_id
+    FROM (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER w AS last_click,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END IGNORE NULLS)
+               OVER w AS last_click_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10b (round 7): as-of join with a TOLERANCE — pandas
+    merge_asof's `tolerance` on the union-window plan: each purchase
+    gets the user's latest at-or-before click ONLY if it happened
+    within the last hour; staler matches null out (graded as -1). The
+    matched click's timestamp rides the SAME window as a second
+    annotated column, so the bound costs zero extra shuffles — one
+    shuffle, one sort, exactly like the plain as-of. The gap compares
+    in integer MICROS on both engines (the repo-wide interval
+    discipline — a seconds cast truncates at the boundary)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        payload="click_id",
+        tie_break="event_id",
+        tolerance_micros=3_600_000_000,
+    )
+    return joined.select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.coalesce("asof_click_id", F.lit(-1)).alias("click_1h_id"),
+    )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT event_id AS c_id, user_id,
+           coalesce(next_purchase, -1) AS next_purchase_id
+    FROM (
+      SELECT event_id, user_id, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    WHERE event_type = 'click'
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10c (round 7): FORWARD as-of join — pandas merge_asof
+    direction='forward': each click annotated with the user's earliest
+    at-or-after purchase (the time-to-conversion primitive attribution
+    pipelines build on). Same union-window plan with a FOLLOWING frame
+    and `first` instead of `last` — the cost model is unchanged: one
+    shuffle by user, one sort, no pairwise blow-up however hot the
+    user."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("event_id").alias("purchase_id")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        payload="purchase_id",
+        tie_break="event_id",
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.coalesce("asof_purchase_id", F.lit(-1)).alias("next_purchase_id"),
+    )
+
+
+@register(
     "q_join_multikey",
     oracle="""
     WITH t AS (SELECT user_id, event_type, count(*) AS type_count

@@ -89,6 +89,46 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_txlog_dv_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey > 1000
+    """,
+)
+def q_txlog_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LH3 (round 7): the merge-on-read path graded FULL — a deletion-
+    vector DELETE (``dv=True``: NO file is rewritten; matching row
+    POSITIONS are logged and every reader anti-joins them out via
+    ``_metadata.row_index``), then a snapshot read that must return
+    exactly the surviving rows. This is a physically DIFFERENT read
+    path from LH1/LH2's copy-on-write snapshots — a positional
+    anti-join against the DV sidecar — and any off-by-one in position
+    capture or row-index matching changes the hash. The change-feed
+    path stays pytest-graded: the repo's CDF is file-granular (a
+    merge reports rewritten FILES as delete+insert), so its row set
+    depends on physical partitioning and has no engine-independent SQL
+    restatement — tests/test_deletion_vectors.py and
+    tests/test_cdf_mview.py pin it instead. Scale: deleting k rows
+    from 100 TB costs one stats-scoped position scan plus a log
+    publish; zero data rewrite."""
+    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 0)
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qdv-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(base.repartition(4))
+        t.delete([("o_orderkey", "<=", 1000)], dv=True)
+        snap = t.read().select(
+            "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+        )
+        return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "q_txlog_timetravel",
     oracle="""
     SELECT o_orderkey, o_custkey,

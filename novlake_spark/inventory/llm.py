@@ -495,6 +495,51 @@ def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.lang_id(T.tokens(F.col("text"))).alias("pred_lang"))
 
 
+def _fertility_oracle() -> str:
+    return f"""
+    WITH langid AS ({_langid_oracle()}),
+    feat AS (SELECT doc_id,
+                    len(string_split(text, ' ')) AS ws,
+                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe
+             FROM documents)
+    SELECT pred_lang AS lang, count(*) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+    FROM langid JOIN feat USING (doc_id)
+    GROUP BY pred_lang
+    """
+
+
+@register("q_llm_fertility", oracle=_fertility_oracle())
+def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60 (round 7): tokenizer fertility by language — the
+    multilingual-tokenizer health metric (BPE-ish tokens per whitespace
+    word, aggregated per predicted language): languages a vocabulary
+    under-serves show inflated fertility and eat the token budget.
+    Output is INTEGER SUMS plus doc counts (the consumer divides —
+    no rounding boundary), grouped by the same marker-cascade langid
+    the graded q_llm_langid uses, so the two keys compose into one
+    consistent per-language view. Plan: one scan computes langid AND
+    both token counts (pure codegen, zero Python), then a
+    language-cardinality groupBy — the shuffle carries ≤ |languages|
+    partial rows per task, nothing document-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        T.lang_id(T.tokens(F.col("text"))).alias("lang"),
+        F.size(F.split("text", " ")).cast("long").alias("ws"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).cast("long").alias("bpe"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+    )
+
+
 @register(
     "q_llm_perplexity",
     oracle="""

@@ -15,6 +15,15 @@ Spark-first formulation used here avoids the join entirely:
 Cost: exactly one shuffle by key and one sort — the same price as a
 sort-merge join, with no intermediate blow-up and no skew amplification
 (a hot key costs its own row count, not clicks×purchases).
+
+Round 7 adds the two pandas-``merge_asof`` refinements users actually
+reach for: ``direction="forward"`` (earliest right row at-or-after —
+the same window with a FOLLOWING frame and ``first`` instead of
+``last``) and ``tolerance_micros`` (a match older/newer than the
+tolerance is nulled out — the matched row's timestamp rides the same
+window as a second annotated column, so the bound costs no extra
+shuffle). Both compose: the cost model is unchanged — one shuffle, one
+sort, whatever the options.
 """
 
 from __future__ import annotations
@@ -30,22 +39,50 @@ def asof_join(
     ts: str,
     payload: str,
     tie_break: str,
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
 ) -> DataFrame:
-    """Annotate each ``left`` row with the latest ``right.payload`` whose
-    timestamp is <= the left row's, per ``key``.
+    """Annotate each ``left`` row with the nearest ``right.payload`` at
+    or before (``direction="backward"``) / at or after (``"forward"``)
+    its timestamp, per ``key``.
 
     Both inputs must share the ``key``/``ts``/``tie_break`` columns;
-    ordering ties resolve by ``tie_break`` so results are deterministic.
-    Returns the left rows plus a nullable ``asof_{payload}`` column.
+    ordering ties resolve by ``tie_break`` so results are deterministic
+    (within one timestamp, rows order by the tie-break REGARDLESS of
+    side — both engines of a cross-engine check must state the same
+    single-stream formulation). ``tolerance_micros`` nulls the match
+    when the timestamp gap exceeds it (``ts`` must be a timestamp
+    column; the gap compares in integer microseconds — the repo-wide
+    interval discipline). Returns the left rows plus a nullable
+    ``asof_{payload}`` column.
     """
-    tagged_left = left.withColumn("_is_left", F.lit(True)).withColumn(payload, F.lit(None).cast(dict(right.dtypes)[payload]))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    tagged_left = left.withColumn("_is_left", F.lit(True)).withColumn(
+        payload, F.lit(None).cast(dict(right.dtypes)[payload])
+    )
     tagged_right = right.withColumn("_is_left", F.lit(False))
     unioned = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col(tie_break).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    annotated = unioned.withColumn(f"asof_{payload}", F.last(payload, ignorenulls=True).over(w))
+    base = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tie_break).asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+
+    out = f"asof_{payload}"
+    annotated = unioned.withColumn(out, pick(F.col(payload)).over(w))
+    if tolerance_micros is not None:
+        right_us = F.when(~F.col("_is_left"), F.unix_micros(F.col(ts)))
+        annotated = annotated.withColumn("_asof_us", pick(right_us).over(w))
+        gap = (
+            F.unix_micros(F.col(ts)) - F.col("_asof_us")
+            if direction == "backward"
+            else F.col("_asof_us") - F.unix_micros(F.col(ts))
+        )
+        annotated = annotated.withColumn(
+            out, F.when(gap <= F.lit(int(tolerance_micros)), F.col(out))
+        ).drop("_asof_us")
     return annotated.filter(F.col("_is_left")).drop("_is_left", payload)

@@ -64,6 +64,13 @@ ROUND_HEAD: list[str] = [
     "q_txlog_timetravel",
     # round 7 NEW: top-k vocabulary coverage (integer-only FULL)
     "q_llm_vocab_coverage",
+    # round 7 NEW: merge_asof parity — tolerance + forward direction
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
+    # round 7 NEW: tokenizer fertility by language (integer-only FULL)
+    "q_llm_fertility",
+    # round 7 NEW: deletion-vector merge-on-read path graded FULL
+    "q_txlog_dv_read",
 ]
 
 PRIORITY: list[str] = [
@@ -76,6 +83,10 @@ PRIORITY: list[str] = [
     "q_txlog_merge",
     "q_txlog_timetravel",
     "q_llm_vocab_coverage",
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
+    "q_llm_fertility",
+    "q_txlog_dv_read",
     # ---- stalest driver evidence first: the 12 keys last graded in
     # ---- round 2 (displaced from the r6 window), then the 45
     # ---- round-3-vintage keys in stable order; the graded window is

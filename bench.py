@@ -100,6 +100,8 @@ HEADLINE = [
     "q_join_asof_tolerance",
     "q_join_asof_forward",
     "q_llm_fertility",
+    "q_tpch_q1",
+    "q_tpch_q3",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

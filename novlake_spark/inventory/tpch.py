@@ -5,8 +5,11 @@ l_shipmode/l_commitdate/l_receiptdate, o_comment/o_shippriority,
 c_address/c_phone, p_mfgr/p_container), so each query keeps the
 *plan shape* of its TPC-H counterpart — the join graph, aggregation
 pattern, and subquery structure that exercise the optimizer — with
-predicates adapted to the columns that exist. Q1 and Q3 shapes already
-ship as q_agg_groupby / q_join_star. The partsupp-centric queries
+predicates adapted to the columns that exist. Round 7 completes the
+named 22-query suite: q_tpch_q1/q_tpch_q3 are the full originals
+(trimmed early stand-ins remain as q_agg_groupby / q_join_star — the
+new keys carry the complete measure sets, not duplicates). The
+partsupp-centric queries
 (Q2/Q11/Q20) proxy the part↔supplier relation through lineitem
 (supply cost := min unit price ever charged; availqty := shipped
 quantity), and the shipmode/receipt-commit queries (Q12/Q21) proxy
@@ -67,6 +70,120 @@ def _money_sum_sql(expr: str) -> str:
 
 
 _REV_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _money_sum6(expr: Column) -> Column:
+    """6-dp-exact money sum for THREE-factor money products (Q1's
+    charge = price·(1−disc)·(1+tax) is an exact multiple of 1e-6, so
+    the 4-dp grid of :func:`_money_sum` would round it onto .5
+    boundaries): scale by 1e6 — price ≤ ~1e5 × 1e6 ≪ 2^53, so round()
+    recovers the exact integer — sum as BIGINT, then the same
+    boundary-free floor-to-cents."""
+    s = F.sum(F.round(expr * 1000000).cast("long"))
+    return F.floor((s + F.lit(5000)) / 10000.0) / 100.0
+
+
+def _money_sum6_sql(expr: str) -> str:
+    return (
+        "floor((CAST(sum(CAST(round((" + expr + ") * 1000000) AS BIGINT)) AS DOUBLE)"
+        " + 5000) / 10000.0) / 100.0"
+    )
+
+
+@register(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {_money_sum_sql("l_extendedprice")} AS sum_base_price,
+           {_money_sum_sql(_REV_SQL)} AS sum_disc_price,
+           {_money_sum6_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: the pricing summary report — THE TPC-H scan-heavy
+    aggregation (the trimmed shape shipped round 1 as q_agg_groupby;
+    this is the full nine-measure original over the fixture's complete
+    l_tax column). Float discipline: every sum goes through an exact
+    integer grid (quantities are integral doubles → BIGINT; 2-factor
+    money on the 1e-4 grid via _money_sum; the 3-factor charge on the
+    1e-6 grid via _money_sum6 — its 4-dp rounding WOULD land on .5
+    boundaries), and the averages are single IEEE divisions of
+    identical integers on both engines, so every output bit matches
+    with no round() anywhere. Plan: one scan, the filter pushed to
+    parquet, map-side partial agg into a 4-group exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    qty = F.sum(F.col("l_quantity").cast("long"))
+    price_cents = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    disc_cents = F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qty.alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(_rev()).alias("sum_disc_price"),
+            _money_sum6(charge).alias("sum_charge"),
+            (qty.cast("double") / n).alias("avg_qty"),
+            (price_cents.cast("double") / F.lit(100.0) / n).alias("avg_price"),
+            (disc_cents.cast("double") / F.lit(100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey, {_money_sum_sql(_REV_SQL)} AS revenue, o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: shipping-priority top-10 — the unstarted-revenue ranking
+    (the trimmed 3-way star shipped round 1 as q_join_star; this is
+    the original's segment-filtered top-k with the fixture's
+    c_mktsegment). The customer side broadcast-hints (segment filter
+    bounds it); the top-10 is orderBy+limit → TakeOrderedAndProject
+    (distributed heap, no global sort materialization), with
+    (o_orderdate, l_orderkey) breaking revenue ties so the LIMIT
+    boundary is deterministic on both engines — revenue itself is the
+    bit-identical floor-formula double."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1998-03-15")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_money_sum(_rev()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
 
 
 @register(

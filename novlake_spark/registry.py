@@ -71,6 +71,10 @@ ROUND_HEAD: list[str] = [
     "q_llm_fertility",
     # round 7 NEW: deletion-vector merge-on-read path graded FULL
     "q_txlog_dv_read",
+    # round 7 NEW: the full TPC-H Q1/Q3 (completes the named 22-query
+    # suite; the trimmed shapes remain as q_agg_groupby/q_join_star)
+    "q_tpch_q1",
+    "q_tpch_q3",
 ]
 
 PRIORITY: list[str] = [
@@ -87,6 +91,8 @@ PRIORITY: list[str] = [
     "q_join_asof_forward",
     "q_llm_fertility",
     "q_txlog_dv_read",
+    "q_tpch_q1",
+    "q_tpch_q3",
     # ---- stalest driver evidence first: the 12 keys last graded in
     # ---- round 2 (displaced from the r6 window), then the 45
     # ---- round-3-vintage keys in stable order; the graded window is

@@ -89,6 +89,54 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_txlog_maintenance",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_txlog_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LH4 (round 7): the maintenance pipeline graded FULL — chunked
+    appends (4 key-range commits) → log CHECKPOINT → Z-ORDER rewrite
+    (optimize: width-bucket ranks bit-interleaved, range-partitioned —
+    an atomic remove+add) → shallow CLONE (O(metadata): the clone's
+    adds reference the source's files) → read THE CLONE. Every step is
+    content-preserving by contract, so the oracle is simply the base
+    row set: any row lost or duplicated by checkpoint replay, the
+    z-order rewrite, or clone reference resolution breaks the hash.
+    This grades three physical paths LH1–LH3 don't touch: checkpoint-
+    based log replay, the compaction rewrite, and cross-table absolute
+    file references. Scale: checkpoint makes log replay O(1) in commit
+    count; optimize's one min/max aggregate feeds map-side z-values
+    (no per-column sort); the clone is one log entry at any size."""
+    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 0)
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qmaint-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        kmax = base.agg(F.max("o_orderkey")).collect()[0][0] or 0
+        step = kmax // 4 + 1
+        for i in range(4):
+            t.commit(
+                base.filter(
+                    (F.col("o_orderkey") >= i * step)
+                    & (F.col("o_orderkey") < (i + 1) * step)
+                ).repartition(2)
+            )
+        t.checkpoint()
+        t.optimize(zorder_by=["o_orderkey", "o_custkey"], target_files=4)
+        clone = t.clone(f"{root}/clone")
+        snap = clone.read().select(
+            "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+        )
+        return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "q_txlog_dv_read",
     oracle="""
     SELECT o_orderkey, o_custkey,
@@ -122,6 +170,61 @@ def q_txlog_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete([("o_orderkey", "<=", 1000)], dv=True)
         snap = t.read().select(
             "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+        )
+        return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_txlog_stream_pipe",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def q_txlog_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LH5 (round 7): the streaming CDC pipe graded FULL — the base
+    snapshot tailed through the custom Structured Streaming SOURCE
+    (``format("txlog")``: version-ordered microbatches from the log)
+    into the exactly-once SINK (txn-keyed commits keyed by epoch), one
+    availableNow pass, then the SINK table is read and graded against
+    the plain base row set: a dropped microbatch, a replayed epoch, or
+    an offset-tracking fault shows up as missing/duplicated rows and
+    breaks the hash. This puts the J8 streaming path under the
+    cross-engine gate (it was pytest-only); the batch keys can't reach
+    it because the source/sink pair IS the surface. Scale: the source
+    reads O(new commits) per trigger, the sink publishes one txn-keyed
+    commit per epoch — the backfill cost here is the documented
+    fixed availableNow lifecycle, not data volume."""
+    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 0)
+    from novlake_spark.sources.txlog_source import register_txlog_source
+    from novlake_spark.txlog import TxTable
+
+    register_txlog_source(spark)
+    root = tempfile.mkdtemp(prefix="novlake-qpipe-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(base.repartition(4))
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", f"{root}/t")
+            .load()
+            .writeStream.format("txlog")
+            .option("path", f"{root}/sink")
+            .option("txnAppId", "q-txlog-pipe")
+            .option("checkpointLocation", f"{root}/cp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = (
+            TxTable(spark, f"{root}/sink")
+            .read()
+            .select(
+                "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+            )
         )
         return snap.localCheckpoint(eager=True)
     finally:

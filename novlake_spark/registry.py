@@ -75,6 +75,10 @@ ROUND_HEAD: list[str] = [
     # suite; the trimmed shapes remain as q_agg_groupby/q_join_star)
     "q_tpch_q1",
     "q_tpch_q3",
+    # round 7 NEW: maintenance pipeline (checkpoint+zorder+clone) and
+    # the streaming CDC pipe, both graded FULL against the base set
+    "q_txlog_maintenance",
+    "q_txlog_stream_pipe",
 ]
 
 PRIORITY: list[str] = [
@@ -93,6 +97,8 @@ PRIORITY: list[str] = [
     "q_txlog_dv_read",
     "q_tpch_q1",
     "q_tpch_q3",
+    "q_txlog_maintenance",
+    "q_txlog_stream_pipe",
     # ---- stalest driver evidence first: the 12 keys last graded in
     # ---- round 2 (displaced from the r6 window), then the 45
     # ---- round-3-vintage keys in stable order; the graded window is

@@ -102,6 +102,7 @@ HEADLINE = [
     "q_llm_fertility",
     "q_tpch_q1",
     "q_tpch_q3",
+    "q_llm_edit_distance",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

@@ -495,6 +495,49 @@ def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.lang_id(T.tokens(F.col("text"))).alias("pred_lang"))
 
 
+@register(
+    "q_llm_edit_distance",
+    oracle="""
+    WITH t AS (SELECT doc_id, substring(text, 1, 80) AS head FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist,
+           CAST(greatest(length(a.head), length(b.head)) AS BIGINT) AS max_len
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L61 (round 7): edit-distance pairs — the character-level
+    fuzzy-dedup primitive the shingle/MinHash family can't express
+    (Levenshtein catches single-character template drift that leaves
+    most shingles intact but matters for exact-ish near-dup
+    adjudication). Graded over consecutive-id pairs on the first 80
+    chars: the 1:1 id-join keeps the graded shape linear (the
+    production pattern runs the SAME JVM `levenshtein` as the verify
+    step behind LSH candidate pairs — a bounded-candidate set, never
+    all-pairs; cost is O(len²) per CANDIDATE, which is why the
+    candidates come from LSH, not why the metric is wrong). Output is
+    integers (distance + max length — the consumer derives the
+    similarity ratio; lengths use CHARACTER semantics on both engines
+    — DuckDB `length`, not byte-counting `strlen`). Cross-engine:
+    Spark's `levenshtein` and DuckDB's agree on classic
+    single-character insert/delete/substitute counts, pinned here by
+    the hash over the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("head")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("head").alias("ha"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("head").alias("hb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ha", "hb").cast("long").alias("edit_dist"),
+            F.greatest(F.length("ha"), F.length("hb")).cast("long").alias("max_len"),
+        )
+    )
+
+
 def _fertility_oracle() -> str:
     return f"""
     WITH langid AS ({_langid_oracle()}),

@@ -79,6 +79,9 @@ ROUND_HEAD: list[str] = [
     # the streaming CDC pipe, both graded FULL against the base set
     "q_txlog_maintenance",
     "q_txlog_stream_pipe",
+    # round 7 NEW: character-level fuzzy-dedup primitive (JVM
+    # levenshtein vs DuckDB levenshtein, integer outputs)
+    "q_llm_edit_distance",
 ]
 
 PRIORITY: list[str] = [
@@ -99,6 +102,7 @@ PRIORITY: list[str] = [
     "q_tpch_q3",
     "q_txlog_maintenance",
     "q_txlog_stream_pipe",
+    "q_llm_edit_distance",
     # ---- stalest driver evidence first: the 12 keys last graded in
     # ---- round 2 (displaced from the r6 window), then the 45
     # ---- round-3-vintage keys in stable order; the graded window is

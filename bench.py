@@ -103,9 +103,27 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_llm_edit_distance",
+    "q_llm_containment_pairs",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]
+
+
+def _short_keys(times: dict[str, float]) -> dict[str, float]:
+    """Abbreviate bench-line keys (q_ stripped, llm_ dropped,
+    multimodal_ -> mm_) with a collision guard; 2-dp times."""
+
+    def short(k: str) -> str:
+        k = k[2:]
+        if k.startswith("llm_"):
+            return k[4:]
+        if k.startswith("multimodal_"):
+            return "mm_" + k[11:]
+        return k
+
+    out = {short(k): round(t, 2) for k, t in times.items()}
+    assert len(out) == len(times), "bench-line key abbreviation collided"
+    return out
 
 
 def run_once(qs, spark, sf_dir: str) -> dict[str, float]:
@@ -299,14 +317,16 @@ def main() -> None:
         # ONE-line budget (VERDICT r6 task #6: 62 keys = 1758 of the
         # driver's ~2000-byte tail capture; more keys would overflow and
         # the driver records parsed:null, the r4 failure): the line
-        # carries per-query times with the uniform "q_" prefix stripped
-        # and 2-dp rounding; FULL key names and 3-dp times land in
+        # carries per-query times with the uniform "q_" prefix stripped,
+        # the two dominant family prefixes abbreviated (llm_ dropped,
+        # multimodal_ -> mm_ — no collisions, asserted below), and 2-dp
+        # rounding; FULL key names and 3-dp times land in
         # BENCH_FULL.json beside the other side files.
-        "queries": {k[2:]: round(t, 2) for k, t in times.items()},
+        "queries": _short_keys(times),
         "sf": sf,
         "txlog": {"sec": round(sum(txlog.values()), 3), "n": len(txlog),
                   "file": "TXLOG_BENCH.json"},
-        "note": "query keys prefix q_; full detail in BENCH_FULL.json",
+        "note": "keys abbreviated; full in BENCH_FULL.json",
     }
     # Scale-rehearsal evidence (VERDICT r3 #4, re-shaped per VERDICT r4 #1):
     # SCALE_sf1.json holds the same bench run at sf1 (10× the default),

@@ -81,6 +81,47 @@ def q_llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_containment_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_distinct(string_split(lower(text), ' ')) AS toks
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT)
+               AS n_common,
+           CAST(len(a.toks) AS BIGINT) AS n_a,
+           CAST(len(b.toks) AS BIGINT) AS n_b
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L62 (round 7): token-set CONTAINMENT — the asymmetric near-dup
+    signal Jaccard hides: a document quoted wholesale inside a much
+    longer one has containment |A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B|
+    stays small, which is exactly the doc-inside-doc case dedup
+    adjudication cares about (Broder's containment, the quantity
+    MinHash-with-prefix estimates at scale). Graded over the same
+    consecutive-id 1:1 pairs as q_llm_jaccard_pairs; output is the raw
+    INTEGER triple (intersection + both set sizes) so BOTH directed
+    ratios derive with no rounding boundary in the oracle. Production
+    shape: the same intersection behind LSH candidates, never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    return a.join(b, F.col("doc_b") == F.col("doc_a") + 1).select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("ta", "tb")).cast("long").alias("n_common"),
+        F.size("ta").cast("long").alias("n_a"),
+        F.size("tb").cast("long").alias("n_b"),
+    )
+
+
+@register(
     "q_llm_dedup_embed",
     oracle="""
     WITH d AS (SELECT vec_id, label,

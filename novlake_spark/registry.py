@@ -82,6 +82,8 @@ ROUND_HEAD: list[str] = [
     # round 7 NEW: character-level fuzzy-dedup primitive (JVM
     # levenshtein vs DuckDB levenshtein, integer outputs)
     "q_llm_edit_distance",
+    # round 7 NEW: asymmetric containment (doc-inside-doc signal)
+    "q_llm_containment_pairs",
 ]
 
 PRIORITY: list[str] = [
@@ -103,6 +105,7 @@ PRIORITY: list[str] = [
     "q_txlog_maintenance",
     "q_txlog_stream_pipe",
     "q_llm_edit_distance",
+    "q_llm_containment_pairs",
     # ---- stalest driver evidence first: the 12 keys last graded in
     # ---- round 2 (displaced from the r6 window), then the 45
     # ---- round-3-vintage keys in stable order; the graded window is

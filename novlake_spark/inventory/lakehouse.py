@@ -44,6 +44,9 @@ def _cents(col: str) -> F.Column:
 
 @register(
     "q_txlog_merge",
+    # side-effecting (full txlog lifecycle per call): the contract
+    # schema sweep reads this declaration instead of re-running it
+    declared_schema="o_orderkey bigint, o_custkey bigint, price_cents bigint",
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(floor(o_totalprice * 2 * 100 + 0.5) AS BIGINT) AS price_cents
@@ -90,6 +93,9 @@ def q_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_txlog_maintenance",
+    # side-effecting (full txlog lifecycle per call): the contract
+    # schema sweep reads this declaration instead of re-running it
+    declared_schema="o_orderkey bigint, o_custkey bigint, price_cents bigint",
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
@@ -138,6 +144,9 @@ def q_txlog_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_txlog_dv_read",
+    # side-effecting (full txlog lifecycle per call): the contract
+    # schema sweep reads this declaration instead of re-running it
+    declared_schema="o_orderkey bigint, o_custkey bigint, price_cents bigint",
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
@@ -178,6 +187,9 @@ def q_txlog_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_txlog_stream_pipe",
+    # side-effecting (full txlog lifecycle per call): the contract
+    # schema sweep reads this declaration instead of re-running it
+    declared_schema="o_orderkey bigint, o_custkey bigint, price_cents bigint",
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
@@ -218,7 +230,13 @@ def q_txlog_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "txlog availableNow pipe still running after 300 s — "
+                "grading a partial sink would pass rows that never "
+                "finished committing (ADVICE r7)"
+            )
         snap = (
             TxTable(spark, f"{root}/sink")
             .read()
@@ -233,6 +251,9 @@ def q_txlog_stream_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_txlog_timetravel",
+    # side-effecting (full txlog lifecycle per call): the contract
+    # schema sweep reads this declaration instead of re-running it
+    declared_schema="o_orderkey bigint, o_custkey bigint, price_cents bigint, version int",
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
@@ -282,5 +303,204 @@ def q_txlog_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("version"),
         )
         return old.unionByName(new).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_txlog_cdf",
+    # side-effecting (full txlog lifecycle per call): the contract
+    # schema sweep reads this declaration instead of re-running it
+    declared_schema="o_orderkey bigint, o_custkey bigint, price_cents bigint",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice
+                      * (CASE WHEN o_orderkey > 1000 AND o_orderkey <= 3000
+                              THEN 2 ELSE 1 END)
+                      * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+      AND o_orderkey > 1000
+      AND NOT (o_orderkey > 3000 AND o_orderkey <= 3100)
+    """,
+)
+def q_txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LH6 (round 8): the change-data-feed read path graded FULL — not
+    by hashing the feed itself (the repo's CDF is file-granular: a
+    copy-on-write rewrite reports whole files as delete+insert, so the
+    raw feed's row set depends on physical partitioning and has no
+    engine-independent SQL restatement) but by RECONSTRUCTING the
+    current snapshot from it: every row's net multiplicity across the
+    full feed (insert = +1, delete = -1) must equal its presence in
+    the final state. The chain exercises all three delete-side feed
+    producers — a copy-on-write DELETE (file rewrite), a copy-on-write
+    UPDATE (delete old row + insert updated row), and a
+    deletion-vector DELETE (the ``set_dv`` positional feed path) — and
+    any dropped/duplicated feed row, wrong change tag, or DV position
+    off-by-one surfaces as a net ≠ {0, 1} and breaks the hash. Scale:
+    the feed is O(changed files) per version (log-derived, never a
+    snapshot diff), and the reconstruction is one hash aggregation on
+    (key, payload) — the standard CDC-consumer idempotence check."""
+    base = _orders_base(spark, sf_dir).filter(F.col("o_orderkey") % 2 == 0)
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qcdf-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(base.repartition(4))                      # v0: inserts
+        t.delete([("o_orderkey", "<=", 1000)])             # v1: CoW delete
+        t.update(                                          # v2: CoW update
+            {"o_totalprice": "o_totalprice * 2"},
+            where=[("o_orderkey", ">", 1000), ("o_orderkey", "<=", 3000)],
+        )
+        t.delete(                                          # v3: DV delete
+            [("o_orderkey", ">", 3000), ("o_orderkey", "<=", 3100)], dv=True
+        )
+        feed = t.changes(-1)  # the full feed, v0..v3
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        net = (
+            feed.select(
+                "o_orderkey",
+                "o_custkey",
+                _cents("o_totalprice").alias("price_cents"),
+                sign.alias("_s"),
+            )
+            .groupBy("o_orderkey", "o_custkey", "price_cents")
+            .agg(F.sum("_s").alias("_net"))
+            .filter(F.col("_net") > 0)
+            .select("o_orderkey", "o_custkey", "price_cents")
+        )
+        return net.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_mview_incremental",
+    # side-effecting (full txlog + view lifecycle per call): the
+    # contract schema sweep reads this declaration instead
+    declared_schema=(
+        "o_custkey bigint, spend_cents bigint, n_orders bigint, avg_cents double"
+    ),
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS spend_cents,
+           count(*) AS n_orders,
+           CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / count(*) AS avg_cents
+    FROM orders WHERE o_orderkey > 500
+    GROUP BY o_custkey
+    """,
+)
+def q_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LH7 (round 8): incremental materialized-view maintenance graded
+    FULL — the last pytest-only txlog surface (mview.py). Chain: commit
+    the even order keys → full view build (refresh #1) → commit the odd
+    keys AND copy-on-write delete everything ≤ 500 → refresh #2, which
+    must fold ONLY the signed change-feed delta (inserts +, deletes −)
+    into the stored per-group state — never rescanning the base — and
+    drop groups whose live row count reaches zero. The oracle is the
+    view's defining aggregate over the final base state in plain SQL,
+    so a wrong sign, a double-counted delta (the exactly-once
+    src@version txn mark), a missed group death, or a stats-scoped
+    rewrite that dropped an untouched group all break the hash. Money
+    discipline: the summed measure is integer cents (sums of BIGINT
+    are associative — a DOUBLE sum would drift by fold order between
+    the incremental path and the oracle's single pass); AVG is the one
+    derived measure, a single IEEE division of identical integers on
+    both engines. Scale: refresh cost is O(delta + overlapping view
+    files) — the dashboard-over-100-TB shape where recompute is a full
+    scan but maintenance is the size of the day's commits."""
+    cents_base = _orders_base(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+    )
+    from novlake_spark.mview import IncrementalAggView
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qmview-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(cents_base.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+        view = IncrementalAggView(
+            t,
+            f"{root}/mv",
+            keys=["o_custkey"],
+            measures={
+                "spend_cents": ("sum", "price_cents"),
+                "n_orders": ("count",),
+                "avg_cents": ("avg", "price_cents"),
+            },
+        )
+        view.refresh()  # full build from v0
+        t.commit(cents_base.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+        t.delete([("o_orderkey", "<=", 500)])
+        view.refresh()  # incremental: folds only the two commits' delta
+        return view.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_llm_contamination_snapshot",
+    # side-effecting (txlog lifecycle per call): the contract schema
+    # sweep reads this declaration instead of re-running it
+    declared_schema="doc_id bigint, contaminated int",
+    oracle="""
+    WITH v0 AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0),
+         bench AS (SELECT DISTINCT md5(lower(trim(text))) AS h
+                   FROM v0 WHERE source = 'src0')
+    SELECT v0.doc_id,
+           CAST((bench.h IS NOT NULL) AS INT) AS contaminated
+    FROM v0 LEFT JOIN bench ON md5(lower(trim(v0.text))) = bench.h
+    WHERE v0.source <> 'src0'
+    """,
+)
+def q_llm_contamination_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L63 (round 8): version-pinned train/eval decontamination — the
+    cross-snapshot validity property VERDICT r7 task #8 names. A
+    decontamination run is only reproducible if it is pinned to the
+    snapshot it was computed against: this key commits the even-doc_id
+    half of the corpus as v0, then commits the odd half as v1, and runs
+    the exact-hash contamination check (train = non-src0 docs, bench =
+    the distinct normalized-text digests of the src0 eval slice)
+    strictly against ``VERSION AS OF 0`` — while v1 exists in the same
+    log. The oracle restates the v0 slice arithmetically (doc_id % 2 =
+    0), so ANY v1 leakage breaks the grade twice over: an odd train doc
+    adds a result row (row-count/hash break), and an odd bench doc
+    grows the digest set and can flip contamination flags. Composes
+    LH2's time travel with the contamination operator; exact-hash match
+    (not shingle overlap) keeps the graded surface about SNAPSHOT
+    semantics, not tokenization. Scale: the bench digest set shuffles
+    as 16-byte digests (never text), and the train side joins on the
+    digest — the same bounded-join shape as q_llm_dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qcontam-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(docs.filter(F.col("doc_id") % 2 == 0).repartition(4))  # v0
+        t.commit(docs.filter(F.col("doc_id") % 2 == 1).repartition(4))  # v1
+        v0 = t.read(version=0).withColumn(
+            "_h", F.md5(F.lower(F.trim(F.col("text"))))
+        )
+        bench = (
+            v0.filter(F.col("source") == "src0")
+            .select("_h")
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        out = (
+            v0.filter(F.col("source") != "src0")
+            .join(bench, "_h", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("contaminated"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -38,6 +38,48 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "q_llm_dedup_keeper",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS text_hash,
+           CAST((row_number() OVER (
+                    PARTITION BY md5(lower(trim(text)))
+                    ORDER BY length(text) DESC, doc_id ASC) = 1) AS INT)
+             AS is_keeper
+    FROM documents
+    """,
+)
+def q_llm_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64 (round 8): canonical-keeper selection — the policy step every
+    dedup family feeds into (VERDICT r7 task #8): within each
+    exact-duplicate cluster, keep the LONGEST raw text (most complete
+    variant — normalization may have collapsed whitespace/case
+    differences), breaking ties by lowest doc_id, and emit a per-doc
+    keep/drop verdict. Stated entirely in SQL (a rank-1 window over the
+    cluster), so the oracle is FULL — unlike min(doc_id) dedup, the
+    keeper policy is an ORDERING rule, and a wrong sort key or an
+    unstable tie-break flips is_keeper bits and breaks the hash. Scale:
+    the window shuffles only (doc_id, digest, length) — the text column
+    is projected away BEFORE the exchange, so a 100 TB corpus shuffles
+    ~40 bytes/doc; cluster partitions are duplicate groups (tiny), so
+    no skew shape exists."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+        F.length("text").alias("_len"),
+    )
+    w = (
+        Window.partitionBy("text_hash")
+        .orderBy(F.col("_len").desc(), F.col("doc_id").asc())
+    )
+    return docs.select(
+        "doc_id",
+        "text_hash",
+        (F.row_number().over(w) == 1).cast("int").alias("is_keeper"),
+    )
+
+
 @register("q_llm_dedup_near", weak=True)  # WEAK: MinHash/LSH is algorithm-specific, rows-only check
 def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup detection — MinHash(32) → LSH(8 bands × 4) candidate
@@ -909,7 +951,13 @@ def q_llm_seq_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_dedup_incremental", weak=True)  # WEAK: LSH admission, no SQL oracle
+@register(
+    "q_llm_dedup_incremental",
+    weak=True,  # WEAK: LSH admission, no SQL oracle
+    # side-effecting (two-batch txlog index replay per call): the
+    # contract schema sweep reads this declaration instead
+    declared_schema="batch int, n_submitted bigint, n_admitted bigint, n_planted_admitted bigint",
+)
 def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L54 as a GRADED key (round 7, VERDICT r6 task #8a): incremental
     corpus dedup against the PERSISTENT SignatureIndex — two batches
@@ -934,7 +982,15 @@ def q_llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from novlake_spark.operators.incdedup import SignatureIndex
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc_id < 250 slice (round 8, VERDICT r7 task #6): the grading
+    # semantics need two batches and the 50 cross-batch plants, not the
+    # whole corpus — the slice halves the MinHash/LSH work while the
+    # plants (even doc_ids < 100 = exactly 50 at every SF) are intact
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 250)
+    )
     batch1 = docs.filter(F.col("doc_id") % 2 == 0)
     planted = batch1.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -1876,25 +1932,70 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_decode", weak=True)  # WEAK: image features have no SQL oracle
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    WITH imgs AS (SELECT i, 16 + (i % 4) * 8 AS w, 12 + (i % 3) * 8 AS h
+                  FROM range(30) t(i)),
+         sums AS (SELECT i,
+                         CAST(sum((x * 3 + y * 7 + c * 31 + i * 13) % 256)
+                              AS BIGINT) AS s
+                  FROM imgs
+                  CROSS JOIN range(40) xs(x)
+                  CROSS JOIN range(28) ys(y)
+                  CROSS JOIN range(3) cs(c)
+                  WHERE x < w AND y < h AND i % 5 <= 2
+                  GROUP BY i)
+    SELECT imgs.i AS media_id, imgs.w AS width, imgs.h AS height,
+           COALESCE(sums.s, -1) AS px_sum
+    FROM imgs LEFT JOIN sums ON imgs.i = sums.i
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10b: REAL image decoding, distributed — deterministic
     BMP/PPM/PNG/GIF/JPEG payloads (synthesize_images: every codec
     implemented from scratch in operators/multimodal.py + jpeg.py, no
     image library in the environment) stream through the mapInPandas
-    decode path and come back as per-image features. Rows-only grade:
-    pixel features have no cross-engine SQL oracle; codec correctness
-    is pinned by the pure round-trip/adversarial tests in
-    tests/test_multimodal.py. Deterministic across runs (seeded
-    synthesis, deterministic codecs), independent of sf_dir by design
-    — the media table is synthesized, not a fixture."""
+    decode path and come back as per-image features.
+
+    FULL constructive oracle (round 8, VERDICT r7 task #2): the graded
+    payloads use the ``arith=True`` closed-form pixels, so the oracle
+    restates — WITHOUT decoding anything — the exact (width, height)
+    of every image from the generator arithmetic, plus the exact int64
+    channel-byte sum for the three LOSSLESS codecs (bmp/ppm/png: the
+    encoders rotate i % 5, losslessness means decoded == generated, so
+    the sum is Σ (x·3+y·7+c·31+i·13) mod 256 over the pixel grid,
+    computed in SQL by a bounded 40×28×3 range cross-join). GIF is
+    palette-quantized and JPEG lossy, so their checksums grade as the
+    -1 sentinel — but their ROWS still grade: a crashed Huffman parse
+    or a wrong SOF dimension quarantines/mis-sizes the row and breaks
+    the hash. The float means stay in the operator output for users;
+    the graded projection is integer-only (cross-engine discipline).
+    Codec exactness beyond this is pinned by round-trip/adversarial
+    tests in tests/test_multimodal.py."""
     from novlake_spark.operators.multimodal import (
         decode_image_stdlib,
         synthesize_images,
     )
 
-    media = synthesize_images(spark, n=30)
-    return decode_image_stdlib(media).orderBy("media_id")
+    media = synthesize_images(spark, n=30, arith=True)
+    feats = decode_image_stdlib(media)
+    fmts = media.select("media_id", F.col("meta.format").alias("_fmt"))
+    return (
+        feats.join(fmts, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.when(
+                F.col("_fmt").isin("bmp", "ppm", "png"), F.col("px_sum")
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("px_sum"),
+        )
+        .orderBy("media_id")
+    )
 
 
 @register("q_multimodal_phash", weak=True)  # WEAK: pixel hashes have no SQL oracle
@@ -1961,43 +2062,87 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_audio", weak=True)  # WEAK: PCM features have no SQL oracle
+@register(
+    "q_multimodal_audio",
+    oracle="""
+    SELECT i AS media_id,
+           CASE WHEN i % 2 = 0 THEN 'wav' ELSE 'aiff' END AS container,
+           8000 AS sample_rate,
+           CAST(8 * (120 + (i * 37) % 400) AS BIGINT) AS n_samples,
+           120 + (i * 37) % 400 AS duration_ms
+    FROM range(24) t(i)
+    """,
+)
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10e (round 6): REAL audio feature extraction, distributed —
     completes the graded modality triple (image decode, video decode,
     audio features): alternating WAV (stdlib wave) and AIFF (the
     from-scratch FORM/80-bit-extended writer) payloads stream through
     the container-agnostic mapInPandas path and come back with the
-    standard cheap curation signals — duration/rate/sample counts,
-    rms/peak, rFFT dominant frequency (recovers the synthesized tone
-    within one bin — pinned in pytest) and zero-crossing count.
-    Integer features wherever possible; deterministic (seeded
-    synthesis, fixed-order reductions); rows-only grade — PCM feature
-    extraction has no cross-engine SQL oracle."""
+    standard cheap curation signals.
+
+    FULL constructive oracle (round 8, VERDICT r7 task #2): the
+    generator arithmetic states container (i alternates wav/aiff),
+    sample rate (8000 — through the AIFF 80-bit-extended decode path!),
+    sample count (8000·dur_ms/1000 = 8·dur_ms, an exact integer), and
+    duration, all without parsing a byte: a wrong 80-bit exponent, a
+    truncated SSND chunk, or a WAV frame-count bug breaks the hash.
+    The spectral features stay in the operator output — rFFT dominant
+    frequency recovers the synthesized tone within one bin and
+    zero-crossings are integer-exact, both pinned by pytest — but they
+    depend on IEEE sin/argmax behavior near bin boundaries, which has
+    no cross-engine SQL restatement, so the graded projection carries
+    the container-arithmetic columns only."""
     from novlake_spark.operators.multimodal import audio_features, synthesize_audio
 
     media = synthesize_audio(spark, n=24)
-    return audio_features(media).orderBy("media_id")
+    return audio_features(media).select(
+        "media_id", "container", "sample_rate", "n_samples", "duration_ms"
+    ).orderBy("media_id")
 
 
-@register("q_multimodal_video", weak=True)  # WEAK: frame pixels have no SQL oracle
+@register(
+    "q_multimodal_video",
+    oracle="""
+    WITH v AS (SELECT i, 48 + (i % 3) * 16 AS w, 32 + (i % 2) * 16 AS h,
+                      4 + (i % 3) * 2 AS fps
+               FROM range(6) t(i)),
+         f AS (SELECT unnest([0, 2, 4, 6]) AS frame_idx)
+    SELECT v.i AS media_id, f.frame_idx,
+           CAST(floor(f.frame_idx * 1000.0 / v.fps) AS INT) AS frame_ms,
+           v.w AS width, v.h AS height
+    FROM v CROSS JOIN f
+    """,
+)
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10c: REAL video decoding, distributed — MJPEG-in-AVI payloads
     (synthesize_videos: RIFF container written and parsed from scratch
     in operators/multimodal.py, frames through the from-scratch JPEG
     codec) stream through mapInPandas and come back as per-sampled-frame
     features (every 2nd frame — the training-pipeline sampling knob).
-    Rows-only grade: pixel features have no cross-engine SQL oracle;
-    container losslessness and frame parity are pinned exactly by
-    tests/test_multimodal.py. Deterministic, independent of sf_dir by
-    design — the media table is synthesized, not a fixture."""
+
+    FULL constructive oracle (round 8, VERDICT r7 task #2): the
+    generator arithmetic states, per video, the frame geometry
+    (w = 48+(i%3)·16, h = 32+(i%2)·16), the sampled frame indices
+    (every 2nd of 8 → 0,2,4,6 — grading the sampling knob itself), and
+    each frame's timestamp floor(idx·1000/fps) with fps = 4+(i%3)·2 —
+    so a mis-parsed RIFF header, a dropped MJPEG frame, an off-by-one
+    in the sampler, or a wrong SOF dimension in any of the 24 decoded
+    frames breaks rows or hash, without the oracle touching a byte of
+    AVI. Frame pixels are JPEG-lossy → mean_intensity stays in the
+    operator output but out of the graded projection; pixel parity is
+    pinned by tests/test_multimodal.py."""
     from novlake_spark.operators.multimodal import (
         decode_video_frames,
         synthesize_videos,
     )
 
     media = synthesize_videos(spark, n=6)
-    return decode_video_frames(media, every_n=2).orderBy("media_id", "frame_idx")
+    return (
+        decode_video_frames(media, every_n=2)
+        .select("media_id", "frame_idx", "frame_ms", "width", "height")
+        .orderBy("media_id", "frame_idx")
+    )
 
 
 @register(

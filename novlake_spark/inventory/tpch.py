@@ -58,14 +58,31 @@ def _money_sum(expr: Column) -> Column:
     boundary (observed: a per-customer revenue of …843.595).
     """
     s = F.sum(F.round(expr * 10000).cast("long"))
-    return F.floor((s + F.lit(50)) / 100.0) / 100.0
+    return _cents_div(s + F.lit(50), 100) / F.lit(100.0)
 
 
-#: SQL twin of :func:`_money_sum` — keep in lockstep.
+def _cents_div(t: Column, d: int) -> Column:
+    """Exact floor division of a non-negative BIGINT column by ``d``,
+    computed entirely in decimal space. ADVICE r7 (medium): the old
+    ``floor((s+50)/100.0)`` cast the BIGINT sum to DOUBLE *before*
+    dividing, which rounds once the sum passes 2^53 (~9.0e15) — Q1's
+    1e-6-grid charge sums sit there already at sf1, so the two engines'
+    formulations could differ by ULPs and flip the floor-to-cents
+    boundary at exactly the scale-up this repo advertises. Decimal
+    division is exact (the true quotient has ≤ 4 fractional digits,
+    far under the result scale Spark assigns), and the DuckDB twin uses
+    integer ``//`` — both sides produce the identical integer cents,
+    then a single IEEE division by 100.0."""
+    return F.floor(t.cast("decimal(38,0)") / F.lit(d)).cast("long")
+
+
+#: SQL twin of :func:`_money_sum` — keep in lockstep. DuckDB's ``//``
+#: on BIGINT is exact integer division (operands are always positive
+#: here: money sums of positive prices with discounts < 1).
 def _money_sum_sql(expr: str) -> str:
     return (
-        "floor((CAST(sum(CAST(round((" + expr + ") * 10000) AS BIGINT)) AS DOUBLE) + 50)"
-        " / 100.0) / 100.0"
+        "CAST((sum(CAST(round((" + expr + ") * 10000) AS BIGINT)) + 50)"
+        " // 100 AS DOUBLE) / 100.0"
     )
 
 
@@ -78,15 +95,17 @@ def _money_sum6(expr: Column) -> Column:
     the 4-dp grid of :func:`_money_sum` would round it onto .5
     boundaries): scale by 1e6 — price ≤ ~1e5 × 1e6 ≪ 2^53, so round()
     recovers the exact integer — sum as BIGINT, then the same
-    boundary-free floor-to-cents."""
+    boundary-free floor-to-cents (integer-exact via :func:`_cents_div`
+    — the 1e-6-grid sums pass 2^53 at sf1, so a DOUBLE cast before the
+    division is NOT safe here; ADVICE r7)."""
     s = F.sum(F.round(expr * 1000000).cast("long"))
-    return F.floor((s + F.lit(5000)) / 10000.0) / 100.0
+    return _cents_div(s + F.lit(5000), 10000) / F.lit(100.0)
 
 
 def _money_sum6_sql(expr: str) -> str:
     return (
-        "floor((CAST(sum(CAST(round((" + expr + ") * 1000000) AS BIGINT)) AS DOUBLE)"
-        " + 5000) / 10000.0) / 100.0"
+        "CAST((sum(CAST(round((" + expr + ") * 1000000) AS BIGINT)) + 5000)"
+        " // 10000 AS DOUBLE) / 100.0"
     )
 
 

@@ -55,6 +55,13 @@ def asof_join(
     column; the gap compares in integer microseconds — the repo-wide
     interval discipline). Returns the left rows plus a nullable
     ``asof_{payload}`` column.
+
+    Contract: right-side ``payload`` values must be NON-NULL — the
+    payload pick skips nulls (``ignorenulls=True``), so the tolerance
+    gap is computed against the same row the payload came from only
+    because both picks gate on ``payload IS NOT NULL`` (ADVICE r7: a
+    NULL-payload right row nearer than the matched one would otherwise
+    make the gap lie, silently nulling or admitting the wrong match).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -75,7 +82,10 @@ def asof_join(
     out = f"asof_{payload}"
     annotated = unioned.withColumn(out, pick(F.col(payload)).over(w))
     if tolerance_micros is not None:
-        right_us = F.when(~F.col("_is_left"), F.unix_micros(F.col(ts)))
+        right_us = F.when(
+            ~F.col("_is_left") & F.col(payload).isNotNull(),
+            F.unix_micros(F.col(ts)),
+        )
         annotated = annotated.withColumn("_asof_us", pick(right_us).over(w))
         gap = (
             F.unix_micros(F.col(ts)) - F.col("_asof_us")

@@ -48,6 +48,26 @@ def connected_components(
     ue = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     ue = ue.union(ue.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
     lbl = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")).localCheckpoint()
+    # Convergence check: labels are min-reduced each round, so the
+    # per-node label is monotone non-increasing — the TOTAL is unchanged
+    # iff no label changed. One scalar aggregate over the checkpointed
+    # frame per round, instead of the old self-join + filter + count
+    # (round 8: the join-based check was ~a third of each round's cost
+    # on small graphs, pure fixed overhead). Decimal(38,0) sum: a LONG
+    # sum can wrap at 100 TB id ranges, and a wrapped total breaks the
+    # monotone argument; 38 digits holds 2^63-scale ids times 10^12
+    # nodes exactly.
+    def _tot(frame: DataFrame) -> tuple:
+        # (count, label-total): the count guards the one non-monotone
+        # event — an edge id outside `nodes` joining the label set (its
+        # id-valued label could be 0 and leave the sum unchanged).
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_lbl").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    tot = _tot(lbl)
     for _ in range(max_iter):
         prop = (
             ue.join(lbl, ue["_a"] == lbl["_id"])
@@ -59,16 +79,11 @@ def connected_components(
             .agg(F.min("_lbl").alias("_lbl"))
             .localCheckpoint()  # truncate iterated lineage
         )
-        changed = (
-            new.alias("n")
-            .join(lbl.alias("o"), F.col("n._id") == F.col("o._id"))
-            .filter(F.col("n._lbl") != F.col("o._lbl"))
-            .limit(1)
-            .count()
-        )
+        new_tot = _tot(new)
         lbl = new
-        if changed == 0:
+        if new_tot == tot:
             break
+        tot = new_tot
     return lbl.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))
 
 

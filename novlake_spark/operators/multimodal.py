@@ -682,13 +682,23 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
 
 
-def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataFrame:
+def synthesize_images(
+    spark: SparkSession, n: int = 24, seed: int = 42, arith: bool = False
+) -> DataFrame:
     """Media table whose image payloads are REAL encoded
     BMP/PPM/PNG/GIF/JPEG bytes (rotating), with deterministic per-image
     gradient pixels — the image twin of :func:`synthesize_wav`. GIF
     frames quantize to a coarse palette (the format is palette-bound);
     JPEG is lossy by nature, so feature assertions on it are
-    tolerance-based."""
+    tolerance-based.
+
+    ``arith=True`` swaps the seeded-random pixel base for the closed
+    form ``px[y, x, c] = (x*3 + y*7 + c*31 + i*13) % 256`` (round 8):
+    every pixel is then STATEABLE IN SQL, so a cross-engine oracle can
+    assert the exact decoded pixel SUM for the lossless codecs without
+    decoding anything — the constructive-oracle discipline (WARC/CMap)
+    applied to media. The random mode stays the default: phash recall
+    fixtures want unstructured content."""
     from novlake_spark.operators.jpeg import encode_jpeg
 
     # jpeg rotates through its round-5 stream shapes too — baseline
@@ -707,10 +717,16 @@ def synthesize_images(spark: SparkSession, n: int = 24, seed: int = 42) -> DataF
     rows = []
     for i in range(n):
         w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
-        rng = np.random.RandomState(seed + i)
-        base = rng.randint(0, 64, size=(h, w, 3)).astype(np.uint8)
-        ramp = np.linspace(0, 191, w, dtype=np.uint8)[None, :, None]
-        px = (base + ramp).astype(np.uint8)
+        if arith:
+            xs = np.arange(w, dtype=np.int64)[None, :, None]
+            ys = np.arange(h, dtype=np.int64)[:, None, None]
+            cs = np.arange(3, dtype=np.int64)[None, None, :]
+            px = ((xs * 3 + ys * 7 + cs * 31 + i * 13) % 256).astype(np.uint8)
+        else:
+            rng = np.random.RandomState(seed + i)
+            base = rng.randint(0, 64, size=(h, w, 3)).astype(np.uint8)
+            ramp = np.linspace(0, 191, w, dtype=np.uint8)[None, :, None]
+            px = (base + ramp).astype(np.uint8)
         fmt, enc = encoders[i % 5]
         if fmt == "gif":
             px = (px & 0xF0).astype(np.uint8)  # quantize toward ≤256 colors
@@ -751,7 +767,10 @@ def decode_image_stdlib(df: DataFrame) -> DataFrame:
     features inside mapInPandas, Arrow-batched, constant memory;
     non-image rows, foreign formats and corrupt payloads are dropped
     (quarantine, don't crash the 100 TB job). Emits
-    (media_id, width, height, mean_r, mean_g, mean_b, mean_intensity).
+    (media_id, width, height, mean_r, mean_g, mean_b, mean_intensity,
+    px_sum) — px_sum is the exact int64 sum of every channel byte, the
+    integer brightness total a constructive oracle can restate for
+    lossless codecs (round 8).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -762,6 +781,7 @@ def decode_image_stdlib(df: DataFrame) -> DataFrame:
             out = {
                 "media_id": [], "width": [], "height": [],
                 "mean_r": [], "mean_g": [], "mean_b": [], "mean_intensity": [],
+                "px_sum": [],
             }
             # zip-iterate columns: iterrows materializes a Series per
             # row (~26 µs) — pure overhead at 10⁹ media rows
@@ -778,12 +798,14 @@ def decode_image_stdlib(df: DataFrame) -> DataFrame:
                 out["mean_g"].append(float(means[1]))
                 out["mean_b"].append(float(means[2]))
                 out["mean_intensity"].append(float(means.mean()))
+                out["px_sum"].append(int(px.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(
         run,
         schema="media_id long, width int, height int, "
-        "mean_r double, mean_g double, mean_b double, mean_intensity double",
+        "mean_r double, mean_g double, mean_b double, mean_intensity double, "
+        "px_sum long",
     )
 
 

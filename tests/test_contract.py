@@ -32,11 +32,18 @@ def _latest_grades():
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
-        rnd = int(os.path.basename(p).split("_r0")[1].split(".")[0])
+    # _r(\d+) not split("_r0"): CORRECTNESS_r10.json must keep matching
+    # or round 10+ silently drops out of the staleness recompute that
+    # the ROUND gate makes load-bearing (ADVICE r7).
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
         if rnd >= registry.ROUND:
             continue
         with open(p) as f:
@@ -119,20 +126,49 @@ def test_no_complex_typed_result_columns(spark, sf_small):
     cannot hash array/map/struct cells — both r6 red rows were exactly
     that. No registered key may RETURN a complex-typed column; emit
     integer rows (posexplode) or a joined string (the q_agg_collect
-    discipline) instead. Schema-only: builds each plan, executes none."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    discipline) instead.
 
+    Builds each plan lazily (no execution) EXCEPT side-effecting keys
+    (txlog lifecycles, incremental dedup), where merely calling the
+    query function runs full commits/merges/streams: those keys carry a
+    registry ``declared_schema`` the sweep reads instead, and
+    test_queries_run_at_sf0001 pins the declaration to the executed
+    schema so it cannot drift (ADVICE r7 — the old sweep re-ran every
+    lakehouse lifecycle a second time)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    declared = registry.declared_schemas()
     offenders = []
     for key, fn in contract.queries().items():
-        for f in fn(spark, sf_small).schema.fields:
+        if key in declared:
+            fields = _parse_datatype_string(declared[key]).fields
+        else:
+            fields = fn(spark, sf_small).schema.fields
+        for f in fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{key}.{f.name}:{f.dataType.simpleString()}")
     assert not offenders, f"driver-unhashable result columns: {offenders}"
 
 
 def test_queries_run_at_sf0001(spark, sf_small):
-    """Every declared key executes and returns a stable schema at sf0.001."""
+    """Every declared key executes and returns a stable schema at
+    sf0.001 — and for side-effecting keys, the executed schema must
+    match the registry declaration the contract sweep relies on."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    declared = registry.declared_schemas()
     for key, fn in contract.queries().items():
         df = fn(spark, sf_small)
         assert df.columns, key
         assert df.count() >= 0, key
+        if key in declared:
+            want = [
+                (f.name, f.dataType.simpleString())
+                for f in _parse_datatype_string(declared[key]).fields
+            ]
+            got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            assert got == want, (
+                f"{key}: declared_schema drifted from the executed schema "
+                f"— declared {want}, got {got}"
+            )

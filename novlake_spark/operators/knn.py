@@ -241,6 +241,17 @@ def knn_join_blocked(
     row_number window over ≤ k candidates per (query, block). Never a
     global cross join, and since each vector lives in exactly one
     block here, the window only re-ranks what the kernel already chose.
+
+    Scale contract: this is the EXACT kernel — O(|block|²) dot
+    products by definition, and the sf10 spot-run measured exactly
+    that second derivative (block 2k → 20k vectors: 113.8× wall for
+    10× data once the quadratic term outgrew fixed overhead;
+    SCALING.md round-8). It is the ground-truth/verification path and
+    the right choice only while blocks stay bounded (≤ ~10⁵ vectors);
+    corpus-scale neighbor search goes through :func:`lsh_bucketed_knn`
+    or :func:`ivf_knn`, whose bucketing divides the pairwise work and
+    whose recall is measured in ANN_TIER.json (cells=32/probe=4:
+    0.995 at a fraction of the cost).
     """
     scored = blocked_topk_candidates(emb, emb, block_col, k, id_col=id_col, vec_col=vec_col)
     scored = scored.select(block_col, "a_id", "b_id", F.round("score", 4).alias("score"))

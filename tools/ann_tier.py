@@ -92,6 +92,12 @@ def main() -> None:
         results.append(run(f"lsh planes=4 tables={t}", lsh_bucketed_knn(emb, k, n_planes=4, n_tables=t)))
     for p in (1, 2, 4):
         results.append(run(f"ivf cells=16 probe={p}", ivf_knn(emb, k, n_cells=16, n_probe=p)))
+    # the cells axis (round 8): more/smaller cells shrink each probe's
+    # candidate set — the probe count must scale with the cell count to
+    # hold recall (classic IVF operating-curve behavior, worth one
+    # measured pair so the trade is documented, not asserted)
+    for p in (2, 4):
+        results.append(run(f"ivf cells=32 probe={p}", ivf_knn(emb, k, n_cells=32, n_probe=p)))
 
     print("\n| method | wall (s) | recall@%d |" % k)
     print("|---|---|---|")

@@ -115,6 +115,33 @@ def test_plan_audit_covers_bench_set():
     )
 
 
+def test_bench_line_stays_under_capture_window():
+    """The driver records bench.py's ONE JSON line through a ~2 KB tail
+    capture; overflowing it records parsed:null (the r4 failure, nearly
+    repeated at r7 when the per-query dict hit 1631 bytes). The line is
+    now digest-form (anchors + counts + sha256 pointer to
+    BENCH_FULL.json) and must STAY size-bounded no matter how many keys
+    register: rebuild it exactly as bench.main does, with worst-case
+    widths, and pin the budget with 2× headroom."""
+    import json
+
+    import bench
+
+    times = {k: 9999.999 for k in bench.HEADLINE}
+    out = {
+        "metric": "bench_total_warm", "value": 999999.999, "unit": "sec",
+        "queries": {"q_agg_groupby": 9999.999, "q_join_star": 9999.999},
+        "n_queries": len(times),
+        "note": f"anchors only; all {len(times)} in BENCH_FULL.json",
+        "sf": 0.1,
+        "txlog": {"sec": 99999.999, "n": 99, "file": "TXLOG_BENCH.json"},
+        "full": {"file": "BENCH_FULL.json", "sha256_12": "f" * 12},
+        "sf1": {"sec": 99999.999, "n": len(times), "file": "SCALE_sf1.json"},
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1000, f"bench line grew to {len(line)} bytes"
+
+
 def test_all_queries_documented():
     for key, fn in contract.queries().items():
         assert fn.__doc__, f"{key} missing docstring"

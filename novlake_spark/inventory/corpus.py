@@ -233,7 +233,9 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
                       generate_subscripts(embedding, 1) - 1 AS i, vec_id
                FROM embeddings)
     SELECT a.i AS dim_i, b.i AS dim_j,
-           round(avg(a.v * b.v), 6) AS e_xy,
+           CAST(CAST(sum(CAST(floor(a.v * b.v * 1000000 + 0.5) AS BIGINT))
+                     AS BIGINT) AS DOUBLE)
+             / count(*) / 1000000.0 AS e_xy,
            count(*) AS n_vecs
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i
@@ -254,8 +256,17 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree-reduced to the driver — same output, fewer flops per cell —
     which is exactly the `knn.py` IVF trade documented there.
 
-    DuckDB mirrors with an index self-join; round(…,6) absorbs
-    partial-agg ordering noise in the mean.
+    DuckDB mirrors with an index self-join. Float discipline (round 8
+    — the cross-SF sweep caught this key at sf0.1): the old
+    ``round(avg(xy), 6)`` did NOT absorb ordering noise — zero-centered
+    products mean near-zero cells, and a cell whose mean rounded to
+    zero came back ``+0.0`` from one engine and ``-0.0`` from the
+    other (the sign of zero SURVIVES round(), and the type-faithful
+    hash distinguishes them). Each product now lands on an exact 1e-6
+    grid first (``floor(xy·1e6 + 0.5)`` of the bit-identical double),
+    the BIGINT sum is order-free, and the mean is the same two IEEE
+    divisions on both engines — zero round(), no signed zero possible
+    (integer 0 / n = +0.0 everywhere).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -265,7 +276,9 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: F.transform(
                 F.slice(vec, i + 1, F.size(vec)),
                 lambda y, j: F.struct(
-                    i.alias("i"), (i + j).alias("j"), (x * y).alias("xy")
+                    i.alias("i"),
+                    (i + j).alias("j"),
+                    F.floor(x * y * 1000000 + F.lit(0.5)).cast("long").alias("xy6"),
                 ),
             ),
         )
@@ -277,7 +290,9 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.j").cast("long").alias("dim_j"),
         )
         .agg(
-            F.round(F.avg("p.xy"), 6).alias("e_xy"),
+            (
+                F.sum("p.xy6").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
+            ).alias("e_xy"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )

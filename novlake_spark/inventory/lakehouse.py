@@ -504,3 +504,66 @@ def q_llm_contamination_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "q_txlog_schema_lifecycle",
+    # side-effecting (full txlog lifecycle per call): the contract
+    # schema sweep reads this declaration instead of re-running it
+    declared_schema=(
+        "o_orderkey bigint, o_custkey bigint, cents bigint, channel string"
+    ),
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN o_orderkey % 2 = 1 THEN 'late' ELSE NULL END AS channel
+    FROM orders
+    """,
+)
+def q_txlog_schema_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LH8 (round 8): the SCHEMA lifecycle graded FULL — the remaining
+    pytest-only metadata machinery composed into one chain whose final
+    state has a plain-SQL restatement. Chain: commit the even order
+    keys with integer-cents prices (v0) → enable column mapping
+    (physical names decouple from logical) → RENAME price_cents →
+    cents (metadata-only: v0's files must now read under the NEW
+    logical name through the mapping indirection) → append the odd
+    keys carrying an extra ``channel`` column (additive schema
+    evolution: v0 rows must null-fill) → copy-on-write DELETE of a key
+    range → RESTORE to the pre-delete version (metadata-only rollback:
+    every deleted row must come back). The oracle is simply all orders
+    with the CASE-tagged channel — so a mapping fault (old files
+    unreadable or read under the old name), a lost evolution null-fill,
+    or a restore that resurrects the delete instead of undoing it each
+    breaks rows or hash. Scale: rename/restore are O(1) log entries at
+    any table size; evolution rewrites nothing (readers union schemas
+    via the mapping); only the delete's overlapping files rewrite."""
+    base = _orders_base(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+    )
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qschema-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(base.filter(F.col("o_orderkey") % 2 == 0).repartition(4))  # v0
+        t.enable_column_mapping()
+        t.rename_column("price_cents", "cents")
+        late = (
+            base.filter(F.col("o_orderkey") % 2 == 1)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("price_cents").alias("cents"),
+                F.lit("late").alias("channel"),
+            )
+            .repartition(4)
+        )
+        t.commit(late)  # additive evolution: older rows null-fill channel
+        pre_delete = t.latest_version()
+        t.delete([("o_orderkey", "<=", 400)])
+        t.restore(pre_delete)  # metadata-only rollback of the delete
+        snap = t.read().select("o_orderkey", "o_custkey", "cents", "channel")
+        return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1802,7 +1802,9 @@ def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(dim - 1 AS INT) AS dim,
-           round(avg(CAST(v AS DOUBLE)), 4) AS centroid,
+           CAST(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                     AS BIGINT) AS DOUBLE)
+             / count(*) / 1000000.0 AS centroid,
            count(*) AS n_vecs
     FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS dim
@@ -1821,13 +1823,28 @@ def q_llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries K·D partial sums (tiny), never the vectors.
     Deliberately NOT a Python/Arrow path: at 100 TB the vectors stream
     through codegen once and only the centroid matrix moves.
-    """
+
+    Float discipline (round 8 — the sf0.001 cross-SF sweep CAUGHT this
+    key): the old ``round(avg(v), 4)`` summed raw floats, whose value
+    depends on summation ORDER (Spark partial aggregation vs DuckDB's
+    sequential fold), then rounded — and near-zero centroids sit right
+    on rounding boundaries, so an ULP of order noise flipped a cell to
+    ``-0.0`` vs ``0.0002`` at sf0.001 while sf0.01 passed by luck.
+    Now each component lands on an exact 1e-6 grid FIRST
+    (``floor(v·1e6 + 0.5)`` of the bit-identical double — the
+    boundary-free form, same in both engines), the BIGINT sum is
+    order-free, and the centroid is the same two IEEE divisions of
+    identical integers on both sides. Zero round() calls; quantization
+    bias ≤ 5e-7 — noise for a drift/prototype diagnostic."""
     emb = load_table(spark, sf_dir, "embeddings")
+    grid = F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5)).cast("long")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"),
+            (F.sum(grid).cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)).alias(
+                "centroid"
+            ),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )

@@ -83,6 +83,15 @@ ROUND_HEAD: list[str] = [
     # slice for the index replay; monotone-sum convergence check in CC
     "q_llm_dedup_incremental",
     "q_multimodal_phash_clusters",
+    # round 8 NEW: the schema lifecycle (column mapping rename +
+    # additive evolution + restore) graded FULL
+    "q_txlog_schema_lifecycle",
+    # round 8 FIX: the cross-SF sweep caught order-dependent float
+    # summation + round() boundary flips (-0.0 vs 0.0002 at sf0.001,
+    # +0.0 vs -0.0 at sf0.1); now an exact 1e-6 grid — oracle and impl
+    # both changed
+    "q_llm_embed_centroid",
+    "q_emb_gram",
 ]
 
 PRIORITY: list[str] = [
@@ -105,6 +114,9 @@ PRIORITY: list[str] = [
     "q_tpch_q22",
     "q_llm_dedup_incremental",
     "q_multimodal_phash_clusters",
+    "q_txlog_schema_lifecycle",
+    "q_llm_embed_centroid",
+    "q_emb_gram",
     # ---- stalest driver evidence: the 25 round-3-vintage keys ----
     "q_cte",
     "q_filter_in_between_like",
@@ -135,13 +147,12 @@ PRIORITY: list[str] = [
     "q_tpch_q2",
     "q_tpch_q4",
     "q_tpch_q8",
+    # ---- below the graded window: remaining r4 vintage first, ----
+    # ---- then r5+ in stable order — these lead round 9 ----
     "q_agg_approx_percentile",
     "q_agg_mode_freq",
     "q_emb_centroid_assign",
-    # ---- below the graded window: remaining r4 vintage first, ----
-    # ---- then r5+ in stable order — these lead round 9 ----
     "q_emb_cosine_hist",
-    "q_emb_gram",
     "q_emb_norm_stats",
     "q_event_user_stats",
     "q_fn_regexp",
@@ -157,7 +168,6 @@ PRIORITY: list[str] = [
     "q_llm_dedup_simhash",
     "q_llm_dup_components",
     "q_llm_dup_components_ls",
-    "q_llm_embed_centroid",
     "q_llm_fingerprint",
     "q_llm_gopher_rules",
     "q_llm_inverted_index",

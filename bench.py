@@ -110,6 +110,14 @@ HEADLINE = [
     # commit overhead belongs to TXLOG_BENCH.json, not the data-
     # throughput line.
     "q_llm_dedup_keeper",
+    # round-8 late additions: graph analytics (integer-grid PageRank,
+    # degree-ordered triangles), PQ encode, priority sampling
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_emb_pq_encode",
+    "q_sample_priority",
+    "q_llm_cdc_chunks",
+    "q_llm_hard_negatives",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

@@ -6,6 +6,7 @@ from novlake_spark.inventory import (  # noqa: F401
     corpus,
     events,
     functions,
+    graphs,
     joins,
     lakehouse,
     llm,
@@ -25,6 +26,7 @@ MODULES = [
     corpus,
     events,
     functions,
+    graphs,
     joins,
     lakehouse,
     llm,

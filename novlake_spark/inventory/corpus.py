@@ -575,3 +575,169 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select("vec_id", codes.alias("codes")).select(
         "vec_id", F.posexplode("codes").alias("pos", "code")
     )
+
+
+@register(
+    "q_emb_pq_encode",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS INT) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS ei
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT CAST(a.k AS INT) AS k, CAST(b.pos AS INT) AS pos,
+             CAST(((a.k * 1231 + b.pos * 337 + 911) % 2001) - 1000
+                  AS BIGINT) AS c
+      FROM (SELECT unnest(range(16)) AS k) a,
+           (SELECT unnest(range(64)) AS pos) b
+    ),
+    d AS (
+      SELECT comp.vec_id, CAST(comp.pos // 8 AS INT) AS m, cb.k,
+             CAST(sum((comp.ei - cb.c) * (comp.ei - cb.c)) AS BIGINT) AS dist
+      FROM comp JOIN cb ON comp.pos = cb.pos
+      GROUP BY 1, 2, 3
+    ),
+    best AS (SELECT vec_id, m, min(dist) AS md FROM d GROUP BY 1, 2)
+    SELECT d.vec_id, d.m, CAST(min(d.k) AS INT) AS code
+    FROM d JOIN best
+      ON d.vec_id = best.vec_id AND d.m = best.m AND d.dist = best.md
+    GROUP BY d.vec_id, d.m
+    """,
+)
+def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65: product-quantization encode (Jégou et al., PAMI'11) — the
+    storage layout behind every large-scale ANN index (FAISS IVF-PQ):
+    split each 64-dim vector into M=8 contiguous subvectors and store,
+    per subvector, the id of the nearest of K=16 codebook centroids —
+    64 float32 bytes become 8 nibbles.
+
+    Graded with a DETERMINISTIC integer codebook (a trained codebook is
+    k-means output — engine-specific; the ENCODE step is the exact,
+    gradable part): components land on the exact 1e-3 grid
+    (floor(x·1000 + 0.5) of the bit-identical widened double — the
+    established centroid/Gram discipline), codebook cells are the pure
+    integer formula ((k·1231 + pos·337 + 911) mod 2001) − 1000, so
+    every squared distance is exact BIGINT arithmetic and the argmin
+    (ties → lowest code, via lexicographic min(struct(dist, k))) is
+    bit-identical cross-engine.
+
+    Plan: posexplode components once, broadcast the 1024-row codebook,
+    one (vec, m, k) partial-agg shuffle, then the per-(vec, m) argmin —
+    all JVM codegen. Scale shape: the shuffle carries 16 longs per
+    subvector; at billion-vector scale the production encode fuses the
+    distance loop into one Arrow batch matmul (operators.knn's block
+    pattern) — the graded join formulation IS the semantics spec."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5)).cast("long").alias("ei"),
+    )
+    cb = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("pos")))
+        .select(
+            "k",
+            "pos",
+            (((F.col("k") * 1231 + F.col("pos") * 337 + 911) % 2001) - 1000)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    d = (
+        comp.join(F.broadcast(cb), "pos")
+        .groupBy(
+            "vec_id", F.expr("pos DIV 8").cast("int").alias("m"), "k"
+        )
+        .agg(F.sum((F.col("ei") - F.col("c")) * (F.col("ei") - F.col("c"))).alias("dist"))
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "k")).alias("_b"))
+        .select("vec_id", "m", F.col("_b.k").cast("int").alias("code"))
+    )
+
+
+@register(
+    "q_llm_hard_negatives",
+    oracle="""
+    WITH g AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS ge
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM g WHERE vec_id < 50),
+    p AS (
+      SELECT q.vec_id,
+             c.vec_id AS cid,
+             CAST(list_sum(list_transform(range(len(q.ge)),
+                  i -> q.ge[i + 1] * c.ge[i + 1])) AS BIGINT) AS dot
+      FROM q JOIN g c ON q.label <> c.label
+    ),
+    best AS (SELECT vec_id, max(dot) AS md FROM p GROUP BY vec_id)
+    SELECT p.vec_id, CAST(min(p.cid) AS BIGINT) AS neg_id,
+           CAST(p.dot AS BIGINT) AS dot_i
+    FROM p JOIN best ON p.vec_id = best.vec_id AND p.dot = best.md
+    GROUP BY p.vec_id, p.dot
+    """,
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67: hard-negative mining — for each query vector, the most
+    similar vector carrying a DIFFERENT label. The contrastive-training
+    data step (dense retrievers, CLIP-style encoders): easy negatives
+    teach nothing, so batches are built around the near-miss neighbors
+    this query finds. Also the embedding-QA dual of
+    q_emb_centroid_assign: a high cross-label dot is exactly where
+    class boundaries blur.
+
+    Cross-engine exactness: components land on the 1e-3 integer grid
+    first, so every dot product is an exact BIGINT sum (order-free) and
+    the argmax (ties → lowest candidate id, via min over the max-dot
+    set / lexicographic min(struct(-dot, id)) in Spark) is
+    bit-identical. The graded query set is the bounded vec_id < 50
+    slice — the deterministic modulo/prefix sampling discipline — so
+    the oracle's brute-force pairing stays 50×N.
+
+    Plan: the 50-row query side broadcasts into a nested-loop join
+    against the full corpus (label inequality admits no equi-key);
+    per-pair work is one fused zip_with/aggregate over the arrays —
+    JVM codegen, no Python. At billion-vector scale the same contract
+    runs behind the IVF/LSH candidate tiers (operators.knn): brute
+    force IS the spec, the index is the execution strategy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    gridded = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("ge"),
+    )
+    q = gridded.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("ge").alias("qge"),
+    ).filter(F.col("qid") < 50)
+    dot = F.aggregate(
+        F.zip_with("qge", "ge", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(gridded, F.col("qlabel") != F.col("label"))
+        .select(F.col("qid"), F.col("vec_id").alias("cid"), dot.alias("dot"))
+    )
+    best = pairs.groupBy("qid").agg(
+        F.min(F.struct((-F.col("dot")).alias("nd"), F.col("cid").alias("cid"))).alias("_b")
+    )
+    return best.select(
+        F.col("qid").alias("vec_id"),
+        F.col("_b.cid").cast("long").alias("neg_id"),
+        (-F.col("_b.nd")).cast("long").alias("dot_i"),
+    )

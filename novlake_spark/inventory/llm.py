@@ -2792,3 +2792,101 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
         F.col("data").cast("string").alias("text"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_llm_cdc_chunks",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+    pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i FROM d),
+    b AS (SELECT doc_id, text, i FROM pos
+          WHERE CAST(('0x' || substring(md5(substring(text, CAST(i - 7 AS INT), 8)), 1, 8))
+                     AS BIGINT) % 64 = 0),
+    c1 AS (SELECT doc_id, text,
+                  coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+                  i AS e
+           FROM b),
+    tl AS (SELECT d.doc_id, d.text, coalesce(mb.mb, 0) + 1 AS s, d.n AS e
+           FROM d LEFT JOIN (SELECT doc_id, max(i) AS mb FROM b GROUP BY doc_id) mb
+             USING (doc_id)
+           WHERE d.n >= coalesce(mb.mb, 0) + 1),
+    alls AS (SELECT * FROM c1 UNION ALL SELECT * FROM tl)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) AS INT) AS chunk_idx,
+           CAST(s AS INT) AS start_pos,
+           CAST(e - s + 1 AS INT) AS chunk_len,
+           substring(md5(substring(text, CAST(s AS INT), CAST(e - s + 1 AS INT))), 1, 8)
+             AS chunk_sig
+    FROM alls
+    """,
+)
+def q_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66: content-defined chunking (LBFS/Rabin lineage, Muthitacharoen
+    et al. SOSP'01) — split each document at positions where the hash of
+    the trailing 8-char window is ≡ 0 mod 64 (expected chunk ~64 chars).
+    Because boundaries depend only on LOCAL content, an edit shifts only
+    the chunks it touches — the property that makes chunk-level dedup
+    robust to insertions where fixed-size blocks resynchronize never.
+    The chunk_sig digests feed exactly the exact-dedup path
+    (q_llm_dedup_exact) at sub-document granularity: boilerplate shared
+    across documents dedups even when the documents differ elsewhere.
+
+    Engine-portable spec: the window hash is md5 of the 8-char
+    substring itself (the SPEC is hash-of-window; a production Rabin
+    fingerprint computes the same decision in O(1) per position — an
+    implementation detail, like sort algorithms). Both engines take
+    character-based substring semantics on the same UTF-8 text, so
+    boundaries and signatures agree exactly. Honest scope: the
+    classical min/max chunk-size clamps are SEQUENTIAL state (each
+    boundary depends on the previous accept) and are deliberately out
+    of the declarative spec — at 100 TB the unclamped form is also the
+    parallel-friendly one (every position decides independently; one
+    explode + one per-doc window).
+
+    Plan: explode positions (bounded by chars/doc), filter to ~1/64 of
+    them, one per-doc window for chunk assembly — no cross-doc shuffle
+    anywhere; cost is linear in corpus bytes and embarrassingly
+    parallel per document."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", "text", F.char_length("text").alias("n"))
+    pos = d.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(
+            F.when(F.col("n") >= 8, F.sequence(F.lit(8), F.col("n"))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.expr("substring(text, i - 7, 8)")), 1, 8), 16, 10
+    ).cast("long")
+    b = pos.filter(u % 64 == 0).select("doc_id", "text", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    c1 = b.select(
+        "doc_id",
+        "text",
+        (F.coalesce(F.lag("i").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("i").alias("e"),
+    )
+    mb = b.groupBy("doc_id").agg(F.max("i").alias("mb"))
+    tl = (
+        d.join(mb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            (F.coalesce(F.col("mb"), F.lit(0)) + 1).alias("s"),
+            F.col("n").alias("e"),
+        )
+        .filter(F.col("e") >= F.col("s"))
+    )
+    alls = c1.unionByName(tl)
+    iw = Window.partitionBy("doc_id").orderBy("s")
+    return alls.select(
+        "doc_id",
+        F.row_number().over(iw).cast("int").alias("chunk_idx"),
+        F.col("s").cast("int").alias("start_pos"),
+        (F.col("e") - F.col("s") + 1).cast("int").alias("chunk_len"),
+        F.substring(F.md5(F.expr("substring(text, s, e - s + 1)")), 1, 8).alias("chunk_sig"),
+    )

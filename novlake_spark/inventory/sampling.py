@@ -128,3 +128,52 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return S.reservoir_per_group(docs, ["doc_id"], "lang", 20).select("doc_id", "lang")
+
+
+@register(
+    "q_sample_priority",
+    oracle="""
+    SELECT o_orderkey, w_cents, priority
+    FROM (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents,
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+               / (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 1) AS priority
+      FROM orders)
+    ORDER BY priority DESC, o_orderkey
+    LIMIT 200
+    """,
+)
+def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: weight-proportional sampling without replacement — priority
+    sampling (Duffield, Lund & Thorup, JACM'07): each item gets
+    priority w/u with u uniform from its content hash, and the top-k
+    priorities form the sample (inclusion probability ∝ weight, with
+    variance-optimal subset-sum estimates). The weighted complement to
+    the uniform q_sample_hash: mixing boards sample documents
+    proportional to quality scores or token counts, and this is the
+    reproducible, single-pass, cluster-size-invariant way to do it.
+
+    Cross-engine exactness: w_cents and u_int are exact integers (the
+    cents grid; first 8 md5 hex chars + 1, both < 2^53), and priority
+    is ONE IEEE division of those integers — the repo's single-division
+    discipline — so the doubles are bit-identical and the (priority,
+    key) sort boundary cuts the same 200 rows on both engines.
+
+    Plan: map-side hash + division, then TakeOrderedAndProject — a
+    per-partition top-k heap merged at the driver, no global sort at
+    any scale (same shape as q_topk_global)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    scored = o.select(
+        "o_orderkey",
+        w.alias("w_cents"),
+        (w.cast("double") / u).alias("priority"),
+    )
+    return scored.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(200)

@@ -87,6 +87,118 @@ def connected_components(
     return lbl.select(F.col("_id").alias(id_col), F.col("_lbl").alias("component_id"))
 
 
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank on an undirected edge list, computed
+    entirely on an integer grid so the result is bit-identical on any
+    engine (the repo's cross-engine float discipline: IEEE summation
+    order varies between engines AND between cluster sizes, so a
+    float-rank PageRank is not even self-reproducible — an integer
+    spec is).
+
+    Semantics: ranks start at ``scale`` per node (nodes = endpoints of
+    ``edges``; an isolated node has no rank flow and is out of scope).
+    Each iteration every node sends ``rank DIV degree`` to each
+    neighbor and receives
+    ``(scale*(100-damping_pct))//100 + (damping_pct * inflow) DIV 100``
+    — the Brin/Page update with d=0.85 stated in exact integer
+    arithmetic (truncating division both engines; all quantities
+    non-negative, so floor == truncate). Returns (node, rank_ppm).
+
+    Scale shape: each iteration is one join of the symmetrized edge
+    list with the current rank vector (shuffle on node id — the same
+    partitioning every round, so AQE/reused exchanges apply) plus one
+    groupBy on the destination. The plan is UNROLLED and fully lazy —
+    ``iters`` is small and fixed (link-analysis ranks converge
+    geometrically; 3–10 iterations is the production norm at crawl
+    scale). An iterate-to-convergence variant would localCheckpoint
+    per round like :func:`connected_components`; keeping the fixed-
+    iteration form lazy means building the plan costs nothing (the
+    contract schema sweep, `.explain`, bench noop runs).
+    """
+    sym = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    sym = sym.union(sym.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = deg.select(F.col("_u").alias("node"), F.lit(scale).cast("long").alias("rank_ppm"))
+    out = sym.join(deg, "_u")
+    for _ in range(iters):
+        inflow = (
+            out.join(ranks, out["_u"] == ranks["node"])
+            .select(F.col("_v"), F.expr("rank_ppm DIV _d").alias("_c"))
+            .groupBy("_v")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        ranks = inflow.select(
+            F.col("_v").alias("node"),
+            (F.lit(base) + F.expr(f"({damping_pct} * _m) DIV 100")).cast("long").alias("rank_ppm"),
+        )
+    return ranks
+
+
+def triangles_per_node(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph — the clustering-coefficient numerator and the standard
+    cohesion feature for link-spam / community detection.
+
+    Algorithm: the degree-ordered "forward" method (node-iterator with
+    orientation). Every undirected edge is oriented from its lower-
+    (degree, id) endpoint to the higher one; a triangle {w,x,y} is then
+    found EXACTLY once, as the wedge x←w→y (rank(x) < rank(y)) closed
+    by the oriented edge x→y. Orientation bounds the wedge fan-out per
+    node by its *oriented* out-degree ≤ O(sqrt(|E|)) on any graph —
+    the classical trick that keeps the wedge join near-linear at
+    100 TB where the naive b-middle join is sum(deg²) and dies on hub
+    nodes (Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+    Curse of the Last Reducer").
+
+    Output (node, n_triangles) is orientation-invariant: the triangle
+    SET is a graph property, so a plain id-ordered SQL restatement
+    grades this exactly even though the execution strategy differs —
+    same contract as connected components above.
+    """
+    e = _canon_edges(edges, src, dst)  # (_hi, _lo) distinct, hi > lo
+    sym = e.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v")).union(
+        e.select(F.col("_lo").alias("_u"), F.col("_hi").alias("_v"))
+    )
+    deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
+    # Orient: (_u,_v,_du,_dv) with rank(_u) < rank(_v), rank = (deg, id).
+    ranked = (
+        sym.join(deg, "_u")
+        .join(
+            deg.select(F.col("_u").alias("_v"), F.col("_d").alias("_dv")),
+            "_v",
+        )
+    )
+    o = ranked.filter(
+        (F.col("_d") < F.col("_dv"))
+        | ((F.col("_d") == F.col("_dv")) & (F.col("_u") < F.col("_v")))
+    ).select(F.col("_u").alias("_w"), F.col("_v").alias("_x"), F.col("_dv").alias("_dx"))
+    # Wedges from each pivot w: out-neighbor pairs (x, y), rank(x) < rank(y).
+    o2 = o.select(F.col("_w"), F.col("_x").alias("_y"), F.col("_dx").alias("_dy"))
+    wedges = o.join(o2, "_w").filter(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y")))
+    )
+    closed = wedges.join(
+        o.select(F.col("_w").alias("_x"), F.col("_x").alias("_y")),
+        ["_x", "_y"],
+        "left_semi",
+    )
+    member = (
+        closed.select(F.col("_w").alias("node"))
+        .union(closed.select(F.col("_x").alias("node")))
+        .union(closed.select(F.col("_y").alias("node")))
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
 def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge list -> canonical (hi, lo) pairs, hi > lo."""
     a, b = F.col(src), F.col(dst)

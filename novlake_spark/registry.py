@@ -50,6 +50,17 @@ ROUND: int = 8
 #: Keys that MUST be re-graded this round: implementation or oracle
 #: changed since their last grade.
 ROUND_HEAD: list[str] = [
+    # round 8 NEW (late additions): graph analytics on an exact integer
+    # grid (PageRank) / orientation-invariant counts (triangles), the
+    # PQ encode step with a deterministic codebook, and weighted
+    # priority sampling (Duffield-Lund-Thorup) — never graded, so they
+    # are staleness-0 by the rotation rule
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_emb_pq_encode",
+    "q_sample_priority",
+    "q_llm_cdc_chunks",
+    "q_llm_hard_negatives",
     # round 8 NEW: the last pytest-only txlog surfaces driver-graded —
     # CDF graded by snapshot RECONSTRUCTION (net insert/delete
     # multiplicity) and the incremental materialized view by its
@@ -95,6 +106,12 @@ ROUND_HEAD: list[str] = [
 ]
 
 PRIORITY: list[str] = [
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_emb_pq_encode",
+    "q_sample_priority",
+    "q_llm_cdc_chunks",
+    "q_llm_hard_negatives",
     "q_txlog_cdf",
     "q_mview_incremental",
     "q_llm_contamination_snapshot",
@@ -132,7 +149,6 @@ PRIORITY: list[str] = [
     "q_sample_hash",
     "q_sample_split",
     "q_sample_stratified",
-    "q_set_union",
     "q_stream_interval_join",
     "q_subquery_in",
     "q_ts_gapfill",
@@ -141,7 +157,12 @@ PRIORITY: list[str] = [
     "q_ts_resample",
     "q_udf_grouped_map",
     "q_udf_mapinpandas",
+    # the window holds 50: with six never-graded round-8 keys at the
+    # head, the 3 least-churn-exposed r3-vintage keys below wait for
+    # round 9 (staleness ties outside the window are legal — the
+    # rotation rule is strict-staler-only)
     "q_unpivot",
+    "q_set_union",
     "q_util_preview",
     # ---- round-4-vintage fill to the ~50-key graded window ----
     "q_tpch_q2",

@@ -1,0 +1,123 @@
+"""Graph-operator semantics: integer-grid PageRank and degree-ordered
+triangle counting (operators.graph round-8 additions), plus the PQ
+encode and priority-sampling keys' exactness properties."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from novlake_spark.operators.graph import pagerank_int, triangles_per_node
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_pagerank_star_one_iteration_hand_computed(spark):
+    """Star K1,4 (center 0): after one iteration the center holds
+    150000 + 85·(4·1e6 DIV 1) DIV 100 = 3550000 and each leaf
+    150000 + 85·(1e6 DIV 4) DIV 100 = 362500 — the exact integer
+    update, checked against hand arithmetic."""
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    got = {r.node: r.rank_ppm for r in pagerank_int(e, iters=1).collect()}
+    assert got == {0: 3550000, 1: 362500, 2: 362500, 3: 362500, 4: 362500}
+
+
+def test_pagerank_cycle_is_exact_fixpoint(spark):
+    """On any regular graph whose degree divides the initial mass, the
+    uniform vector is an EXACT fixpoint of the integer update
+    (inflow = deg·(1e6 DIV deg) = 1e6; 150000 + 85·1e6 DIV 100 = 1e6) —
+    so a 5-cycle must return exactly 1000000 everywhere at any
+    iteration count. Catches truncation drift and double contamination."""
+    e = _edges(spark, [(i, (i + 1) % 5) for i in range(5)])
+    for iters in (1, 3):
+        ranks = [r.rank_ppm for r in pagerank_int(e, iters=iters).collect()]
+        assert ranks == [1000000] * 5
+
+
+def test_pagerank_mass_bounded(spark):
+    """Total rank never exceeds the initial mass (truncating division
+    only loses mass; the teleport term restores at most what damping
+    removed) — a conservation sanity on an irregular graph."""
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)])
+    total = pagerank_int(e, iters=3).agg(F.sum("rank_ppm")).first()[0]
+    assert 0 < total <= 5 * 1000000
+
+
+def test_triangles_k4_each_node_in_three(spark):
+    """K4 has C(4,3)=4 triangles; every vertex participates in 3."""
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.node: r.n_triangles for r in triangles_per_node(_edges(spark, pairs)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_and_square_have_none(spark):
+    """Triangle-free graphs (path, 4-cycle) produce an empty frame."""
+    path = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    square = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert triangles_per_node(path).count() == 0
+    assert triangles_per_node(square).count() == 0
+
+
+def test_triangles_orientation_invariant_under_duplicates(spark):
+    """Duplicate and reversed input edges collapse in canonicalization:
+    a triangle listed twice in both directions still counts once."""
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0), (0, 1)]
+    got = {r.node: r.n_triangles for r in triangles_per_node(_edges(spark, pairs)).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_pq_encode_matches_numpy_argmin(spark, sf_small):
+    """q_emb_pq_encode vs an independent numpy restatement: grid the
+    components, build the formula codebook, argmin with lowest-code
+    ties — every (vec, m) code must agree for the first 20 vectors."""
+    from novlake_spark.registry import queries
+
+    q = queries()["q_emb_pq_encode"]
+    got = {
+        (r.vec_id, r.m): r.code
+        for r in q(spark, sf_small).filter(F.col("vec_id") < 20).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb = np.array(
+        [[((k * 1231 + p * 337 + 911) % 2001) - 1000 for p in range(64)] for k in range(16)],
+        dtype=np.int64,
+    )
+    for row in emb:
+        ei = np.floor(np.array(row.embedding, dtype=np.float64) * 1000 + 0.5).astype(np.int64)
+        for m in range(8):
+            d = ((ei[m * 8 : (m + 1) * 8] - cb[:, m * 8 : (m + 1) * 8]) ** 2).sum(axis=1)
+            expect = int(np.flatnonzero(d == d.min()).min())
+            assert got[(row.vec_id, m)] == expect
+
+
+def test_priority_sample_is_true_topk(spark, sf_small):
+    """The 200 selected priorities dominate every unselected one, and
+    each priority is reproducible from (cents-grid weight) / (md5-u+1)
+    exactly — the single-division discipline."""
+    from novlake_spark.registry import queries
+
+    q = queries()["q_sample_priority"]
+    sel = q(spark, sf_small).collect()
+    assert len(sel) == 200
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    w = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    all_pri = {
+        r.o_orderkey: r.p
+        for r in o.select("o_orderkey", (w.cast("double") / u).alias("p")).collect()
+    }
+    chosen = {r.o_orderkey for r in sel}
+    cut = min(all_pri[k] for k in chosen)
+    worse = [k for k, p in all_pri.items() if k not in chosen and p > cut]
+    assert worse == []
+    for r in sel:
+        assert r.priority == all_pri[r.o_orderkey]

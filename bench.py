@@ -118,6 +118,7 @@ HEADLINE = [
     "q_sample_priority",
     "q_llm_cdc_chunks",
     "q_llm_hard_negatives",
+    "q_mix_temperature",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

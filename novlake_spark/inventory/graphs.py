@@ -55,7 +55,12 @@ def _co_occurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(c, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
+        # lazy persist: both graph operators symmetrize this list (two
+        # references), and Catalyst has no common-subplan dedup — the
+        # basket self-join would otherwise run twice before the
+        # operator's own reuse points even kick in
         .distinct()
+        .persist()
     )
 
 

@@ -177,3 +177,64 @@ def q_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (w.cast("double") / u).alias("priority"),
     )
     return scored.orderBy(F.desc("priority"), F.asc("o_orderkey")).limit(200)
+
+
+@register(
+    "q_mix_temperature",
+    oracle="""
+    WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY lang),
+    thr AS (
+      SELECT lang,
+             CAST(floor(sqrt((SELECT CAST(min(ns) AS DOUBLE) FROM n))
+                        / sqrt(CAST(ns AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+      FROM n
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < thr.t
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: temperature-flattened corpus mixing (the multilingual
+    alpha-sampling of mBERT/XLM-R lineage, alpha = 0.5): sampling mass
+    p_s proportional to n_s^alpha means the WITHIN-stratum retention
+    rate scales as n_s^(alpha-1) = 1/sqrt(n_s) — the smallest language
+    keeps 100% and every larger one downsamples by sqrt(n_min/n_s),
+    flattening the head without starving the tail (the fixture's lang
+    column is the skewed stratum: en dominates ~3:1, so en actually
+    downsamples to ~54% — `source` is uniform and would degenerate to
+    an all-pass filter). Complements q_mix_corpus (fixed per-source
+    rates): here the rates are COMPUTED from the corpus itself, the
+    production shape.
+
+    Cross-engine exactness of a float-derived threshold: sqrt is
+    IEEE-correctly-rounded (unlike pow, which is why alpha is 0.5 and
+    not 0.3), the rate is ONE division of two sqrt results, and the
+    2^32 scaling is a power-of-two exponent shift (exact) — so
+    floor(rate·2^32) is the same BIGINT on both engines and the md5
+    prefix comparison selects identical rows. The repo's det_sample
+    discipline with a computed, not literal, rate.
+
+    Plan: one tiny per-source count (map-side partial), broadcast the
+    derived threshold table, map-side hash filter — cluster-size
+    invariant and one scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("ns"))
+    mn = n.agg(F.min("ns").cast("double").alias("mn"))
+    thr = n.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("mn")) / F.sqrt(F.col("ns").cast("double")) * F.lit(4294967296)
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(h < F.col("t"))
+        .select("doc_id", "lang")
+    )

@@ -61,6 +61,7 @@ ROUND_HEAD: list[str] = [
     "q_sample_priority",
     "q_llm_cdc_chunks",
     "q_llm_hard_negatives",
+    "q_mix_temperature",
     # round 8 NEW: the last pytest-only txlog surfaces driver-graded —
     # CDF graded by snapshot RECONSTRUCTION (net insert/delete
     # multiplicity) and the incremental materialized view by its
@@ -112,6 +113,7 @@ PRIORITY: list[str] = [
     "q_sample_priority",
     "q_llm_cdc_chunks",
     "q_llm_hard_negatives",
+    "q_mix_temperature",
     "q_txlog_cdf",
     "q_mview_incremental",
     "q_llm_contamination_snapshot",
@@ -147,7 +149,6 @@ PRIORITY: list[str] = [
     "q_profile_skew",
     "q_profile_table",
     "q_sample_hash",
-    "q_sample_split",
     "q_sample_stratified",
     "q_stream_interval_join",
     "q_subquery_in",
@@ -157,12 +158,13 @@ PRIORITY: list[str] = [
     "q_ts_resample",
     "q_udf_grouped_map",
     "q_udf_mapinpandas",
-    # the window holds 50: with six never-graded round-8 keys at the
-    # head, the 3 least-churn-exposed r3-vintage keys below wait for
+    # the window holds 50: with seven never-graded round-8 keys at the
+    # head, the 4 least-churn-exposed r3-vintage keys below wait for
     # round 9 (staleness ties outside the window are legal — the
     # rotation rule is strict-staler-only)
     "q_unpivot",
     "q_set_union",
+    "q_sample_split",
     "q_util_preview",
     # ---- round-4-vintage fill to the ~50-key graded window ----
     "q_tpch_q2",

@@ -435,8 +435,13 @@ def test_clean_log_chaos_distributed_readers(spark, tmp_path):
     one more read before each clean_log cycle, so each read races AT
     MOST one deletion cycle (the race the test exists to exercise)
     and the starvation schedule is unreachable regardless of machine
-    load. A 60 s guard keeps a genuinely-dead reader from hanging the
-    suite."""
+    load. The dead-reader guard FAILS LOUDLY instead of silently
+    proceeding (round-8 follow-up: one full-suite flake remained after
+    the deflake — a 60 s quiet guard can expire under end-of-suite JVM
+    pressure where one distributed read takes longer than that, after
+    which the loop re-entered the lapping schedule and produced an
+    undiagnosable red). 240 s of zero progress from a live reader is a
+    real failure and now reports itself as exactly that."""
     import threading
     import time
 
@@ -479,13 +484,21 @@ def test_clean_log_chaos_distributed_readers(spark, tmp_path):
             t.commit(spark.createDataFrame([(i,)], "x long").coalesce(1))
             cp = t.checkpoint()
             t.clean_log(cp)  # deletes superseded checkpoints + sidecars
-            deadline = time.monotonic() + 60
+            deadline = time.monotonic() + 240
             while (
                 not errors
                 and any(done[s] <= marks[s] for s in range(2))
                 and time.monotonic() < deadline
             ):
                 time.sleep(0.01)
+            if errors:
+                break
+            stalled = [s for s in range(2) if done[s] <= marks[s]]
+            assert not stalled, (
+                f"reader(s) {stalled} made no progress in 240 s at cycle {i} "
+                f"(done={done}, marks={marks}) — cannot continue without "
+                f"re-entering the bounded-retry starvation schedule"
+            )
     finally:
         stop.set()
         for th in threads:

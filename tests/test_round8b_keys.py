@@ -119,3 +119,47 @@ def test_hard_negatives_label_inequality_and_argmax(spark, sf_small):
             if clabel != qlabel
         )
         assert (dot_i, -neg_id) == best
+
+
+def test_mix_temperature_rates_and_exact_selection(spark, sf_small):
+    """Temperature flattening, checked two ways: (1) exact selection —
+    every doc's membership reproduces from md5(doc_id) < floor(
+    sqrt(n_min)/sqrt(n_lang)·2^32) in plain Python; (2) the policy —
+    the smallest language keeps 100% and retention is monotone
+    non-increasing in language size."""
+    import hashlib
+    import math
+
+    from novlake_spark.registry import queries
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    n = {}
+    for r in docs:
+        n[r.lang] = n.get(r.lang, 0) + 1
+    n_min = min(n.values())
+    # math.sqrt is the correctly-rounded IEEE sqrt both engines use;
+    # x**0.5 goes through libm pow and is NOT guaranteed identical
+    thr = {
+        lang: int(math.sqrt(n_min) / math.sqrt(c) * 4294967296)
+        for lang, c in n.items()
+    }
+    expect = {
+        r.doc_id
+        for r in docs
+        if int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) < thr[r.lang]
+    }
+    got = {r.doc_id for r in queries()["q_mix_temperature"](spark, sf_small).collect()}
+    assert got == expect
+    kept = {}
+    for r in docs:
+        kept.setdefault(r.lang, [0, 0])
+        kept[r.lang][1] += 1
+        if r.doc_id in got:
+            kept[r.lang][0] += 1
+    smallest = min(n, key=lambda k: (n[k], k))
+    assert kept[smallest][0] == kept[smallest][1], "smallest stratum must keep 100%"
+    by_size = sorted(n, key=n.get)
+    rates = [kept[k][0] / kept[k][1] for k in by_size]
+    # retention must trend down with stratum size; exact monotonicity is
+    # up to hash noise, so compare smallest vs largest
+    assert rates[0] >= rates[-1]

@@ -43,6 +43,9 @@ FEATURES = {
     "arrow_evals": re.compile(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"),
     "sorts": re.compile(r"\bSort\b"),
     "scans": re.compile(r"FileScan|Scan parquet"),
+    # reads of a persisted intermediate (once per REFERENCE; the cached
+    # plan itself is counted once — see _collapse_cached)
+    "cached_scans": re.compile(r"InMemoryTableScan"),
 }
 
 #: codegen membership renders as a "*(n)" node prefix in plan toString;
@@ -61,6 +64,54 @@ def normalize(plan: str) -> str:
     return plan
 
 
+def _marker_pos(line: str) -> int:
+    best = -1
+    for pat in ("+- ", ":- "):
+        p = line.find(pat)
+        if p >= 0 and (best < 0 or p < best):
+            best = p
+    return best
+
+
+def _collapse_cached(plan: str) -> str:
+    """Collapse repeated InMemoryRelation subtrees to one occurrence.
+
+    ``toString`` prints a persisted intermediate's FULL cached plan at
+    every reference point, so a DF persisted for reuse (graph keys:
+    the edge list feeds degree + orientation + each PageRank iteration)
+    would inflate every counter by the reference count — the opposite
+    of what executes (the cache materializes once; later references
+    read columnar batches). Each distinct cached plan (id-normalized)
+    is kept the first time and replaced by a one-line ref afterwards,
+    which is exactly the executed cost shape."""
+    lines = plan.splitlines()
+    out, seen, i = [], set(), 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            pos = _marker_pos(line)
+            j = i + 1
+            while j < len(lines) and _marker_pos(lines[j]) > pos:
+                j += 1
+            # hash the DEDENTED block: the same cached plan prints at
+            # different tree depths per reference, so the leading
+            # ":  " scaffolding must not enter the fingerprint
+            body = "\n".join(
+                re.sub(r"^[\s:]*(\+-|:-)?\s*", "", x) for x in lines[i:j]
+            )
+            key = hashlib.md5(normalize(body).encode()).hexdigest()
+            if key in seen:
+                out.append(line[: max(pos, 0)] + "+- InMemoryRelation <cached-plan-ref>")
+                i = j
+                continue
+            seen.add(key)
+            # keep the header line only and keep scanning INSIDE the
+            # block so nested cached relations register individually
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
 def audit(df) -> dict:
     # Physical planning is lazy; flipping AQE off just before inspection
     # yields the fully-annotated STATIC plan (codegen stars, final join
@@ -74,7 +125,7 @@ def audit(df) -> dict:
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
-    norm = normalize(plan)
+    norm = normalize(_collapse_cached(plan))
     out = {k: len(rx.findall(norm)) for k, rx in FEATURES.items()}
     out["wscg_spans"] = len(set(WSCG.findall(plan)))
     out["hash"] = hashlib.md5(norm.encode()).hexdigest()[:12]

@@ -117,6 +117,7 @@ HEADLINE = [
     "q_emb_pq_encode",
     "q_sample_priority",
     "q_llm_cdc_chunks",
+    "q_llm_cdc_dedup",
     "q_llm_hard_negatives",
     "q_mix_temperature",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog

@@ -2794,10 +2794,48 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "q_llm_cdc_chunks",
-    oracle="""
-    WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+def _cdc_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, s, e) chunk spans per the CDC boundary spec —
+    shared derivation for q_llm_cdc_chunks (span/signature listing) and
+    q_llm_cdc_dedup (cross-document duplicate-chunk stats)."""
+    d = docs.select("doc_id", "text", F.char_length("text").alias("n"))
+    pos = d.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(
+            F.when(F.col("n") >= 8, F.sequence(F.lit(8), F.col("n"))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.expr("substring(text, i - 7, 8)")), 1, 8), 16, 10
+    ).cast("long")
+    b = pos.filter(u % 64 == 0).select("doc_id", "text", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    c1 = b.select(
+        "doc_id",
+        "text",
+        (F.coalesce(F.lag("i").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("i").alias("e"),
+    )
+    mb = b.groupBy("doc_id").agg(F.max("i").alias("mb"))
+    tl = (
+        d.join(mb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            (F.coalesce(F.col("mb"), F.lit(0)) + 1).alias("s"),
+            F.col("n").alias("e"),
+        )
+        .filter(F.col("e") >= F.col("s"))
+    )
+    return c1.unionByName(tl)
+
+
+_CDC_SPANS_CTE = """
+    d AS (SELECT doc_id, text, len(text) AS n FROM documents),
     pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i FROM d),
     b AS (SELECT doc_id, text, i FROM pos
           WHERE CAST(('0x' || substring(md5(substring(text, CAST(i - 7 AS INT), 8)), 1, 8))
@@ -2811,6 +2849,13 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              USING (doc_id)
            WHERE d.n >= coalesce(mb.mb, 0) + 1),
     alls AS (SELECT * FROM c1 UNION ALL SELECT * FROM tl)
+"""
+
+
+@register(
+    "q_llm_cdc_chunks",
+    oracle=f"""
+    WITH {_CDC_SPANS_CTE}
     SELECT doc_id,
            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) AS INT) AS chunk_idx,
            CAST(s AS INT) AS start_pos,
@@ -2848,45 +2893,77 @@ def q_llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere; cost is linear in corpus bytes and embarrassingly
     parallel per document."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    d = docs.select("doc_id", "text", F.char_length("text").alias("n"))
-    pos = d.select(
-        "doc_id",
-        "text",
-        "n",
-        F.explode(
-            F.when(F.col("n") >= 8, F.sequence(F.lit(8), F.col("n"))).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-    )
-    u = F.conv(
-        F.substring(F.md5(F.expr("substring(text, i - 7, 8)")), 1, 8), 16, 10
-    ).cast("long")
-    b = pos.filter(u % 64 == 0).select("doc_id", "text", "i")
-    w = Window.partitionBy("doc_id").orderBy("i")
-    c1 = b.select(
-        "doc_id",
-        "text",
-        (F.coalesce(F.lag("i").over(w), F.lit(0)) + 1).alias("s"),
-        F.col("i").alias("e"),
-    )
-    mb = b.groupBy("doc_id").agg(F.max("i").alias("mb"))
-    tl = (
-        d.join(mb, "doc_id", "left")
-        .select(
-            "doc_id",
-            "text",
-            (F.coalesce(F.col("mb"), F.lit(0)) + 1).alias("s"),
-            F.col("n").alias("e"),
-        )
-        .filter(F.col("e") >= F.col("s"))
-    )
-    alls = c1.unionByName(tl)
+    spans = _cdc_spans(docs)
     iw = Window.partitionBy("doc_id").orderBy("s")
-    return alls.select(
+    return spans.select(
         "doc_id",
         F.row_number().over(iw).cast("int").alias("chunk_idx"),
         F.col("s").cast("int").alias("start_pos"),
         (F.col("e") - F.col("s") + 1).cast("int").alias("chunk_len"),
         F.substring(F.md5(F.expr("substring(text, s, e - s + 1)")), 1, 8).alias("chunk_sig"),
+    )
+
+
+@register(
+    "q_llm_cdc_dedup",
+    oracle=f"""
+    WITH {_CDC_SPANS_CTE},
+    sig AS (SELECT doc_id,
+                   substring(md5(substring(text, CAST(s AS INT),
+                                           CAST(e - s + 1 AS INT))), 1, 16) AS sig16,
+                   CAST(e - s + 1 AS INT) AS chunk_len
+            FROM alls)
+    SELECT sig16, chunk_len,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST((count(*) - 1) * chunk_len AS BIGINT) AS chars_saved
+    FROM sig
+    GROUP BY sig16, chunk_len
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_llm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66b: chunk-level exact dedup — the step CDC chunking exists to
+    feed. Identical chunks ACROSS documents (boilerplate headers,
+    license blocks, quoted passages) are found by grouping chunk
+    digests; `chars_saved` is the dedup value of each duplicated chunk
+    — (copies − 1) · length. This is what chunk-granular storage dedup
+    (the LBFS design) and sub-document corpus dedup actually compute;
+    whole-document exact dedup (q_llm_dedup_exact) misses all of it
+    when any other byte differs.
+
+    The digest here is 16 hex chars (64 bits) rather than the display
+    key's 8: at corpus scale the birthday bound on 32 bits makes
+    accidental collisions plausible (≈15% odds of one somewhere at a
+    mere 36 k chunks), and a collision would fuse two unrelated chunks'
+    stats. Both engines compute the identical md5 prefix, so grading is
+    exact either way — the width choice is semantic hygiene, and the
+    (sig16, chunk_len) group key means a surviving collision would
+    still need equal lengths to fuse.
+
+    Plan: the chunk derivation (shared with q_llm_cdc_chunks), then ONE
+    groupBy on the 8-byte digest — partial aggregation map-side, so the
+    shuffle carries one row per distinct chunk per task, never the
+    corpus. Text never shuffles: the digest is computed scan-side."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    spans = _cdc_spans(docs)
+    sig = spans.select(
+        "doc_id",
+        F.substring(F.md5(F.expr("substring(text, s, e - s + 1)")), 1, 16).alias("sig16"),
+        (F.col("e") - F.col("s") + 1).cast("int").alias("chunk_len"),
+    )
+    return (
+        sig.groupBy("sig16", "chunk_len")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "sig16",
+            "chunk_len",
+            "n_docs",
+            "n_copies",
+            ((F.col("n_copies") - 1) * F.col("chunk_len")).cast("long").alias("chars_saved"),
+        )
     )

@@ -60,6 +60,7 @@ ROUND_HEAD: list[str] = [
     "q_emb_pq_encode",
     "q_sample_priority",
     "q_llm_cdc_chunks",
+    "q_llm_cdc_dedup",
     "q_llm_hard_negatives",
     "q_mix_temperature",
     # round 8 NEW: the last pytest-only txlog surfaces driver-graded —
@@ -112,6 +113,7 @@ PRIORITY: list[str] = [
     "q_emb_pq_encode",
     "q_sample_priority",
     "q_llm_cdc_chunks",
+    "q_llm_cdc_dedup",
     "q_llm_hard_negatives",
     "q_mix_temperature",
     "q_txlog_cdf",
@@ -157,11 +159,11 @@ PRIORITY: list[str] = [
     "q_ts_locf",
     "q_ts_resample",
     "q_udf_grouped_map",
-    "q_udf_mapinpandas",
-    # the window holds 50: with seven never-graded round-8 keys at the
-    # head, the 4 least-churn-exposed r3-vintage keys below wait for
+    # the window holds 50: with eight never-graded round-8 keys at the
+    # head, the 5 least-churn-exposed r3-vintage keys below wait for
     # round 9 (staleness ties outside the window are legal — the
     # rotation rule is strict-staler-only)
+    "q_udf_mapinpandas",
     "q_unpivot",
     "q_set_union",
     "q_sample_split",

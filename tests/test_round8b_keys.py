@@ -163,3 +163,32 @@ def test_mix_temperature_rates_and_exact_selection(spark, sf_small):
     # retention must trend down with stratum size; exact monotonicity is
     # up to hash noise, so compare smallest vs largest
     assert rates[0] >= rates[-1]
+
+
+def test_cdc_dedup_matches_python_recomputation(spark, sf_small):
+    """q_llm_cdc_dedup vs a hashlib recomputation over the full corpus:
+    group every chunk's 16-hex digest, keep cross-document groups,
+    compare (n_docs, n_copies, chars_saved) exactly. Also pins that at
+    least one cross-doc duplicate chunk EXISTS in the fixture — a
+    0-row pass would mean the key degenerated."""
+    from novlake_spark.registry import queries
+
+    got = {
+        r.sig16: (r.chunk_len, r.n_docs, r.n_copies, r.chars_saved)
+        for r in queries()["q_llm_cdc_dedup"](spark, sf_small).collect()
+    }
+    assert got, "fixture has no cross-document duplicate chunks?"
+    groups = {}
+    for r in spark.read.parquet(f"{sf_small}/documents.parquet").collect():
+        for s, ln, _ in _chunks(r.text):
+            body = r.text[s - 1 : s - 1 + ln]
+            sig16 = hashlib.md5(body.encode("utf-8")).hexdigest()[:16]
+            g = groups.setdefault((sig16, ln), [set(), 0])
+            g[0].add(r.doc_id)
+            g[1] += 1
+    expect = {
+        sig: (ln, len(docs), copies, (copies - 1) * ln)
+        for (sig, ln), (docs, copies) in groups.items()
+        if len(docs) >= 2
+    }
+    assert got == expect

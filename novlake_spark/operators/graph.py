@@ -94,6 +94,7 @@ def pagerank_int(
     iters: int = 3,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank on an undirected edge list, computed
     entirely on an integer grid so the result is bit-identical on any
@@ -117,10 +118,14 @@ def pagerank_int(
     groupBy on the destination. The plan is UNROLLED and fully lazy —
     ``iters`` is small and fixed (link-analysis ranks converge
     geometrically; 3–10 iterations is the production norm at crawl
-    scale). An iterate-to-convergence variant would localCheckpoint
-    per round like :func:`connected_components`; keeping the fixed-
-    iteration form lazy means building the plan costs nothing (the
-    contract schema sweep, `.explain`, bench noop runs).
+    scale). For MANY iterations the unrolled lineage grows linearly
+    and the DAG-scheduler/optimizer cost with it — pass
+    ``checkpoint_every`` to eagerly ``localCheckpoint`` the rank
+    vector every N rounds (the :func:`connected_components`
+    discipline): results are bit-identical (integer arithmetic has no
+    re-association hazard; a pytest pins it), the plan just stops
+    being free to build. The default stays fully lazy so the contract
+    schema sweep, `.explain`, and bench noop runs cost nothing.
     """
     sym = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
     sym = sym.union(sym.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
@@ -136,7 +141,7 @@ def pagerank_int(
     base = (scale * (100 - damping_pct)) // 100
     ranks = deg.select(F.col("_u").alias("node"), F.lit(scale).cast("long").alias("rank_ppm"))
     out = sym.join(deg, "_u").persist()
-    for _ in range(iters):
+    for i in range(iters):
         inflow = (
             out.join(ranks, out["_u"] == ranks["node"])
             .select(F.col("_v"), F.expr("rank_ppm DIV _d").alias("_c"))
@@ -147,6 +152,8 @@ def pagerank_int(
             F.col("_v").alias("node"),
             (F.lit(base) + F.expr(f"({damping_pct} * _m) DIV 100")).cast("long").alias("rank_ppm"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

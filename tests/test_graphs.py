@@ -121,3 +121,16 @@ def test_priority_sample_is_true_topk(spark, sf_small):
     assert worse == []
     for r in sel:
         assert r.priority == all_pri[r.o_orderkey]
+
+
+def test_pagerank_checkpointing_is_bit_identical(spark):
+    """checkpoint_every changes lineage management only: ranks after 6
+    iterations with per-2-round checkpoints equal the fully-lazy plan's
+    exactly (integer update — no re-association hazard to hide)."""
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0), (4, 2)])
+    lazy = {r.node: r.rank_ppm for r in pagerank_int(e, iters=6).collect()}
+    ckpt = {
+        r.node: r.rank_ppm
+        for r in pagerank_int(e, iters=6, checkpoint_every=2).collect()
+    }
+    assert lazy == ckpt

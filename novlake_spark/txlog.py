@@ -89,6 +89,16 @@ def _missing_file(exc: Exception) -> bool:
     deletes superseded checkpoints and their sidecars after publishing
     the replacement) invisible to in-flight readers."""
     s = str(exc)
+    # PySpark captured exceptions also carry a structured condition
+    # ("FAILED_READ_FILE.FILE_NOT_EXIST"); fold it in so the match does
+    # not depend on message formatting (str() renders lazily through
+    # the JVM and its text shape is not a contract)
+    cond = getattr(exc, "getCondition", None)
+    if callable(cond):
+        try:
+            s += " " + (cond() or "")
+        except Exception:  # noqa: BLE001 — never let diagnostics raise
+            pass
     return (
         isinstance(exc, FileNotFoundError)
         or "FileNotFoundException" in s
@@ -751,17 +761,25 @@ class TxTable:
     ) -> tuple[
         list[dict], str | None, dict[str, int], dict[str, str], dict[str, int], dict[str, int]
     ]:
-        """One-retry wrapper around :meth:`_state_at_once`: a concurrent
-        ``clean_log`` may delete a superseded checkpoint (or its parquet
-        sidecar) between our listing and our read; re-listing once then
-        resolves through the newer checkpoint that replaced it —
-        mirroring ``_PyLog.full_state``'s retry on the Python path."""
-        try:
-            return self._state_at_once(version)
-        except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
-            if not _missing_file(exc):
-                raise
-            return self._state_at_once(version)
+        """Bounded-retry wrapper around :meth:`_state_at_once`: a
+        concurrent ``clean_log`` may delete a superseded checkpoint (or
+        its parquet sidecar) between our listing and our read;
+        re-listing then resolves through the newer checkpoint that
+        replaced it. THREE attempts, not one (round 8: the parquet
+        sidecar read inside ``_state_at_once`` is a whole Spark job —
+        the same wide race window that made one retry insufficient for
+        :meth:`_scan_distributed` in round 5, and the full-suite chaos
+        run caught the driver fold losing its single retry the same
+        way). Unlike the distributed scan there is no cheaper plan to
+        degrade to, so the final loss re-raises."""
+        attempts = 3
+        for attempt in range(attempts):
+            try:
+                return self._state_at_once(version)
+            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+                if not _missing_file(exc) or attempt == attempts - 1:
+                    raise
+        raise AssertionError("unreachable")
 
     def _meta_at(
         self, version: int | None = None
@@ -772,14 +790,16 @@ class TxTable:
         what the commit path (identity watermarks, constraints,
         idempotency markers) and ``schema_at`` resolve through — on a
         million-file table a metadata read must not cost O(files).
-        Same one-retry contract as :meth:`_state_at` for checkpoints
-        deleted by a concurrent ``clean_log``."""
-        try:
-            return self._state_at_once(version, with_adds=False)[1:]
-        except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
-            if not _missing_file(exc):
-                raise
-            return self._state_at_once(version, with_adds=False)[1:]
+        Same bounded-retry contract as :meth:`_state_at` for
+        checkpoints deleted by a concurrent ``clean_log``."""
+        attempts = 3
+        for attempt in range(attempts):
+            try:
+                return self._state_at_once(version, with_adds=False)[1:]
+            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+                if not _missing_file(exc) or attempt == attempts - 1:
+                    raise
+        raise AssertionError("unreachable")
 
     def _state_at_once(
         self, version: int | None = None, with_adds: bool = True

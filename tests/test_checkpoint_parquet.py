@@ -211,7 +211,15 @@ def test_clean_log_chaos_readers_never_see_missing_checkpoints(spark, tmp_path):
                 r = TxTable(spark, path)
                 py = _PyLog(path)
             except Exception as e:  # pragma: no cover - failure reporting
-                errors.append(e)
+                # repr() of pyspark captured exceptions hides the message
+                # (args is empty — a full-suite red once surfaced as an
+                # undiagnosable "AnalysisException()"); capture the
+                # rendered message AND the traceback
+                import traceback
+
+                errors.append(
+                    RuntimeError(f"{type(e).__name__}: {e}\n{traceback.format_exc()}")
+                )
                 return
 
     threads = [threading.Thread(target=reader_loop) for _ in range(3)]
@@ -472,7 +480,15 @@ def test_clean_log_chaos_distributed_readers(spark, tmp_path):
                 r = TxTable(spark, path)  # fresh listing next round
                 r.parquet_checkpoint_rows = 1
             except Exception as e:  # pragma: no cover - failure reporting
-                errors.append(e)
+                # repr() of pyspark captured exceptions hides the message
+                # (args is empty — a full-suite red once surfaced as an
+                # undiagnosable "AnalysisException()"); capture the
+                # rendered message AND the traceback
+                import traceback
+
+                errors.append(
+                    RuntimeError(f"{type(e).__name__}: {e}\n{traceback.format_exc()}")
+                )
                 return
 
     threads = [threading.Thread(target=reader_loop, args=(i,)) for i in range(2)]

@@ -444,6 +444,72 @@ def q_mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mview_minmax",
+    # side-effecting (full txlog + view lifecycle per call): the
+    # contract schema sweep reads this declaration instead
+    declared_schema=(
+        "o_custkey bigint, min_cents bigint, max_cents bigint, n_orders bigint"
+    ),
+    oracle="""
+    SELECT o_custkey,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           count(*) AS n_orders
+    FROM orders WHERE o_orderkey > 500
+    GROUP BY o_custkey
+    """,
+)
+def q_mview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LH7b (round 9, VERDICT r8 task #4): MIN/MAX materialized-view
+    maintenance with honest delete semantics. MIN/MAX are NOT
+    self-maintainable under deletes (once the extremum row dies, no
+    folded state names the runner-up), so the refresh decomposes: pure
+    monotone fold for groups whose deletes provably can't have held the
+    extremum, a source rescan SCOPED to exactly the extremum-death
+    groups otherwise (mview.py module docstring). The chain makes both
+    paths and the churn trap all fire in one refresh: even keys → full
+    build → odd keys committed AND ``o_orderkey <= 500`` deleted in the
+    SAME window. Every group with a surviving delete above its folded
+    candidate folds; every group whose min/max row died rescans; and
+    the odd keys <= 500 are inserted-then-deleted IN-WINDOW — a fold
+    that trusted the insert-side extremum would resurrect them (the
+    tie-test catches this without row identity). Oracle = the defining
+    MIN/MAX/COUNT over the final base state, so a stale extremum, a
+    resurrected churn row, or an over/under-scoped rescan all break the
+    hash. Money discipline: integer cents end-to-end — MIN/MAX of
+    BIGINT are order-free on both engines."""
+    cents_base = _orders_base(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("price_cents")
+    )
+    from novlake_spark.mview import IncrementalAggView
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qmviewmm-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(cents_base.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+        view = IncrementalAggView(
+            t,
+            f"{root}/mv",
+            keys=["o_custkey"],
+            measures={
+                "min_cents": ("min", "price_cents"),
+                "max_cents": ("max", "price_cents"),
+                "n_orders": ("count",),
+            },
+        )
+        view.refresh()  # full build from v0
+        t.commit(cents_base.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+        t.delete([("o_orderkey", "<=", 500)])
+        view.refresh()  # fold + scoped rescan + churn rejection
+        return view.read().localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "q_llm_contamination_snapshot",
     # side-effecting (txlog lifecycle per call): the contract schema
     # sweep reads this declaration instead of re-running it

@@ -182,13 +182,14 @@ class _PyLog:
         protocol gate).
 
         A concurrent ``clean_log`` can delete an entry between our
-        listing and our read; one re-resolution retry against the fresh
-        listing (which then includes the newer checkpoint that replaced
-        those entries) makes the race invisible."""
-        try:
-            return self._full_state_once(version)
-        except FileNotFoundError:
-            return self._full_state_once(version)
+        listing and our read; re-resolution against a fresh listing
+        (which then includes the newer checkpoint that replaced those
+        entries) makes the race invisible. Deadline-bounded like
+        ``TxTable._state_at`` (round 9): pure-Python reads are narrow,
+        but full-suite contention can still lap a fixed attempt count."""
+        from novlake_spark.txlog import _retry_missing
+
+        return _retry_missing(lambda: self._full_state_once(version))
 
     def _full_state_once(
         self, version: int | None = None

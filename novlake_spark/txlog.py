@@ -48,6 +48,7 @@ import base64
 import datetime
 import hashlib
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,6 +100,7 @@ def _missing_file(exc: Exception) -> bool:
             s += " " + (cond() or "")
         except Exception:  # noqa: BLE001 — never let diagnostics raise
             pass
+    low = s.lower()
     return (
         isinstance(exc, FileNotFoundError)
         or "FileNotFoundException" in s
@@ -112,9 +114,55 @@ def _missing_file(exc: Exception) -> bool:
         # ("File does not exist. It is possible the underlying files
         # have been updated.") — found by the round-5 distributed-reader
         # chaos test; without this arm the _scan_distributed retry never
-        # fires for mid-scan sidecar deletion.
-        or "FAILED_READ_FILE" in s and "not exist" in s
+        # fires for mid-scan sidecar deletion. The structured condition
+        # alone suffices (ADVICE r8: the old match additionally required
+        # a lowercase 'not exist' from the RENDERED message, so the
+        # getCondition() fold never helped); both checks are
+        # case-insensitive so JVM message-shape drift can't unmatch.
+        or "file_not_exist" in low
+        or ("failed_read_file" in low and "not exist" in low)
     )
+
+
+#: How long read-side retries keep re-listing when a concurrent
+#: ``clean_log`` deletes a checkpoint / sidecar / tail entry out from
+#: under them. DEADLINE-bounded, not attempt-bounded (VERDICT r8 task
+#: #1): an attempt budget can be lapped under heavy executor contention
+#: — the full-suite chaos test engineered exactly that three rounds
+#: running — while the race window itself is milliseconds, so a ~5 s
+#: deadline is ~1000× the window and still fails a genuinely missing
+#: file (corrupt table) promptly and loudly.
+_MISSING_RETRY_DEADLINE_S: float = 5.0
+
+#: Sentinel: "re-raise on deadline expiry" (distinct from ``None``,
+#: which is a legal starve value for callers with a degraded path).
+_RAISE_STARVED = object()
+
+
+def _retry_missing(fn, *, starve=_RAISE_STARVED):
+    """Run ``fn`` (which must re-list table state itself on each call),
+    retrying while it raises a :func:`_missing_file` error, until
+    :data:`_MISSING_RETRY_DEADLINE_S` has elapsed. On deadline expiry:
+    re-raise (the default — no cheaper plan exists to degrade to), or
+    return the ``starve`` sentinel value for callers with a documented
+    degraded path (``_scan_distributed`` falls back to the driver
+    fold). A short growing sleep between attempts keeps the loop from
+    spinning hot when executor contention — not bad luck — is what
+    keeps losing the race."""
+    deadline = time.monotonic() + _MISSING_RETRY_DEADLINE_S
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
+            if not _missing_file(exc):
+                raise
+            if time.monotonic() >= deadline:
+                if starve is _RAISE_STARVED:
+                    raise
+                return starve
+            attempt += 1
+            time.sleep(min(0.02 * attempt, 0.2))
 
 
 def replay_adds(entries: list[dict], base: list[dict] | None = None) -> list[dict]:
@@ -723,38 +771,35 @@ class TxTable:
         plus a per-field max over the entry tail, and the result is
         cached per resolved head version so back-to-back commits pay
         one listing, not one replay. A checkpoint deleted by a
-        concurrent ``clean_log`` between listing and read retries once
-        against the fresh listing, like ``_state_at``."""
-        for attempt in (0, 1):
-            vs, cps = self.versions(), self.checkpoints()
-            heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
-            proto = {"min_reader": 1, "min_writer": 1}
-            if not heads:
-                return proto
-            head = max(heads)
-            cached = self._protocol_cache
-            if cached is not None and cached[0] == head:
-                return dict(cached[1])
-            try:
-                cp = max(cps, default=None)
-                if cp is not None:
-                    doc = json.loads(
-                        self._read_bytes(self._checkpoint_path(cp)).decode()
-                    )
-                    for k, w in (doc.get("protocol") or {}).items():
-                        proto[k] = max(proto.get(k, 1), int(w))
-                for v in vs:
-                    if cp is not None and v <= cp:
-                        continue
-                    for k, w in self._read_entry(v).get("protocol", {}).items():
-                        proto[k] = max(proto.get(k, 1), int(w))
-            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
-                if attempt == 0 and _missing_file(exc):
-                    continue
-                raise
-            self._protocol_cache = (head, dict(proto))
+        concurrent ``clean_log`` between listing and read retries
+        against a fresh listing under the same deadline-bounded
+        contract as ``_state_at``."""
+        return _retry_missing(self._protocol_fast_once)
+
+    def _protocol_fast_once(self) -> dict[str, int]:
+        vs, cps = self.versions(), self.checkpoints()
+        heads = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
+        proto = {"min_reader": 1, "min_writer": 1}
+        if not heads:
             return proto
-        raise AssertionError("unreachable")
+        head = max(heads)
+        cached = self._protocol_cache
+        if cached is not None and cached[0] == head:
+            return dict(cached[1])
+        cp = max(cps, default=None)
+        if cp is not None:
+            doc = json.loads(
+                self._read_bytes(self._checkpoint_path(cp)).decode()
+            )
+            for k, w in (doc.get("protocol") or {}).items():
+                proto[k] = max(proto.get(k, 1), int(w))
+        for v in vs:
+            if cp is not None and v <= cp:
+                continue
+            for k, w in self._read_entry(v).get("protocol", {}).items():
+                proto[k] = max(proto.get(k, 1), int(w))
+        self._protocol_cache = (head, dict(proto))
+        return proto
 
     def _state_at(
         self, version: int | None = None
@@ -765,21 +810,15 @@ class TxTable:
         concurrent ``clean_log`` may delete a superseded checkpoint (or
         its parquet sidecar) between our listing and our read;
         re-listing then resolves through the newer checkpoint that
-        replaced it. THREE attempts, not one (round 8: the parquet
-        sidecar read inside ``_state_at_once`` is a whole Spark job —
-        the same wide race window that made one retry insufficient for
-        :meth:`_scan_distributed` in round 5, and the full-suite chaos
-        run caught the driver fold losing its single retry the same
-        way). Unlike the distributed scan there is no cheaper plan to
-        degrade to, so the final loss re-raises."""
-        attempts = 3
-        for attempt in range(attempts):
-            try:
-                return self._state_at_once(version)
-            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
-                if not _missing_file(exc) or attempt == attempts - 1:
-                    raise
-        raise AssertionError("unreachable")
+        replaced it. DEADLINE-bounded, not attempt-bounded (round 9,
+        VERDICT r8 task #1: the 3-attempt budget was lapped under
+        full-suite 32-thread contention three rounds running — the
+        parquet sidecar read inside ``_state_at_once`` is a whole Spark
+        job, a race window that contention can stretch past any fixed
+        attempt count, while the deletion race itself stays
+        milliseconds wide). Unlike the distributed scan there is no
+        cheaper plan to degrade to, so deadline expiry re-raises."""
+        return _retry_missing(lambda: self._state_at_once(version))
 
     def _meta_at(
         self, version: int | None = None
@@ -790,16 +829,11 @@ class TxTable:
         what the commit path (identity watermarks, constraints,
         idempotency markers) and ``schema_at`` resolve through — on a
         million-file table a metadata read must not cost O(files).
-        Same bounded-retry contract as :meth:`_state_at` for
+        Same deadline-bounded retry contract as :meth:`_state_at` for
         checkpoints deleted by a concurrent ``clean_log``."""
-        attempts = 3
-        for attempt in range(attempts):
-            try:
-                return self._state_at_once(version, with_adds=False)[1:]
-            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
-                if not _missing_file(exc) or attempt == attempts - 1:
-                    raise
-        raise AssertionError("unreachable")
+        return _retry_missing(
+            lambda: self._state_at_once(version, with_adds=False)[1:]
+        )
 
     def _state_at_once(
         self, version: int | None = None, with_adds: bool = True
@@ -1248,22 +1282,18 @@ class TxTable:
         is a whole Spark JOB between listing and read — a far wider race
         window (the round-5 chaos test caught one-retry losing two
         consecutive races under a tight maintenance loop). Each retry
-        re-lists and resolves through the newer checkpoint. If every
-        attempt loses the race — possible by STARVATION when the scan
-        job outlasts the maintenance cadence, as the chaos test proves,
-        not just by bad luck — return ``None`` so the caller degrades
-        to the driver fold: same rows, narrow driver-side read windows
-        with their own retry, no liveness hazard (ADVICE r4)."""
-        attempts = 3
-        for attempt in range(attempts):
-            try:
-                return self._scan_distributed_once(where, version)
-            except Exception as exc:  # noqa: BLE001 — py4j wraps IOException
-                if not _missing_file(exc):
-                    raise
-                if attempt == attempts - 1:
-                    return None  # starved: caller takes the driver path
-        raise AssertionError("unreachable")
+        re-lists and resolves through the newer checkpoint. The retry
+        is DEADLINE-bounded (round 9 — the 3-attempt budget was lapped
+        under full-suite contention); if the deadline still expires —
+        STARVATION when the scan job outlasts the maintenance cadence
+        for the whole window, as the chaos test engineers, not just bad
+        luck — return ``None`` so the caller degrades to the driver
+        fold: same rows, narrow driver-side read windows with their own
+        retry, no liveness hazard (ADVICE r4)."""
+        return _retry_missing(
+            lambda: self._scan_distributed_once(where, version),
+            starve=None,  # starved: caller takes the driver path
+        )
 
     def _scan_distributed_once(
         self, where: list[tuple], version: int | None = None

@@ -272,3 +272,153 @@ def test_mview_folds_dv_deletes(spark, tmp_path):
     for x in range(8, 100):
         expect[x % 4] = expect.get(x % 4, 0) + x
     assert got == expect
+
+
+# ----------------------------------------------------------- min/max measures
+
+def _mm_state(view):
+    return {r.k: (r.lo, r.hi, r.n) for r in view.read().collect()}
+
+
+def _mm_recompute(src):
+    return {
+        r.k: (r.lo, r.hi, r.n)
+        for r in src.read()
+        .groupBy("k")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _mm_view(spark, tmp_path, src):
+    return IncrementalAggView(
+        src,
+        str(tmp_path / "mv"),
+        keys=["k"],
+        measures={"lo": ("min", "v"), "hi": ("max", "v"), "n": ("count",)},
+    )
+
+
+def test_mview_minmax_insert_fold(spark, tmp_path):
+    """Insert-only refreshes fold monotonically — and never touch the
+    source snapshot (the rescan hook must not fire)."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    view = _mm_view(spark, tmp_path, src)
+    src.commit(_df(spark, (1, 10), (1, 20), (2, 5)))
+    view.refresh()
+    assert _mm_state(view) == {1: (10, 20, 2), 2: (5, 5, 1)}
+
+    def boom(*a, **kw):  # pragma: no cover - trap
+        raise AssertionError("insert-only refresh rescanned the source")
+
+    view._recompute = boom
+    src.commit(_df(spark, (1, 3), (2, 50), (3, 7)))  # new min, new max, new group
+    view.refresh()
+    assert _mm_state(view) == _mm_recompute(src) == {
+        1: (3, 20, 3), 2: (5, 50, 2), 3: (7, 7, 1),
+    }
+
+
+def test_mview_minmax_nonextremum_delete_folds(spark, tmp_path):
+    """A delete strictly inside the group's range (not holding either
+    extremum) must fold without a source rescan."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    view = _mm_view(spark, tmp_path, src)
+    src.commit(_df(spark, (1, 10), (1, 15), (1, 20)))
+    view.refresh()
+
+    def boom(*a, **kw):  # pragma: no cover - trap
+        raise AssertionError("non-extremum delete rescanned the source")
+
+    view._recompute = boom
+    src.delete([("v", "=", 15)])  # kills neither min=10 nor max=20
+    view.refresh()
+    assert _mm_state(view) == {1: (10, 20, 2)}
+
+
+def test_mview_minmax_extremum_death_rescans_scoped(spark, tmp_path):
+    """Deleting a group's extremum recomputes THAT group (and only
+    that group) from the source; untouched groups keep folding."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    view = _mm_view(spark, tmp_path, src)
+    src.commit(_df(spark, (1, 10), (1, 20), (2, 5), (2, 9)))
+    view.refresh()
+    seen = []
+    orig = view._recompute
+
+    def spy(version, group_keys):
+        seen.append(sorted(r.k for r in group_keys.collect()))
+        return orig(version, group_keys)
+
+    view._recompute = spy
+    src.delete([("v", "=", 20)])  # kills group 1's max only
+    view.refresh()
+    assert seen == [[1]]
+    assert _mm_state(view) == _mm_recompute(src) == {1: (10, 10, 1), 2: (5, 9, 2)}
+
+
+def test_mview_minmax_inwindow_churn_not_resurrected(spark, tmp_path):
+    """A row inserted AND deleted between refreshes (churn) must not
+    surface in the folded extremum — the trap that makes a naive
+    insert-side fold wrong even though the group's live extrema never
+    changed."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    view = _mm_view(spark, tmp_path, src)
+    src.commit(_df(spark, (1, 10), (1, 20)))
+    view.refresh()
+    src.commit(_df(spark, (1, 1), (1, 99)))  # would-be new min AND max...
+    src.delete([("v", "=", 1)])
+    src.delete([("v", "=", 99)])             # ...both dead in-window
+    view.refresh()
+    assert _mm_state(view) == _mm_recompute(src) == {1: (10, 20, 2)}
+
+
+def test_mview_minmax_first_refresh_with_churn(spark, tmp_path):
+    """The very first refresh can already contain deletes (source
+    predates the view): the fold/rescan machinery must run against the
+    empty initial state instead of trusting insert-side extrema."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_df(spark, (1, 10), (1, 2), (2, 5)))
+    src.delete([("v", "=", 2)])  # group 1's min dead BEFORE the view exists
+    view = _mm_view(spark, tmp_path, src)
+    view.refresh()
+    assert _mm_state(view) == _mm_recompute(src) == {1: (10, 10, 1), 2: (5, 5, 1)}
+
+
+def test_mview_minmax_group_death(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    view = _mm_view(spark, tmp_path, src)
+    src.commit(_df(spark, (1, 10), (2, 7)))
+    view.refresh()
+    src.delete([("k", "=", 2)])
+    view.refresh()
+    state = _mm_state(view)
+    assert state == _mm_recompute(src) == {1: (10, 10, 1)}
+    assert 2 not in state
+
+
+def test_mview_minmax_randomized_equivalence(spark, tmp_path):
+    """Seeded random insert/delete histories: the incremental view must
+    equal the defining aggregate after every refresh cadence."""
+    import random
+
+    rng = random.Random(77)
+    src = TxTable(spark, str(tmp_path / "src"))
+    view = _mm_view(spark, tmp_path, src)
+    live = []
+    nxt = 0
+    for step in range(6):
+        n_ops = rng.randint(1, 3)
+        for _ in range(n_ops):
+            if live and rng.random() < 0.4:
+                k, v = live.pop(rng.randrange(len(live)))
+                src.delete([("k", "=", k), ("v", "=", v)])
+            else:
+                rows = []
+                for _ in range(rng.randint(1, 4)):
+                    rows.append((rng.randint(1, 4), nxt * 10 + rng.randint(0, 9)))
+                    nxt += 1  # distinct v per row: deletes stay row-exact
+                live.extend(rows)
+                src.commit(_df(spark, *rows))
+        view.refresh()
+        assert _mm_state(view) == _mm_recompute(src), f"diverged at step {step}"

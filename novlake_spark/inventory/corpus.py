@@ -95,8 +95,11 @@ def q_llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cent AS (
       SELECT label AS cl, list(c ORDER BY dim) AS cvec
-      FROM (SELECT label, dim, round(avg(v), 6) AS c
-            FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      FROM (SELECT label, dim,
+                   CAST(CAST(sum(iv) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS c
+            FROM (SELECT label,
+                         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                              AS BIGINT) AS iv,
                          generate_subscripts(embedding, 1) AS dim
                   FROM embeddings)
             GROUP BY label, dim)
@@ -133,16 +136,26 @@ def q_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dist, label) structs, giving the deterministic label tie-break
     both engines agree on.
 
-    Cross-engine exactness: centroid components round to 6 decimals on
-    both sides BEFORE the distance fold, and both folds are sequential
-    left-to-right (`F.aggregate` / `list_reduce`), so distances are
-    bit-identical and the confusion counts hash-match.
+    Cross-engine exactness (round 9 float-class audit — the old
+    ``round(avg(v), 6)`` summed raw floats, the exact class the r8
+    sweep caught on its sibling q_llm_embed_centroid): each component
+    lands on the 1e-6 integer grid FIRST (floor of the deterministic
+    float32→double value), the BIGINT sum is order-free, and the
+    centroid is two correctly-rounded divisions — bit-identical on
+    both engines with no rounding boundary. Both distance folds are
+    sequential left-to-right (`F.aggregate` / `list_reduce`), so
+    distances are bit-identical and the confusion counts hash-match.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    iv = F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5)).cast("long")
     cent_rows = (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .agg(
+            (
+                F.sum(iv).cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
+            ).alias("c")
+        )
         .collect()
     )
     cents: dict[int, dict[int, float]] = {}
@@ -175,7 +188,7 @@ def q_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS q3 FROM t)
     SELECT bin, count(*) AS n_docs, min(n_tokens) AS min_tokens,
            max(n_tokens) AS max_tokens,
-           round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
+           CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_tokens
     FROM (SELECT CASE WHEN n_tokens <= q1 THEN 1 WHEN n_tokens <= q2 THEN 2
                       WHEN n_tokens <= q3 THEN 3 ELSE 4 END AS bin, n_tokens
           FROM t CROSS JOIN q)
@@ -218,11 +231,15 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(4))
         .alias("bin"),
     )
+    # avg on the exact-integer-sum form, not round(avg(...)) — the
+    # token sum is exact, ONE IEEE division is bit-identical on both
+    # engines, and there is no rounding boundary left to flip
+    # (round 9 float-class audit; ORACLE_NOTES.md #4)
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
-        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
 
 
@@ -428,20 +445,22 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_emb_norm_stats",
     oracle="""
-    SELECT label, count(*) AS n_vecs,
-           round(avg(nrm), 4) AS avg_norm,
-           round(stddev_samp(nrm), 4) AS sd_norm,
-           round(min(nrm), 4) AS min_norm,
-           round(max(nrm), 4) AS max_norm,
-           round(avg(c0), 4) AS avg_dim0,
-           round(min(c0), 4) AS min_dim0,
-           round(max(c0), 4) AS max_dim0
-    FROM (SELECT label,
-                 sqrt(list_reduce(list_transform(embedding,
-                                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                                  (a, b) -> a + b)) AS nrm,
-                 CAST(embedding[1] AS DOUBLE) AS c0
+    WITH r AS (SELECT label,
+                 CAST(floor(sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        (a, b) -> a + b)) * 1000000 + 0.5) AS BIGINT) AS inrm,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS ic0
           FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+           CAST(CAST(sum(inrm) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS avg_norm,
+           sqrt(CAST(count(*) * sum(inrm * inrm) - sum(inrm) * sum(inrm) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) / 1000000.0 AS sd_norm,
+           CAST(min(inrm) AS DOUBLE) / 1000000.0 AS min_norm,
+           CAST(max(inrm) AS DOUBLE) / 1000000.0 AS max_norm,
+           CAST(CAST(sum(ic0) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS avg_dim0,
+           CAST(min(ic0) AS DOUBLE) / 1000000.0 AS min_dim0,
+           CAST(max(ic0) AS DOUBLE) / 1000000.0 AS max_dim0
+    FROM r
     GROUP BY label
     """,
 )
@@ -452,31 +471,49 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≡ dot-product shortcuts; this check proves ‖v‖≈1 holds, and
     the dim-0 stats catch constant/degenerate dimensions).
 
-    Scale shape: the norm is a sequential codegen fold per vector
-    (`F.aggregate`, matching DuckDB's `list_reduce` order for
-    bit-identical sums) — one scan, map-side partial agg, shuffle
-    carries K rows of scalars. min/max/round(…,4) on avg keep the
-    cross-engine hash stable under partial-agg ordering noise.
+    Every statistic lives on the exact 1e-6 integer grid (round 9
+    float-class audit — this key's old ``round(avg(float), 4)`` was
+    the exact class the r8 sweep caught twice): each per-row norm is a
+    deterministic double (sequential fold matching DuckDB's
+    list_reduce order, then correctly-rounded sqrt), floor-gridded to
+    BIGINT; sums of BIGINT are order-free; the mean is one division.
+    The stddev comes from the EXACT sum/sum-of-squares identity
+    (n·Σx² − (Σx)²) computed in decimal space — engine-native
+    stddev_samp implementations (Welford merge vs pairwise) differ in
+    low bits by partial-agg ORDER even on identical inputs, which is
+    the same flake class wearing a different aggregate.
+
+    Scale shape: one scan, map-side partial agg, shuffle carries K
+    rows of scalars. The decimal(38) moment sums survive 2^63 (Σinrm²
+    ≈ 1e12/row passes BIGINT at ~9M rows; decimal is exact to 1e38).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     sq = F.transform(
         F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
     )
     nrm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    grid = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
     rows = emb.select(
         "label",
-        nrm.alias("nrm"),
-        F.col("embedding")[0].cast("double").alias("c0"),
+        grid(nrm).alias("inrm"),
+        grid(F.col("embedding")[0].cast("double")).alias("ic0"),
     )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("inrm").cast("decimal(38,0)"))
+    s2 = F.sum((F.col("inrm") * F.col("inrm")).cast("decimal(38,0)"))
+    var_num = (n.cast("decimal(38,0)") * s2 - s1 * s1).cast("double")
     return rows.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("nrm"), 4).alias("avg_norm"),
-        F.round(F.stddev_samp("nrm"), 4).alias("sd_norm"),
-        F.round(F.min("nrm"), 4).alias("min_norm"),
-        F.round(F.max("nrm"), 4).alias("max_norm"),
-        F.round(F.avg("c0"), 4).alias("avg_dim0"),
-        F.round(F.min("c0"), 4).alias("min_dim0"),
-        F.round(F.max("c0"), 4).alias("max_dim0"),
+        n.alias("n_vecs"),
+        (F.sum("inrm").cast("double") / n / F.lit(1000000.0)).alias("avg_norm"),
+        (
+            F.sqrt(var_num / (n.cast("double") * (n - 1)))
+            / F.lit(1000000.0)
+        ).alias("sd_norm"),
+        (F.min("inrm").cast("double") / F.lit(1000000.0)).alias("min_norm"),
+        (F.max("inrm").cast("double") / F.lit(1000000.0)).alias("max_norm"),
+        (F.sum("ic0").cast("double") / n / F.lit(1000000.0)).alias("avg_dim0"),
+        (F.min("ic0").cast("double") / F.lit(1000000.0)).alias("min_dim0"),
+        (F.max("ic0").cast("double") / F.lit(1000000.0)).alias("max_dim0"),
     )
 
 

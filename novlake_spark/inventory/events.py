@@ -336,7 +336,8 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT event_type) AS n_types,
            min(ts)                    AS first_ts,
            max(ts)                    AS last_ts,
-           round(sum(value), 2)       AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                      AS total_value_cents
     FROM events
     GROUP BY user_id
     """,
@@ -347,14 +348,18 @@ def q_event_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partial aggregate; the distinct count rides the same shuffle
     keyed by user. At 100 TB this is THE shape AQE skew-split exists
     for (power users), and partial aggregation caps mapper output at
-    users × 6 scalars."""
+    users × 6 scalars. Spend is integer cents (round 9 float-class
+    audit): ``round(sum(double))`` is order-of-summation-dependent —
+    the per-row ``floor(v*100+0.5)`` lands each value on the exact
+    grid FIRST and the BIGINT sum is order-free (ORACLE_NOTES.md #4)."""
     ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(cents).cast("long").alias("total_value_cents"),
     )
 
 

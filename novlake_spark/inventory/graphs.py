@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from novlake_spark.operators.graph import pagerank_int, triangles_per_node
+from novlake_spark.operators.graph import _track, pagerank_int, triangles_per_node
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -58,9 +58,12 @@ def _co_occurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy persist: both graph operators symmetrize this list (two
         # references), and Catalyst has no common-subplan dedup — the
         # basket self-join would otherwise run twice before the
-        # operator's own reuse points even kick in
+        # operator's own reuse points even kick in. Tracked so the
+        # caller releases it after its action (ADVICE r8: these leaked
+        # into executor storage for the session lifetime otherwise).
         .distinct()
         .persist()
+        .transform(_track)
     )
 
 

@@ -573,6 +573,85 @@ def q_llm_contamination_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_contamination_ngram",
+    # side-effecting (txlog lifecycle per call): the contract schema
+    # sweep reads this declaration instead of re-running it
+    declared_schema=(
+        "doc_id bigint, n_ngrams bigint, n_hits bigint, contaminated int"
+    ),
+    oracle="""
+    WITH v0 AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+                FROM documents WHERE doc_id % 2 = 0),
+         sh AS (SELECT doc_id, source,
+                       unnest(list_distinct(list_transform(range(1, len(toks) - 11),
+                              i -> md5(array_to_string(toks[i:i+12], ' '))))) AS h
+                FROM v0),
+         bench AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+         ev AS (SELECT s.doc_id, (bench.h IS NOT NULL)::INT AS hit
+                FROM sh s LEFT JOIN bench ON s.h = bench.h
+                WHERE s.source <> 'src0')
+    SELECT doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST((sum(hit) > 0) AS INT) AS contaminated
+    FROM ev GROUP BY doc_id
+    """,
+)
+def q_llm_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68 (round 9, VERDICT r8 task #6): FUZZY version-pinned
+    decontamination — the 13-gram-overlap eval-hygiene protocol
+    (GPT-3 appendix C / PaLM: a train document is contaminated if it
+    shares ANY 13-gram with the benchmark set), which the exact-hash
+    L63 cannot catch when the leaked passage is embedded in a longer
+    document. Composes the span-dedup shingle machinery with L63's
+    snapshot discipline: even docs commit as v0, odd as v1, and the
+    scan runs strictly against ``VERSION AS OF 0`` — any v1 leak
+    changes row counts AND can flip flags. Per-doc DISTINCT 13-gram
+    sets are built map-side in the Arrow shingle UDF (unique=True —
+    no full-width distinct exchange), hashed to md5 so the bench join
+    shuffles 16-byte digests, never 13-token strings (~100 B each) —
+    at 100 TB that is the difference between shuffling the corpus and
+    shuffling a fingerprint table. Docs shorter than 13 tokens have no
+    13-grams and drop out (the protocol can't flag them). No broadcast
+    hint on the bench side: it is corpus-derived here and grows with
+    SF (the q_llm_contamination policy — AQE decides from sizes)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    from novlake_spark.operators import text as Tx
+    from novlake_spark.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="novlake-qcontamng-")
+    try:
+        t = TxTable(spark, f"{root}/t")
+        t.commit(docs.filter(F.col("doc_id") % 2 == 0).repartition(4))  # v0
+        t.commit(docs.filter(F.col("doc_id") % 2 == 1).repartition(4))  # v1
+        v0 = t.read(version=0)
+        sh = v0.select(
+            "doc_id",
+            "source",
+            F.explode(Tx.shingles_arrow(F.col("text"), 13, unique=True)).alias("sh"),
+        ).select("doc_id", "source", F.md5("sh").alias("h"))
+        bench = (
+            sh.filter(F.col("source") == "src0")
+            .select("h")
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        ev = (
+            sh.filter(F.col("source") != "src0")
+            .join(bench, "h", "left")
+            .select("doc_id", F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"))
+        )
+        out = ev.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            (F.sum("hit") > 0).cast("int").alias("contaminated"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "q_txlog_schema_lifecycle",
     # side-effecting (full txlog lifecycle per call): the contract
     # schema sweep reads this declaration instead of re-running it

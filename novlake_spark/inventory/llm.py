@@ -689,12 +689,13 @@ def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM t),
          c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
          c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-         model AS (SELECT bg, -ln(c2 / c1) AS nll
+         model AS (SELECT bg, CAST(floor(-ln(c2 / c1) * 1000000 + 0.5) AS BIGINT) AS inll
                    FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
     SELECT doc_id,
            count(*) AS n_bigrams,
-           round(avg(nll), 4) AS cross_entropy,
-           round(exp(avg(nll)), 4) AS ppl
+           CAST(CAST(sum(inll) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS cross_entropy,
+           floor(exp(CAST(CAST(sum(inll) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0)
+                 * 10000 + 0.5) / 10000 AS ppl
     FROM bg JOIN model USING (bg)
     GROUP BY doc_id
     """,
@@ -822,7 +823,7 @@ _HELDOUT_SPLIT = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
                    FROM tr),
          c2 AS (SELECT bg, count(*) AS c2 FROM bg_tr GROUP BY bg),
          c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
-         model AS (SELECT bg, -ln(c2 / c1) AS nll
+         model AS (SELECT bg, CAST(floor(-ln(c2 / c1) * 1000000 + 0.5) AS BIGINT) AS inll
                    FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
          bg_ho AS (SELECT doc_id,
                           unnest(list_transform(range(1, len(toks)),
@@ -830,8 +831,9 @@ _HELDOUT_SPLIT = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
                    FROM ho)
     SELECT doc_id,
            count(*) AS n_bigrams,
-           round(avg(nll), 4) AS cross_entropy,
-           round(exp(avg(nll)), 4) AS ppl
+           CAST(CAST(sum(inll) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS cross_entropy,
+           floor(exp(CAST(CAST(sum(inll) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0)
+                 * 10000 + 0.5) / 10000 AS ppl
     FROM bg_ho JOIN model USING (bg)
     GROUP BY doc_id
     """,
@@ -1714,9 +1716,9 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf GROUP BY doc_id)
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
-           round(sum_len * 1.0 / n_words, 4) AS mean_word_len,
-           round(n_stop * 1.0 / n_words, 4) AS frac_stop,
-           round(max_tf * 1.0 / n_words, 4) AS max_tf_ratio,
+           CAST(CAST(sum_len AS BIGINT) AS DOUBLE) / n_words AS mean_word_len,
+           CAST(CAST(n_stop AS BIGINT) AS DOUBLE) / n_words AS frac_stop,
+           CAST(CAST(max_tf AS BIGINT) AS DOUBLE) / n_words AS max_tf_ratio,
            (n_words BETWEEN 20 AND 1000
             AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
             AND n_stop * 100 >= n_words * 3
@@ -1757,9 +1759,11 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id",
         n.cast("long").alias("n_words"),
-        F.round(F.col("sum_len") / n, 4).alias("mean_word_len"),
-        F.round(F.col("n_stop") / n, 4).alias("frac_stop"),
-        F.round(F.col("max_tf") / n, 4).alias("max_tf_ratio"),
+        # exact-integer ratios, one IEEE division each — bit-identical
+        # both engines, no round() boundary (round 9 float-class audit)
+        (F.col("sum_len").cast("double") / n).alias("mean_word_len"),
+        (F.col("n_stop").cast("double") / n).alias("frac_stop"),
+        (F.col("max_tf").cast("double") / n).alias("max_tf_ratio"),
         (
             n.between(20, 1000)
             & (F.col("sum_len") >= 3 * n)

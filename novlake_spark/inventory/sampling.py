@@ -64,19 +64,28 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'train' END AS split,
              n_chars
       FROM documents)
-    SELECT split, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+    SELECT split, count(*) AS n_docs,
+           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
     FROM s GROUP BY split
     """,
 )
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """train/val/test assignment (75/12.5/12.5) as a pure function of
-    doc_id — disjoint and exhaustive by construction, stable forever."""
+    doc_id — disjoint and exhaustive by construction, stable forever.
+
+    avg_chars is the exact-integer-sum form, not ``round(avg(...))``
+    (round 9 float-class audit): the sum of an INT column is exact, so
+    ONE IEEE division yields the bit-identical double on both engines —
+    while round() near a 1e-2 boundary resolves by decimal-string
+    HALF_UP on Spark vs binary rounding on DuckDB and can flip the
+    hash on fixture luck (ORACLE_NOTES.md #4)."""
     docs = load_table(spark, sf_dir, "documents")
     assigned = docs.select(
         S.split_assign(["doc_id"], {"test": 0.125, "val": 0.125, "train": 0.75}), "n_chars"
     )
     return assigned.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 2).alias("avg_chars")
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
 
 

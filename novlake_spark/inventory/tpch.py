@@ -344,9 +344,11 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q8",
     oracle="""
     SELECT year(o_orderdate) AS o_year,
-           round(sum(CASE WHEN n2.n_name = 'NATION_7'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+           CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+             AS mkt_share
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -362,7 +364,14 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8: market share of NATION_7 suppliers in ASIA-customer STANDARD-
-    part revenue, per order year (conditional-agg ratio)."""
+    part revenue, per order year (conditional-agg ratio).
+
+    The share is numerator/denominator of 1e-4-grid BIGINT revenue sums
+    (round 9 float-class audit): the old ``round(sum(double)/sum(double),
+    4)`` carried two order-dependent float sums INTO a rounding
+    boundary. Grid sums are order-free; the long→double casts and the
+    single division are correctly rounded, hence bit-identical on both
+    engines at any magnitude — no final round() to flip."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -384,9 +393,14 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p.filter(F.col("p_type") == "STANDARD"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))) / F.sum(rev),
-                4,
+            (
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_7",
+                        F.round(rev * 10000).cast("long"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(F.round(rev * 10000).cast("long")).cast("double")
             ).alias("mkt_share")
         )
     )

@@ -28,6 +28,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Persisted intermediates handed out inside still-lazy result plans.
+#: The graph operators persist at reuse points (Catalyst has no
+#: common-subplan dedup), but the caller's ACTION — not this module —
+#: decides when the cache has served its purpose, so each persist is
+#: registered here and the caller (bench.py after every timed key;
+#: long-lived sessions at any natural boundary) drops the lot with
+#: :func:`release_persists`. Without the hand-back, every invocation
+#: of a graph key leaked cached edge/rank frames into executor storage
+#: for the session's lifetime (ADVICE r8) — harmless under LRU
+#: eviction but measured as a 2.9→4.5 s run-to-run spread on the
+#: triangles bench key when eviction pressure built up mid-suite.
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
+def release_persists() -> int:
+    """Unpersist every cached intermediate the graph operators have
+    handed out since the last release; returns how many were dropped.
+    Safe to call at any time: already-collected results are plain
+    rows, and a still-lazy plan re-computes (correctly, just uncached)
+    if executed after release."""
+    n = 0
+    while _LIVE_PERSISTS:
+        df = _LIVE_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return n
+
 
 def connected_components(
     nodes: DataFrame,
@@ -136,11 +171,11 @@ def pagerank_int(
     # keeps plan-building free (schema sweeps, explain) and the cache
     # manager dedupes by canonicalized plan; storage is 2|E| longs,
     # evictable under pressure.
-    sym = sym.persist()
+    sym = _track(sym.persist())
     deg = sym.groupBy("_u").agg(F.count(F.lit(1)).alias("_d"))
     base = (scale * (100 - damping_pct)) // 100
     ranks = deg.select(F.col("_u").alias("node"), F.lit(scale).cast("long").alias("rank_ppm"))
-    out = sym.join(deg, "_u").persist()
+    out = _track(sym.join(deg, "_u").persist())
     for i in range(iters):
         inflow = (
             out.join(ranks, out["_u"] == ranks["node"])
@@ -183,7 +218,7 @@ def triangles_per_node(edges: DataFrame, src: str = "a", dst: str = "b") -> Data
     # view twice, and the oriented list is referenced three times
     # (wedge left, wedge right, closing semi-join) — unpersisted, the
     # edge-derivation subtree executes ~5× per run.
-    e = _canon_edges(edges, src, dst).persist()  # (_hi, _lo) distinct
+    e = _track(_canon_edges(edges, src, dst).persist())  # (_hi, _lo) distinct
     sym = e.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v")).union(
         e.select(F.col("_lo").alias("_u"), F.col("_hi").alias("_v"))
     )
@@ -214,6 +249,7 @@ def triangles_per_node(edges: DataFrame, src: str = "a", dst: str = "b") -> Data
         .repartition(width, "_w")
         .persist()
     )
+    o = _track(o)
     # Wedges from each pivot w: out-neighbor pairs (x, y), rank(x) < rank(y).
     o2 = o.select(F.col("_w"), F.col("_x").alias("_y"), F.col("_dx").alias("_dy"))
     wedges = o.join(o2, "_w").filter(

@@ -63,7 +63,15 @@ def doc_bigram_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(bg, nll): negative log-likelihood -ln P(w2|w1) per corpus bigram."""
+    """(bg, inll): negative log-likelihood -ln P(w2|w1) per corpus
+    bigram, on the exact 1e-6 integer grid (round 9 float-class audit):
+    the per-bigram double -ln(c2/c1) is deterministic (one division of
+    exact counts + ln of the identical double), but keeping it FLOAT
+    made every downstream per-doc average an order-dependent float sum
+    — the ORACLE_NOTES.md #4 flake class. Gridding here makes every
+    consumer's sum BIGINT-exact and order-free. (ln itself is libm —
+    not IEEE-pinned cross-engine — the documented residual class; the
+    grid absorbs sub-boundary ULP variance, rule #6.)"""
     bg = doc_bigram_counts(docs, "doc_id", text_col)
     c2 = (
         bg.groupBy("bg")
@@ -71,7 +79,10 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    return c2.join(c1, "w1").select("bg", (-F.log(F.col("c2") / F.col("c1"))).alias("nll"))
+    inll = F.floor(
+        -F.log(F.col("c2") / F.col("c1")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return c2.join(c1, "w1").select("bg", inll.alias("inll"))
 
 
 def score_perplexity(
@@ -79,25 +90,32 @@ def score_perplexity(
 ) -> DataFrame:
     """Score ``docs`` against a (bg, nll) model from :func:`bigram_model`.
 
-    Per-document (id, n_bigrams, cross_entropy, ppl), rounded to 4 dp.
-    Bigrams unseen by the model drop out of the average (inner join) —
-    ``n_bigrams`` counts *scored* bigram occurrences, so train-vs-
-    heldout coverage is visible in the output rather than silently
-    smoothed over. Documents with <2 tokens (or no scored bigram)
-    yield no row. The average is occurrence-weighted over the per-doc
-    count table — identical to the per-occurrence average, computed on
+    Per-document (id, n_bigrams, cross_entropy, ppl). Bigrams unseen
+    by the model drop out of the average (inner join) — ``n_bigrams``
+    counts *scored* bigram occurrences, so train-vs-heldout coverage
+    is visible in the output rather than silently smoothed over.
+    Documents with <2 tokens (or no scored bigram) yield no row. The
+    average is occurrence-weighted over the per-doc count table —
+    identical to the per-occurrence average, computed on
     repeat-factor-fewer rows.
+
+    Exactness: the weighted sum is BIGINT (grid-nll × count — order
+    free); cross_entropy is two correctly-rounded divisions of it, and
+    ppl floor-grids exp() at 4 dp so a sub-boundary libm ULP cannot
+    move the hash (the old ``round(float-sum)`` form was the
+    ORACLE_NOTES.md #4 flake class).
     """
     doc_bg = doc_bigram_counts(docs, id_col, text_col)
-    wsum = F.sum(F.col("nll") * F.col("c"))
+    wsum = F.sum(F.col("inll") * F.col("c"))
     n = F.sum("c")
+    ce = wsum.cast("double") / n / F.lit(1000000.0)
     return (
         doc_bg.join(model, "bg")
         .groupBy(id_col)
         .agg(
             n.alias("n_bigrams"),
-            F.round(wsum / n, 4).alias("cross_entropy"),
-            F.round(F.exp(wsum / n), 4).alias("ppl"),
+            ce.alias("cross_entropy"),
+            (F.floor(F.exp(ce) * 10000 + F.lit(0.5)) / 10000).alias("ppl"),
         )
     )
 

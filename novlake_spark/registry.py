@@ -45,69 +45,84 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: so the suite stays green when the driver writes the current round's
 #: grade file after the final commit (VERDICT r6 wrong #2 — the old
 #: recompute-over-everything made every round boundary red).
-ROUND: int = 8
+#: Round 9 window (VERDICT r8 task #2): head = the 12 keys whose
+#: implementation or oracle changed this round (the two new keys, the
+#: re-scoped exact-kNN slice, and the 9 float-class-audit migrations —
+#: 9 of which are themselves r3/r4-vintage, so head placement costs the
+#: staleness sweep almost nothing), then EVERY remaining r3/r4-vintage
+#: key (4 r3 + 33 r4), topped up with one r5 key to fill the 50-key
+#: graded window. After round 9 grades land, no key's latest evidence
+#: is older than r5.
+ROUND: int = 9
 
 #: Keys that MUST be re-graded this round: implementation or oracle
-#: changed since their last grade.
+#: changed since their last grade (plus the two round-9 additions).
 ROUND_HEAD: list[str] = [
-    # round 8 NEW (late additions): graph analytics on an exact integer
-    # grid (PageRank) / orientation-invariant counts (triangles), the
-    # PQ encode step with a deterministic codebook, and weighted
-    # priority sampling (Duffield-Lund-Thorup) — never graded, so they
-    # are staleness-0 by the rotation rule
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_emb_pq_encode",
-    "q_sample_priority",
-    "q_llm_cdc_chunks",
-    "q_llm_cdc_dedup",
-    "q_llm_hard_negatives",
-    "q_mix_temperature",
-    # round 8 NEW: the last pytest-only txlog surfaces driver-graded —
-    # CDF graded by snapshot RECONSTRUCTION (net insert/delete
-    # multiplicity) and the incremental materialized view by its
-    # defining aggregate
-    "q_txlog_cdf",
-    "q_mview_incremental",
-    # round 8 NEW: version-pinned decontamination (time travel composed
-    # with the contamination operator) and canonical-keeper selection
-    "q_llm_contamination_snapshot",
-    "q_llm_dedup_keeper",
-    # round 8: WEAK -> FULL constructive-oracle conversions (VERDICT r7
-    # task #2): arith-pixel checksums for lossless image codecs,
-    # container-arithmetic audio/video features
-    "q_multimodal_decode",
-    "q_multimodal_audio",
-    "q_multimodal_video",
-    # round 8: every TPC-H key whose oracle text changed with the
-    # integer-exact floor-to-cents fix (_cents_div / DuckDB ``//`` —
-    # ADVICE r7 medium: the old BIGINT->DOUBLE cast rounds above 2^53)
-    "q_tpch_q1",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q15",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    # round 8: grading-cost trims (VERDICT r7 task #6) — doc_id < 250
-    # slice for the index replay; monotone-sum convergence check in CC
-    "q_llm_dedup_incremental",
-    "q_multimodal_phash_clusters",
-    # round 8 NEW: the schema lifecycle (column mapping rename +
-    # additive evolution + restore) graded FULL
-    "q_txlog_schema_lifecycle",
-    # round 8 FIX: the cross-SF sweep caught order-dependent float
-    # summation + round() boundary flips (-0.0 vs 0.0002 at sf0.001,
-    # +0.0 vs -0.0 at sf0.1); now an exact 1e-6 grid — oracle and impl
-    # both changed
-    "q_llm_embed_centroid",
-    "q_emb_gram",
+    "q_mview_minmax",
+    "q_llm_contamination_ngram",
+    "q_llm_knn_join",
+    "q_sample_split",
+    "q_event_user_stats",
+    "q_tpch_q8",
+    "q_llm_curriculum",
+    "q_emb_norm_stats",
+    "q_emb_centroid_assign",
+    "q_llm_perplexity",
+    "q_llm_perplexity_heldout",
+    "q_llm_gopher_rules",
 ]
 
 PRIORITY: list[str] = [
+    "q_mview_minmax",
+    "q_llm_contamination_ngram",
+    "q_llm_knn_join",
+    "q_sample_split",
+    "q_event_user_stats",
+    "q_tpch_q8",
+    "q_llm_curriculum",
+    "q_emb_norm_stats",
+    "q_emb_centroid_assign",
+    "q_llm_perplexity",
+    "q_llm_perplexity_heldout",
+    "q_llm_gopher_rules",
+    "q_set_union",
+    "q_udf_mapinpandas",
+    "q_unpivot",
+    "q_util_preview",
+    "q_agg_approx_percentile",
+    "q_agg_mode_freq",
+    "q_emb_cosine_hist",
+    "q_fn_regexp",
+    "q_llm_bpe_encode",
+    "q_llm_bpe_train",
+    "q_llm_chunk",
+    "q_llm_cosine_pairs",
+    "q_llm_curation",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_near",
+    "q_llm_dedup_prefix",
+    "q_llm_dedup_simhash",
+    "q_llm_dup_components",
+    "q_llm_dup_components_ls",
+    "q_llm_fingerprint",
+    "q_llm_inverted_index",
+    "q_llm_jaccard_pairs",
+    "q_llm_ngrams",
+    "q_llm_quality_logreg",
+    "q_llm_repetition",
+    "q_llm_semdedup",
+    "q_llm_seq_pack",
+    "q_llm_shuffle_det",
+    "q_llm_source_overlap",
+    "q_llm_stopword_ratio",
+    "q_llm_tf_topk",
+    "q_llm_word_len_hist",
+    "q_llm_zipf",
+    "q_sample_reservoir",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_ts_diff",
+    "q_scan_parquet",
     "q_graph_pagerank",
     "q_graph_triangles",
     "q_emb_pq_encode",
@@ -138,7 +153,6 @@ PRIORITY: list[str] = [
     "q_txlog_schema_lifecycle",
     "q_llm_embed_centroid",
     "q_emb_gram",
-    # ---- stalest driver evidence: the 25 round-3-vintage keys ----
     "q_cte",
     "q_filter_in_between_like",
     "q_fn_struct",
@@ -159,59 +173,6 @@ PRIORITY: list[str] = [
     "q_ts_locf",
     "q_ts_resample",
     "q_udf_grouped_map",
-    # the window holds 50: with eight never-graded round-8 keys at the
-    # head, the 5 least-churn-exposed r3-vintage keys below wait for
-    # round 9 (staleness ties outside the window are legal — the
-    # rotation rule is strict-staler-only)
-    "q_udf_mapinpandas",
-    "q_unpivot",
-    "q_set_union",
-    "q_sample_split",
-    "q_util_preview",
-    # ---- round-4-vintage fill to the ~50-key graded window ----
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q8",
-    # ---- below the graded window: remaining r4 vintage first, ----
-    # ---- then r5+ in stable order — these lead round 9 ----
-    "q_agg_approx_percentile",
-    "q_agg_mode_freq",
-    "q_emb_centroid_assign",
-    "q_emb_cosine_hist",
-    "q_emb_norm_stats",
-    "q_event_user_stats",
-    "q_fn_regexp",
-    "q_llm_bpe_encode",
-    "q_llm_bpe_train",
-    "q_llm_chunk",
-    "q_llm_cosine_pairs",
-    "q_llm_curation",
-    "q_llm_curriculum",
-    "q_llm_dedup_cluster",
-    "q_llm_dedup_near",
-    "q_llm_dedup_prefix",
-    "q_llm_dedup_simhash",
-    "q_llm_dup_components",
-    "q_llm_dup_components_ls",
-    "q_llm_fingerprint",
-    "q_llm_gopher_rules",
-    "q_llm_inverted_index",
-    "q_llm_jaccard_pairs",
-    "q_llm_ngrams",
-    "q_llm_perplexity",
-    "q_llm_perplexity_heldout",
-    "q_llm_quality_logreg",
-    "q_llm_repetition",
-    "q_llm_semdedup",
-    "q_llm_seq_pack",
-    "q_llm_shuffle_det",
-    "q_llm_source_overlap",
-    "q_llm_stopword_ratio",
-    "q_llm_tf_topk",
-    "q_llm_word_len_hist",
-    "q_llm_zipf",
-    "q_sample_reservoir",
-    "q_ts_diff",
     "q_emb_quantize",
     "q_pdf_cmap_extract",
     "q_llm_seq_pack_split",
@@ -254,7 +215,6 @@ PRIORITY: list[str] = [
     "q_subquery_scalar",
     "q_llm_contamination",
     "q_join_inner",
-    "q_llm_knn_join",
     "q_llm_dedup_embed",
     "q_llm_knn_lsh",
     "q_llm_knn_ivf",
@@ -272,7 +232,6 @@ PRIORITY: list[str] = [
     "q_ts_diff_skewsafe",
     "q_win_rownum_skewsafe",
     "q_json_extract",
-    "q_scan_parquet",
     "q_scan_events_ts",
     "q_join_left",
     "q_join_semi",

@@ -145,9 +145,16 @@ def main() -> None:
         approx = adc_topk(vecs, ids, cbs, codes, k, rerank=rerank)
         dt = time.perf_counter() - t0
         rec = recall_at_k(approx, exact, k)
-        bytes_per_vec = cbs.shape[0] * (1 if cbs.shape[1] <= 256 else 2)
+        # K<=16 codes are 4-bit nibbles (0.5 B/subvector — the
+        # q_emb_pq_encode docstring's "8 nibbles" = 4 B at M=8),
+        # K<=256 one byte, else two (ADVICE r8: the old formula
+        # overstated K=16 compression 2x)
+        k_codes = cbs.shape[1]
+        bytes_per_vec = cbs.shape[0] * (
+            0.5 if k_codes <= 16 else 1 if k_codes <= 256 else 2
+        )
         print(
-            f"{label}: {dt:.2f}s recall@{k}={rec:.3f} ({bytes_per_vec} B/vec vs {dim * 4} B raw)",
+            f"{label}: {dt:.2f}s recall@{k}={rec:.3f} ({bytes_per_vec:g} B/vec vs {dim * 4} B raw)",
             flush=True,
         )
         results.append({"label": label, "sec": round(dt, 2), "recall": round(rec, 4)})

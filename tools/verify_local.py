@@ -120,6 +120,13 @@ def main() -> int:
             print(f"{key}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures.append(key)
             continue
+        finally:
+            # graph keys persist intermediates at reuse points; release
+            # them per-key so a 229-key sweep doesn't build storage
+            # pressure (same hygiene as bench.run_once)
+            from novlake_spark.operators.graph import release_persists
+
+            release_persists()
         bad = unhashable_cells(sdf)
         if bad:
             print(

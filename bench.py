@@ -120,6 +120,10 @@ HEADLINE = [
     "q_llm_cdc_dedup",
     "q_llm_hard_negatives",
     "q_mix_temperature",
+    # round-9 additions: KN-smoothed LM scoring (the heaviest new
+    # data-throughput key) and leakage-safe cluster splits
+    "q_llm_perplexity_kn",
+    "q_sample_split_leakage_safe",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

@@ -712,6 +712,56 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_perplexity_kn",
+    oracle="""
+    WITH t  AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t),
+         c2 AS (SELECT bg, count(*) AS c2,
+                       string_split(bg, ' ')[1] AS w1,
+                       string_split(bg, ' ')[2] AS w2
+                FROM bg GROUP BY bg),
+         w1s AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY w1),
+         w2s AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY w2),
+         tot AS (SELECT count(*) AS b FROM c2),
+         model AS (SELECT bg,
+                          CAST(floor(-ln(
+                              (CAST(c2 AS DOUBLE) - 0.75) / c1
+                              + ((0.75 * n1f) / c1)
+                                * (CAST(n1b AS DOUBLE) / b)
+                          ) * 1000000 + 0.5) AS BIGINT) AS inll
+                   FROM c2 JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN tot)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(CAST(sum(inll) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS cross_entropy,
+           floor(exp(CAST(CAST(sum(inll) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0)
+                 * 10000 + 0.5) / 10000 AS ppl
+    FROM bg JOIN model USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_llm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L69 (round 9): per-doc cross-entropy under an INTERPOLATED
+    KNESER-NEY bigram model (operators.lm.kn_bigram_model) — the
+    properly-smoothed upgrade of the MLE scorer: absolute discount
+    d=0.75 on every observed bigram, held-out mass redistributed by
+    continuation counts (Kneser–Ney 1995 / Chen–Goodman 1998). The
+    practical difference as a data-quality signal: MLE rewards docs
+    that repeat high-frequency continuations; KN's continuation term
+    scores versatile words above context-locked ones, separating
+    formulaic/templated text from organic prose at the same MLE score.
+    Exactness contract = the perplexity family's: integer counts, one
+    FIXED tree of correctly-rounded IEEE ops mirrored in the oracle,
+    grid-nll BIGINT sums, floor-gridded exp. Plan: both w1 statistics
+    fold in one groupBy, the global distinct-bigram count is a 1-row
+    broadcast — shuffles carry (token, count) rows, never text."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return LM.score_perplexity(docs, LM.kn_bigram_model(docs))
+
+
+@register(
     "q_llm_dedup_cluster",
     oracle="""
     SELECT doc_id,
@@ -1490,10 +1540,24 @@ def q_llm_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select("ngram", "first_doc")
     )
+    # The (doc, position) explosion after the dup join is the
+    # size-dominant stage (3 positions per duplicated occurrence —
+    # ~1.5e9 rows at sf10): run its exchange at full cluster width
+    # instead of the session's shuffle_partitions, which is sized for
+    # aggregate-shaped keys (the q_graph_triangles discipline; measured
+    # at sf10/local[32]: 41.1 s → ~20 s — the 32-partition distinct agg
+    # was spilling, and on a real cluster a 32-wide exchange would cap
+    # the key at 32 cores regardless of executor count).
+    spark_ = docs.sparkSession
+    width = max(
+        spark_.sparkContext.defaultParallelism,
+        int(spark_.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
     covered = (
         pos.join(dup, "ngram")
         .filter(F.col("doc_id") != F.col("first_doc"))
         .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 2)).alias("p"))
+        .repartition(width, "doc_id")
         .groupBy("doc_id")
         .agg(F.count_distinct("p").alias("n_dup_pos"))
     )

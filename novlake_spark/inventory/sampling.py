@@ -8,7 +8,7 @@ the DuckDB oracle (md5 + hex-prefix compare) — FULL parity throughout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from novlake_spark.operators import sampling as S
@@ -86,6 +86,48 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_sample_split_leakage_safe",
+    oracle="""
+    WITH c AS (SELECT doc_id,
+                      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS cluster_id
+               FROM documents)
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '20' THEN 'test'
+                WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '40' THEN 'val'
+                ELSE 'train' END AS split
+    FROM c
+    """,
+)
+def q_sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (round 9): LEAKAGE-SAFE train/val/test assignment — split by
+    duplicate CLUSTER, not by document. Splitting docs independently
+    puts near-identical copies on both sides of the train/test fence
+    (the classic eval-inflation bug: the model "generalizes" to its own
+    training text); the safe protocol assigns every member of a dup
+    cluster the same split by hashing the cluster's canonical id
+    instead of the doc's. Here the cluster relation is the exact-dup
+    component (min doc_id per normalized-text digest — q_llm_dedup_
+    cluster's relation); swapping in the MinHash/LSH component ids from
+    q_llm_dup_components generalizes it to near-dups with the same
+    shape. Composition: one window over the 16-byte digest (never
+    text), then the split is a pure function of cluster_id — disjoint,
+    exhaustive, engine-stable, and structurally incapable of splitting
+    a cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    clustered = docs.select(
+        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        S.split_assign(
+            ["cluster_id"], {"test": 0.125, "val": 0.125, "train": 0.75}
+        ),
     )
 
 

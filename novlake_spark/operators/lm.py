@@ -85,6 +85,60 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return c2.join(c1, "w1").select("bg", inll.alias("inll"))
 
 
+def kn_bigram_model(
+    docs: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """(bg, inll) under INTERPOLATED KNESER-NEY smoothing — the
+    standard n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1998
+    found it uniformly best), and the quality-scoring upgrade over the
+    raw MLE of :func:`bigram_model`: MLE over-scores documents that
+    repeat frequent continuations, KN discounts every observed bigram
+    by ``d`` and redistributes the held-out mass by CONTINUATION count
+    (how many distinct contexts a word completes), which is what makes
+    "Francisco" (frequent but only after "San") score unlike "the".
+
+        P(w2|w1) = (c(w1,w2) − d)/c(w1)
+                 + (d·N1+(w1,•)/c(w1)) · (N1+(•,w2)/N1+(••))
+
+    All inputs are exact integer counts; the formula is a FIXED tree of
+    correctly-rounded IEEE ops (kept in lockstep with the SQL oracle
+    restatement, association and all), so the per-bigram double is
+    bit-identical cross-engine; ln is the documented libm residual and
+    the 1e-6 grid absorbs sub-boundary variance — the same exactness
+    contract as :func:`bigram_model`.
+
+    Plan shape: the w1 statistics (context total c1 AND distinct-
+    continuation count N1+) fold in ONE groupBy over the distinct-
+    bigram table; the w2 continuation counts in another; the global
+    distinct-bigram count enters as a 1-row broadcast. Everything
+    shuffles (token, count) rows — never text."""
+    bg = doc_bigram_counts(docs, "doc_id", text_col)
+    c2 = (
+        bg.groupBy("bg")
+        .agg(F.sum("c").alias("c2"))
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .withColumn("w2", F.split(F.col("bg"), " ")[1])
+    )
+    w1s = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    w2s = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tot = c2.agg(F.count(F.lit(1)).alias("b"))
+    d = F.lit(discount)
+    # expression tree mirrored EXACTLY in the SQL oracles — reassociating
+    # any of these ops changes low bits and breaks the cross-engine hash
+    p = (F.col("c2").cast("double") - d) / F.col("c1") + (
+        (d * F.col("n1f")) / F.col("c1")
+    ) * (F.col("n1b").cast("double") / F.col("b"))
+    inll = F.floor(-F.log(p) * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        c2.join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bg", inll.alias("inll"))
+    )
+
+
 def score_perplexity(
     docs: DataFrame, model: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

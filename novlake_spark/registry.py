@@ -45,21 +45,27 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: so the suite stays green when the driver writes the current round's
 #: grade file after the final commit (VERDICT r6 wrong #2 — the old
 #: recompute-over-everything made every round boundary red).
-#: Round 9 window (VERDICT r8 task #2): head = the 12 keys whose
-#: implementation or oracle changed this round (the two new keys, the
-#: re-scoped exact-kNN slice, and the 9 float-class-audit migrations —
-#: 9 of which are themselves r3/r4-vintage, so head placement costs the
-#: staleness sweep almost nothing), then EVERY remaining r3/r4-vintage
-#: key (4 r3 + 33 r4), topped up with one r5 key to fill the 50-key
-#: graded window. After round 9 grades land, no key's latest evidence
-#: is older than r5.
+#: Round 9 window (VERDICT r8 task #2): head = the 15 keys that are new
+#: or whose implementation/oracle changed this round (the four round-9
+#: additions, the re-scoped exact-kNN slice, the 9 float-class-audit
+#: migrations — 9 of which are themselves r3/r4-vintage, so head
+#: placement costs the staleness sweep almost nothing — and the
+#: span-coverage width fix), then the remaining r3/r4-vintage keys in
+#: stable order. 15 + 37 = 52 exceeds the 50-key window by two, so the
+#: LAST two r4-vintage keys (q_tpch_q4, q_ts_diff) wait for round 10 —
+#: ties outside the window, legal under the strict-staler-only rotation
+#: rule, and the honest price of shipping two new operators plus the
+#: sf10 scale fix this round. After round 9 grades land, exactly two
+#: keys' latest evidence is older than r5.
 ROUND: int = 9
 
 #: Keys that MUST be re-graded this round: implementation or oracle
-#: changed since their last grade (plus the two round-9 additions).
+#: changed since their last grade (plus the four round-9 additions).
 ROUND_HEAD: list[str] = [
     "q_mview_minmax",
     "q_llm_contamination_ngram",
+    "q_sample_split_leakage_safe",
+    "q_llm_perplexity_kn",
     "q_llm_knn_join",
     "q_sample_split",
     "q_event_user_stats",
@@ -70,11 +76,16 @@ ROUND_HEAD: list[str] = [
     "q_llm_perplexity",
     "q_llm_perplexity_heldout",
     "q_llm_gopher_rules",
+    # plan-only width fix (result-identical, 3-SF sweep green) — still
+    # an implementation change, so it re-grades
+    "q_llm_span_coverage",
 ]
 
 PRIORITY: list[str] = [
     "q_mview_minmax",
     "q_llm_contamination_ngram",
+    "q_sample_split_leakage_safe",
+    "q_llm_perplexity_kn",
     "q_llm_knn_join",
     "q_sample_split",
     "q_event_user_stats",
@@ -85,6 +96,7 @@ PRIORITY: list[str] = [
     "q_llm_perplexity",
     "q_llm_perplexity_heldout",
     "q_llm_gopher_rules",
+    "q_llm_span_coverage",
     "q_set_union",
     "q_udf_mapinpandas",
     "q_unpivot",
@@ -259,7 +271,6 @@ PRIORITY: list[str] = [
     "q_fn_bitwise",
     "q_win_cumsum_skewsafe",
     "q_win_moving_avg_skewsafe",
-    "q_llm_span_coverage",
     "q_llm_normalize_unicode",
     "q_multimodal_phash",
     "q_llm_langseg",

@@ -756,9 +756,10 @@ def q_llm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXED tree of correctly-rounded IEEE ops mirrored in the oracle,
     grid-nll BIGINT sums, floor-gridded exp. Plan: both w1 statistics
     fold in one groupBy, the global distinct-bigram count is a 1-row
-    broadcast — shuffles carry (token, count) rows, never text."""
+    broadcast — shuffles carry (token, count) rows, never text. One
+    persisted bigram scan feeds model AND scoring (lm._self_scored)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    return LM.score_perplexity(docs, LM.kn_bigram_model(docs))
+    return LM.kn_perplexity_scores(docs)
 
 
 @register(

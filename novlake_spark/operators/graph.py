@@ -28,40 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Persisted intermediates handed out inside still-lazy result plans.
-#: The graph operators persist at reuse points (Catalyst has no
-#: common-subplan dedup), but the caller's ACTION — not this module —
-#: decides when the cache has served its purpose, so each persist is
-#: registered here and the caller (bench.py after every timed key;
-#: long-lived sessions at any natural boundary) drops the lot with
-#: :func:`release_persists`. Without the hand-back, every invocation
-#: of a graph key leaked cached edge/rank frames into executor storage
-#: for the session's lifetime (ADVICE r8) — harmless under LRU
-#: eviction but measured as a 2.9→4.5 s run-to-run spread on the
-#: triangles bench key when eviction pressure built up mid-suite.
-_LIVE_PERSISTS: list[DataFrame] = []
-
-
-def _track(df: DataFrame) -> DataFrame:
-    _LIVE_PERSISTS.append(df)
-    return df
-
-
-def release_persists() -> int:
-    """Unpersist every cached intermediate the graph operators have
-    handed out since the last release; returns how many were dropped.
-    Safe to call at any time: already-collected results are plain
-    rows, and a still-lazy plan re-computes (correctly, just uncached)
-    if executed after release."""
-    n = 0
-    while _LIVE_PERSISTS:
-        df = _LIVE_PERSISTS.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    return n
+# Tracked lazy persists (see novlake_spark/cache.py): persists at
+# reuse points are registered and handed back by the caller's sweep
+# after each action. ``release_persists`` is the public name bench.py
+# and tools/verify_local.py import; it now releases EVERY tracked
+# operator cache (graph + LM), not just this module's.
+from novlake_spark.cache import release_tracked as release_persists  # noqa: F401
+from novlake_spark.cache import track as _track
 
 
 def connected_components(

@@ -72,7 +72,13 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     consumer's sum BIGINT-exact and order-free. (ln itself is libm —
     not IEEE-pinned cross-engine — the documented residual class; the
     grid absorbs sub-boundary ULP variance, rule #6.)"""
-    bg = doc_bigram_counts(docs, "doc_id", text_col)
+    return _mle_model_from(doc_bigram_counts(docs, "doc_id", text_col))
+
+
+def _mle_model_from(bg: DataFrame) -> DataFrame:
+    """MLE model from a prebuilt (id, bg, c) table — lets the
+    self-scored pipeline share ONE persisted bigram scan between the
+    model build and the scoring join (see :func:`perplexity_scores`)."""
     c2 = (
         bg.groupBy("bg")
         .agg(F.sum("c").alias("c2"))
@@ -112,7 +118,14 @@ def kn_bigram_model(
     bigram table; the w2 continuation counts in another; the global
     distinct-bigram count enters as a 1-row broadcast. Everything
     shuffles (token, count) rows — never text."""
-    bg = doc_bigram_counts(docs, "doc_id", text_col)
+    return _kn_model_from(
+        doc_bigram_counts(docs, "doc_id", text_col), discount
+    )
+
+
+def _kn_model_from(bg: DataFrame, discount: float = 0.75) -> DataFrame:
+    """KN model from a prebuilt (id, bg, c) table — see
+    :func:`_mle_model_from` for why this split exists."""
     c2 = (
         bg.groupBy("bg")
         .agg(F.sum("c").alias("c2"))
@@ -160,6 +173,10 @@ def score_perplexity(
     ORACLE_NOTES.md #4 flake class).
     """
     doc_bg = doc_bigram_counts(docs, id_col, text_col)
+    return _score_from(doc_bg, model, id_col)
+
+
+def _score_from(doc_bg: DataFrame, model: DataFrame, id_col: str = "doc_id") -> DataFrame:
     wsum = F.sum(F.col("inll") * F.col("c"))
     n = F.sum("c")
     ce = wsum.cast("double") / n / F.lit(1000000.0)
@@ -174,13 +191,41 @@ def score_perplexity(
     )
 
 
+def _self_scored(
+    docs: DataFrame, model_from, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared-scan pipeline: the SAME (id, bg, c) table feeds the model
+    build and the scoring join, persisted once and registered for the
+    caller's hand-back (novlake_spark/cache.py) — unpersisted, Catalyst
+    re-executes the Arrow bigram-count scan once per reference. Worth
+    it only when the reference count is HIGH: KN's four aggregate views
+    measured 22.6 → 9.9 s at sf10, while the 2-reference MLE pipeline
+    measured SLOWER shared (see :func:`perplexity_scores`) — the
+    persist write of the exploded table costs more than one scan."""
+    from novlake_spark.cache import track
+
+    doc_bg = track(doc_bigram_counts(docs, id_col, text_col).persist())
+    return _score_from(doc_bg, model_from(doc_bg), id_col)
+
+
 def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document perplexity under a model estimated on ``docs`` itself.
 
-    Two scans (model pass + scoring pass), both emitting the compact
-    per-doc count table from :func:`doc_bigram_counts`; all shuffles
-    carry (bigram, count) rows. For the held-out variant, estimate on a
+    Two scans (model pass + scoring pass) ON PURPOSE: the MLE pipeline
+    references the bigram table only twice, and persisting it was
+    MEASURED SLOWER at sf10 (7.0 s recomputed vs 9.5 s shared — the
+    exploded (doc, bg, c) table is larger than the text it came from,
+    so one saved Arrow scan doesn't pay for writing it to storage).
+    The KN twin references it four times and shares (see
+    :func:`kn_perplexity_scores`: 22.6 → 9.9 s). For the held-out
+    variant — two different doc sets, nothing to share — estimate on a
     train split and score the rest:
     ``score_perplexity(heldout, bigram_model(train))``.
     """
     return score_perplexity(docs, bigram_model(docs, text_col), id_col, text_col)
+
+
+def kn_perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy under a Kneser-Ney model estimated on
+    ``docs`` itself — the shared-scan twin of :func:`perplexity_scores`."""
+    return _self_scored(docs, _kn_model_from, id_col, text_col)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -147,7 +148,7 @@ def q_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances are bit-identical and the confusion counts hash-match.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    iv = F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    iv = grid(F.col("v").cast("double"), 1000000)
     cent_rows = (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
@@ -295,7 +296,7 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda y, j: F.struct(
                     i.alias("i"),
                     (i + j).alias("j"),
-                    F.floor(x * y * 1000000 + F.lit(0.5)).cast("long").alias("xy6"),
+                    grid(x * y, 1000000).alias("xy6"),
                 ),
             ),
         )
@@ -492,11 +493,11 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
     )
     nrm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
-    grid = lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    g6 = lambda c: grid(c, 1000000)  # noqa: E731
     rows = emb.select(
         "label",
-        grid(nrm).alias("inrm"),
-        grid(F.col("embedding")[0].cast("double")).alias("ic0"),
+        g6(nrm).alias("inrm"),
+        g6(F.col("embedding")[0].cast("double")).alias("ic0"),
     )
     n = F.count(F.lit(1))
     s1 = F.sum(F.col("inrm").cast("decimal(38,0)"))
@@ -671,7 +672,7 @@ def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
         "vec_id",
         F.col("pos").cast("int").alias("pos"),
-        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5)).cast("long").alias("ei"),
+        grid(F.col("x").cast("double"), 1000).alias("ei"),
     )
     cb = (
         spark.range(16)
@@ -752,7 +753,7 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(
             "embedding",
-            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+            lambda x: grid(x.cast("double"), 1000),
         ).alias("ge"),
     )
     q = gridded.select(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -353,7 +354,7 @@ def q_event_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-row ``floor(v*100+0.5)`` lands each value on the exact
     grid FIRST and the BIGINT sum is order-free (ORACLE_NOTES.md #4)."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents = grid(F.col("value"), 100)
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
@@ -457,7 +458,7 @@ def q_win_cumsum_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novlake_spark.operators.skew import skew_safe_cumsum
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        "_cents", grid(F.col("value"), 100)
     )
     summed = skew_safe_cumsum(
         ev, part="user_id", order=["ts", "event_id"], value="_cents", n_buckets=16
@@ -567,7 +568,7 @@ def q_win_moving_avg_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novlake_spark.operators.skew import skew_safe_moving_avg
 
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        "_cents", grid(F.col("value"), 100)
     )
     m = skew_safe_moving_avg(
         ev, part="user_id", order=["ts", "event_id"], value="_cents",

@@ -160,7 +160,12 @@ class IncrementalAggView:
             elif spec[0] == "max":
                 aggs.append(F.max(spec[1]).alias(name))
             else:
-                aggs.append(F.sum(spec[1]).alias(name))
+                # coalesce to 0 so an all-NULL group stores the SAME
+                # representation the fold path writes (its signed sum
+                # starts from coalesce(...,0)) — otherwise the persisted
+                # value would flip 0 <-> NULL depending on whether a
+                # min/max rescan happened to route through this path
+                aggs.append(F.coalesce(F.sum(spec[1]), F.lit(0)).alias(name))
         return scoped.groupBy(*self.keys).agg(*aggs)
 
     def refresh(self) -> int | None:

@@ -29,6 +29,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from novlake_spark.operators.numerics import grid
 from pyspark.sql.functions import pandas_udf
 
 
@@ -85,9 +86,7 @@ def _mle_model_from(bg: DataFrame) -> DataFrame:
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
     )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    inll = F.floor(
-        -F.log(F.col("c2") / F.col("c1")) * 1000000 + F.lit(0.5)
-    ).cast("long")
+    inll = grid(-F.log(F.col("c2") / F.col("c1")), 1000000)
     return c2.join(c1, "w1").select("bg", inll.alias("inll"))
 
 
@@ -143,7 +142,7 @@ def _kn_model_from(bg: DataFrame, discount: float = 0.75) -> DataFrame:
     p = (F.col("c2").cast("double") - d) / F.col("c1") + (
         (d * F.col("n1f")) / F.col("c1")
     ) * (F.col("n1b").cast("double") / F.col("b"))
-    inll = F.floor(-F.log(p) * 1000000 + F.lit(0.5)).cast("long")
+    inll = grid(-F.log(p), 1000000)
     return (
         c2.join(w1s, "w1")
         .join(w2s, "w2")
@@ -155,7 +154,9 @@ def _kn_model_from(bg: DataFrame, discount: float = 0.75) -> DataFrame:
 def score_perplexity(
     docs: DataFrame, model: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Score ``docs`` against a (bg, nll) model from :func:`bigram_model`.
+    """Score ``docs`` against a (bg, inll) model — grid-integer
+    negative log-likelihoods as built by :func:`bigram_model` or
+    :func:`kn_bigram_model`.
 
     Per-document (id, n_bigrams, cross_entropy, ppl). Bigrams unseen
     by the model drop out of the average (inner join) — ``n_bigrams``

@@ -58,6 +58,11 @@ def normalize(plan: str) -> str:
     sessions: expression ids (#123), codegen ids, plan ids, paths."""
     plan = re.sub(r"#\d+[A-Z]*", "#", plan)
     plan = re.sub(r"\[id=#?\d*\]", "", plan)
+    # Spark 4 prints exchange/subquery references as [plan_id=N], a
+    # SESSION-MONOTONE counter: unstripped, a key's hash depended on
+    # which keys ran before it in the same session (round 9 find — the
+    # "hash changed, counters equal" class was partly this noise)
+    plan = re.sub(r"\[plan_id=\d+\]", "", plan)
     plan = re.sub(r"WholeStageCodegen \(\d+\)", "WholeStageCodegen", plan)
     plan = re.sub(r"(file:)?/[^,\s\]]+", "<path>", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "", plan)
@@ -137,9 +142,14 @@ def main() -> None:
     keys = sys.argv[1:] or HEADLINE
     spark = get_session("novlake-plan-audit", shuffle_partitions=8)
     qs = queries()
+    from novlake_spark.cache import release_tracked
+
     report = {}
     for key in keys:
         report[key] = audit(qs[key](spark, sf_dir))
+        # plan-building a persisting operator registers tracked caches
+        # (graph/LM keys); hand them back per key like bench/verify do
+        release_tracked()
         flags = []
         if report[key]["python_evals"]:
             flags.append("PYTHON-UDF-IN-PLAN")

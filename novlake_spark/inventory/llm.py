@@ -756,8 +756,10 @@ def q_llm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXED tree of correctly-rounded IEEE ops mirrored in the oracle,
     grid-nll BIGINT sums, floor-gridded exp. Plan: both w1 statistics
     fold in one groupBy, the global distinct-bigram count is a 1-row
-    broadcast — shuffles carry (token, count) rows, never text. One
-    persisted bigram scan feeds model AND scoring (lm._self_scored)."""
+    broadcast — shuffles carry (token, count) rows, never text. The
+    four-way model fan-in is absorbed by a tracked persist of the
+    AGGREGATED distinct-bigram table (lm._kn_model_from — the measured
+    cache point; persisting the raw per-doc table doubled the key)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return LM.kn_perplexity_scores(docs)
 

@@ -124,12 +124,24 @@ def kn_bigram_model(
 
 def _kn_model_from(bg: DataFrame, discount: float = 0.75) -> DataFrame:
     """KN model from a prebuilt (id, bg, c) table — see
-    :func:`_mle_model_from` for why this split exists."""
-    c2 = (
+    :func:`_mle_model_from` for why this split exists.
+
+    The persist point is ``c2`` — the AGGREGATED distinct-bigram table
+    that all four model views (w1 stats, w2 stats, the global count,
+    the final join) derive from — not the raw per-doc table: c2 is
+    smaller by the cross-doc repeat factor and caching it saves three
+    re-runs of the scan+groupBy, while caching the exploded per-doc
+    table was measured to DOUBLE the key at sf0.1 (cache-write cost on
+    the big table + a broken codegen pipeline into each consumer).
+    Tracked for the caller's hand-back (novlake_spark/cache.py)."""
+    from novlake_spark.cache import track
+
+    c2 = track(
         bg.groupBy("bg")
         .agg(F.sum("c").alias("c2"))
         .withColumn("w1", F.split(F.col("bg"), " ")[0])
         .withColumn("w2", F.split(F.col("bg"), " ")[1])
+        .persist()
     )
     w1s = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
@@ -192,23 +204,6 @@ def _score_from(doc_bg: DataFrame, model: DataFrame, id_col: str = "doc_id") -> 
     )
 
 
-def _self_scored(
-    docs: DataFrame, model_from, id_col: str, text_col: str
-) -> DataFrame:
-    """Shared-scan pipeline: the SAME (id, bg, c) table feeds the model
-    build and the scoring join, persisted once and registered for the
-    caller's hand-back (novlake_spark/cache.py) — unpersisted, Catalyst
-    re-executes the Arrow bigram-count scan once per reference. Worth
-    it only when the reference count is HIGH: KN's four aggregate views
-    measured 22.6 → 9.9 s at sf10, while the 2-reference MLE pipeline
-    measured SLOWER shared (see :func:`perplexity_scores`) — the
-    persist write of the exploded table costs more than one scan."""
-    from novlake_spark.cache import track
-
-    doc_bg = track(doc_bigram_counts(docs, id_col, text_col).persist())
-    return _score_from(doc_bg, model_from(doc_bg), id_col)
-
-
 def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document perplexity under a model estimated on ``docs`` itself.
 
@@ -228,5 +223,8 @@ def perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 def kn_perplexity_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document cross-entropy under a Kneser-Ney model estimated on
-    ``docs`` itself — the shared-scan twin of :func:`perplexity_scores`."""
-    return _self_scored(docs, _kn_model_from, id_col, text_col)
+    ``docs`` itself. Two Arrow bigram scans (model + scoring, like the
+    MLE twin); the four-way model fan-in is absorbed by the tracked c2
+    persist inside :func:`_kn_model_from` — see its docstring for the
+    measured cache-point comparison."""
+    return score_perplexity(docs, kn_bigram_model(docs, text_col), id_col, text_col)

@@ -1,7 +1,11 @@
-.PHONY: test verify verify-all bench inventory
+.PHONY: test test-chaos verify verify-all bench inventory
 
-test:
+test:              ## main lane (chaos excluded via pytest.ini addopts) + serial chaos lane
 	python -m pytest tests/ -q
+	$(MAKE) test-chaos
+
+test-chaos:        ## the two true-thread clean_log chaos tests, alone and serial
+	python -m pytest tests/test_checkpoint_parquet.py -q -m chaos
 
 verify:            ## all declared keys vs DuckDB oracle @ sf0.01
 	python tools/verify_local.py

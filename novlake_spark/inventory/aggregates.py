@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -31,13 +32,18 @@ Q1_CUTOFF = "1998-12-01 00:00:00"
     "q_agg_groupby",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                             AS sum_qty,
-           round(sum(l_extendedprice), 2)                        AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                             AS avg_qty,
-           round(avg(l_extendedprice), 4)                        AS avg_price,
-           round(avg(l_discount), 4)                             AS avg_disc,
+           sum(l_quantity)                                       AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+                                                                 AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0
+                                                                 AS sum_disc_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0
+                                                                 AS sum_charge,
+           sum(l_quantity) / count(*)                            AS avg_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / (100.0 * count(*))
+                                                                 AS avg_price,
+           CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / (100.0 * count(*))
+                                                                 AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -51,21 +57,38 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed to row-group stats (``PushedFilters``) and only the 7 needed
     columns read (``ReadSchema``), then partial/final HashAggregate
     around a 6-group exchange — whole-stage codegen end to end.
+
+    Exactness (round-10 float-class phase 2, ORACLE_NOTES.md #4):
+    money values land on an exact integer grid PER ROW — ``grid(x, s)``
+    of a deterministic per-row double is identical in both engines —
+    so every sum is an order-free BIGINT; the dollar presentation is
+    ONE IEEE division of exact operands (correctly rounded, engine-
+    identical). ``l_quantity`` is integral-valued, so its double sum is
+    exact in any order and needs no grid; avgs are single divisions of
+    exact numerators/denominators. No ``round()`` survives anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    price_cents = F.sum(grid(F.col("l_extendedprice"), 100)).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (price_cents / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(grid(disc_price, 10000)).cast("long") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(grid(charge, 10000)).cast("long") / F.lit(10000.0)).alias(
+                "sum_charge"
+            ),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (price_cents / (F.lit(100.0) * n)).alias("avg_price"),
+            (
+                F.sum(grid(F.col("l_discount"), 100)).cast("long") / (F.lit(100.0) * n)
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,10 +98,12 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_global",
     oracle="""
     SELECT count(*)                              AS n_rows,
-           round(sum(l_extendedprice), 2)        AS total_price,
-           round(avg(l_discount), 4)             AS avg_disc,
-           round(min(l_quantity), 2)             AS min_qty,
-           round(max(l_quantity), 2)             AS max_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+                                                 AS total_price,
+           CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / (100.0 * count(*))
+                                                 AS avg_disc,
+           min(l_quantity)                       AS min_qty,
+           max(l_quantity)                       AS max_qty,
            CAST(sum(l_orderkey) AS BIGINT)       AS key_sum
     FROM lineitem
     """,
@@ -88,14 +113,23 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Partial aggregation happens per input split; only one tiny row per
     task crosses the network, so this is scan-bound at any scale.
+    Exactness: money/ratio sums ride the per-row integer grid (order-
+    free BIGINT), presentation is one IEEE division; min/max are
+    order-free on identical doubles and need no rounding at all
+    (round-10 float-class phase 2, ORACLE_NOTES.md #4).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.round(F.min("l_quantity"), 2).alias("min_qty"),
-        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        (F.sum(grid(F.col("l_extendedprice"), 100)).cast("long") / F.lit(100.0)).alias(
+            "total_price"
+        ),
+        (
+            F.sum(grid(F.col("l_discount"), 100)).cast("long") / (F.lit(100.0) * n)
+        ).alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
         F.sum("l_orderkey").alias("key_sum"),
     )
 
@@ -162,7 +196,8 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPING_SETS_SQL = """
     SELECT coalesce(l_returnflag, 'ALL') AS rf,
            coalesce(l_linestatus, 'ALL') AS ls,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / CAST(100 AS DOUBLE) AS sum_price,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -244,25 +279,32 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_having",
     oracle="""
     SELECT o_custkey,
-           round(sum(o_totalprice), 2) AS total_spend,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+                    AS total_spend,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
-    HAVING sum(o_totalprice) > 300000
+    HAVING sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) > 30000000
     """,
 )
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E8: HAVING = post-aggregation filter on the aggregate value."""
+    """E8: HAVING = post-aggregation filter on the aggregate value.
+
+    Exactness: the HAVING threshold compares the order-free BIGINT
+    cents sum, not a raw float sum — a group whose true spend sits at
+    the 300 000.00 boundary gets the same in/out verdict from both
+    engines by construction (round-10 float-class phase 2)."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.sum(grid(F.col("o_totalprice"), 100)).cast("long")
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            (cents / F.lit(100.0)).alias("total_spend"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("_raw_spend"),
+            cents.alias("_spend_cents"),
         )
-        .filter(F.col("_raw_spend") > 300000)
-        .drop("_raw_spend")
+        .filter(F.col("_spend_cents") > 30000000)
+        .drop("_spend_cents")
     )
 
 
@@ -270,23 +312,37 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_conditional",
     oracle="""
     SELECT l_linestatus,
-           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_price,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 100.0 AS returned_price,
            count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_big_discount,
-           round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 4) AS avg_price_bulk
+           CAST(sum(CASE WHEN l_quantity >= 25
+                         THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END) AS BIGINT)
+               / (100.0 * count(CASE WHEN l_quantity >= 25 THEN 1 END)) AS avg_price_bulk
     FROM lineitem
     GROUP BY l_linestatus
     """,
 )
 def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9: conditional aggregation — sum/count/avg over predicated subsets
-    in one pass (one scan, one shuffle, instead of three queries)."""
+    in one pass (one scan, one shuffle, instead of three queries).
+
+    Exactness: both money aggregates ride the per-row cents grid; the
+    conditional avg is one division of an exact conditional-cents sum
+    by an exact conditional count (round-10 float-class phase 2)."""
     li = load_table(spark, sf_dir, "lineitem")
+    price_cents = grid(F.col("l_extendedprice"), 100)
+    bulk = F.col("l_quantity") >= 25
     return li.groupBy("l_linestatus").agg(
-        F.round(
-            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(F.lit(0.0))), 2
+        (
+            F.sum(F.when(F.col("l_returnflag") == "R", price_cents).otherwise(F.lit(0))).cast("long")
+            / F.lit(100.0)
         ).alias("returned_price"),
         F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_big_discount"),
-        F.round(F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 4).alias("avg_price_bulk"),
+        (
+            F.sum(F.when(bulk, price_cents)).cast("long")
+            / (F.lit(100.0) * F.count(F.when(bulk, F.lit(1))))
+        ).alias("avg_price_bulk"),
     )
 
 

@@ -454,8 +454,10 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings)
     SELECT label, count(*) AS n_vecs,
            CAST(CAST(sum(inrm) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS avg_norm,
-           sqrt(CAST(count(*) * sum(inrm * inrm) - sum(inrm) * sum(inrm) AS DOUBLE)
-                / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) / 1000000.0 AS sd_norm,
+           CASE WHEN count(*) > 1 THEN
+             sqrt(CAST(count(*) * sum(inrm * inrm) - sum(inrm) * sum(inrm) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) / 1000000.0
+           END AS sd_norm,
            CAST(min(inrm) AS DOUBLE) / 1000000.0 AS min_norm,
            CAST(max(inrm) AS DOUBLE) / 1000000.0 AS max_norm,
            CAST(CAST(sum(ic0) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0 AS avg_dim0,
@@ -506,9 +508,13 @@ def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.groupBy("label").agg(
         n.alias("n_vecs"),
         (F.sum("inrm").cast("double") / n / F.lit(1000000.0)).alias("avg_norm"),
-        (
-            F.sqrt(var_num / (n.cast("double") * (n - 1)))
-            / F.lit(1000000.0)
+        # n=1 guard (ADVICE r9): the identity would compute 0.0/0.0 →
+        # NaN where stddev_samp semantics say NULL (and DuckDB's
+        # NaN-vs-NULL hashing depends on a session flag) — both engines
+        # now yield NULL for a single-vector label.
+        F.when(
+            n > 1,
+            F.sqrt(var_num / (n.cast("double") * (n - 1))) / F.lit(1000000.0),
         ).alias("sd_norm"),
         (F.min("inrm").cast("double") / F.lit(1000000.0)).alias("min_norm"),
         (F.max("inrm").cast("double") / F.lit(1000000.0)).alias("max_norm"),

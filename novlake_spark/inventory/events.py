@@ -26,16 +26,23 @@ from novlake_spark.sources.tables import load_table
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM events GROUP BY date_trunc('hour', ts)
     """,
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: tumbling 1-hour event-time window aggregation."""
+    """J1: tumbling 1-hour event-time window aggregation. Exactness:
+    value sums ride the per-row cents grid — order-free BIGINT, one
+    presentation division (round-10 float-class phase 2)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(grid(F.col("value"), 100)).cast("long") / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "n_events",
@@ -101,6 +108,110 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_restart_watermark",
+    # side-effecting (two full streaming lifecycles + txlog sink per
+    # call): the contract schema sweep reads this declaration instead
+    # of executing it twice (same policy as the txlog lifecycle keys)
+    declared_schema="day_start string, n_events bigint",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events
+                WHERE event_id % 2 = 0)
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+           count(*) AS n_events
+    FROM events, wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def q_stream_restart_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 graded (round 10, VERDICT r9 stretch #8): event-time watermark
+    persistence ACROSS A RESTART, plus stateful-aggregation recovery and
+    append-mode finalization — the streaming semantics no batch-
+    equivalence key can reach, as a driver-visible row set.
+
+    Replay: the even-id half of events is committed to a txlog source
+    table and drained through ``withWatermark("ts", "1 hour")`` + 1-day
+    tumbling counts in one availableNow pass (append mode, exactly-once
+    txlog sink); the odd-id half is committed and a SECOND pass resumes
+    from the same checkpoint. Pass 1's only batch plans at wm = 0, so it
+    emits NOTHING — every window stays in state. Structured Streaming
+    persists the post-batch watermark in the commit log, so pass 2's
+    batch runs at wm = max(even ts) − 1 h: the odd rows merge into the
+    restored state (they are NOT dropped — Spark's late filter guards
+    FINALIZED windows, and none were), and at batch end exactly the
+    windows with end ≤ wm are finalized and emitted. The graded sink is
+    therefore: every day strictly before the restored watermark, with
+    FULL (even+odd) counts — stated by the oracle as pure arithmetic.
+    Each failure mode is visible: a watermark that fails to persist
+    across the restart emits ZERO rows (pass 2 would replan at wm 0); a
+    state-recovery fault emits odd-only counts; a replayed epoch is
+    caught by the sink's txn dedup; an eviction-boundary flip changes
+    the emitted day set. (A true late-DROP needs windows finalized
+    BEFORE the late batch, i.e. a mid-stream empty batch advancing the
+    watermark — measured in this environment: the Python-source
+    availableNow fallback runs exactly one planned batch per start and
+    a data-less restart does not re-plan, so the drop path is
+    unreachable deterministically; the restart-recovery semantics
+    graded here are what the engine actually guarantees across ANY
+    micro-batch boundary.)
+
+    Scale: state is O(live windows); each pass reads O(new commits);
+    the sink's per-epoch txn dedup is the exactly-once contract LH5
+    grades. Fixed availableNow lifecycle overhead => graded, not
+    benched (txlog-key policy)."""
+    import shutil
+    import tempfile
+
+    from novlake_spark.sources.txlog_source import register_txlog_source
+    from novlake_spark.txlog import TxTable
+
+    register_txlog_source(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    root = tempfile.mkdtemp(prefix="novlake-qwm-")
+    try:
+        src = TxTable(spark, f"{root}/src")
+
+        def drain() -> None:
+            agg = (
+                spark.readStream.format("txlog")
+                .option("path", f"{root}/src")
+                .load()
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "day_start"
+                    ),
+                    "n_events",
+                )
+            )
+            q = (
+                agg.writeStream.format("txlog")
+                .option("path", f"{root}/sink")
+                .option("txnAppId", "q-wm-restart")
+                .option("checkpointLocation", f"{root}/cp")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "watermark availableNow pass still running after 300 s"
+                )
+
+        src.commit(ev.filter(F.col("event_id") % 2 == 0))
+        drain()  # pass 1: wm 0 during the batch; emits nothing
+        src.commit(ev.filter(F.col("event_id") % 2 == 1))
+        drain()  # pass 2: restored wm finalizes every closed day
+        snap = TxTable(spark, f"{root}/sink").read().select("day_start", "n_events")
+        return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "q_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
@@ -113,16 +224,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stream_user_counts",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM events GROUP BY user_id
     """,
 )
 def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: running per-user counts — batch form of the streaming
-    update-mode keyed aggregation."""
+    update-mode keyed aggregation. Exactness: per-row cents grid →
+    order-free BIGINT sum → one division (round-10 float phase 2)."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(grid(F.col("value"), 100)).cast("long") / F.lit(100.0)).alias(
+            "total_value"
+        ),
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from novlake_spark.operators.asof import asof_join
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -80,10 +81,12 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_full",
     oracle="""
     WITH spend AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS spend
       FROM orders WHERE o_custkey <= 700 GROUP BY o_custkey
     ), rich AS (
-      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100.0 AS acctbal
       FROM customer WHERE c_custkey >= 500 AND c_acctbal > 5000
     )
     SELECT coalesce(o_custkey, -1) AS spend_key,
@@ -96,16 +99,22 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: full outer join with unmatched keys guaranteed on both sides
     (disjoint key-range filters). Plans as sort-merge join — the only
-    strategy that preserves both null sides."""
+    strategy that preserves both null sides. Exactness: the spend sum
+    is an order-free BIGINT cents sum with one presentation division;
+    acctbal rides the same grid per row (round-10 float phase 2)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     spend = (
         orders.filter(F.col("o_custkey") <= 700)
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .agg(
+            (F.sum(grid(F.col("o_totalprice"), 100)).cast("long") / F.lit(100.0)).alias(
+                "spend"
+            )
+        )
     )
     rich = customer.filter((F.col("c_custkey") >= 500) & (F.col("c_acctbal") > 5000)).select(
-        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+        "c_custkey", (grid(F.col("c_acctbal"), 100) / F.lit(100.0)).alias("acctbal")
     )
     return spend.join(rich, spend.o_custkey == rich.c_custkey, "full").select(
         F.coalesce("o_custkey", F.lit(-1)).alias("spend_key"),
@@ -171,7 +180,8 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_nationkey AS nationkey,
            count(*) AS n_pairs,
-           round(avg(c_acctbal - s_acctbal), 4) AS avg_gap
+           CAST(sum(CAST(floor((c_acctbal - s_acctbal) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / (100.0 * count(*)) AS avg_gap
     FROM supplier JOIN customer
       ON s_nationkey = c_nationkey
      AND c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
@@ -198,7 +208,12 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg(customer.c_acctbal - supplier.s_acctbal), 4).alias("avg_gap"),
+            # exact: per-row cents grid of the gap, order-free BIGINT
+            # sum, ONE division (round-10 float-class phase 2)
+            (
+                F.sum(grid(customer.c_acctbal - supplier.s_acctbal, 100)).cast("long")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("avg_gap"),
         )
     )
 
@@ -367,7 +382,8 @@ Q3_CUTOFF = "1998-03-15 00:00:00"
     oracle=f"""
     SELECT l_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -403,7 +419,14 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(building_orders, lineitem.l_orderkey == building_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        # exact: per-row 1e-4 grid of the deterministic disc-price
+        # double, order-free BIGINT sum, one presentation division
+        .agg(
+            (
+                F.sum(grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("long")
+                / F.lit(10000.0)
+            ).alias("revenue")
+        )
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),

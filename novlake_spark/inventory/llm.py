@@ -19,6 +19,7 @@ from novlake_spark.operators import graph as G
 from novlake_spark.operators import knn as K
 from novlake_spark.operators import lm as LM
 from novlake_spark.operators import text as T
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import ensure_parallelism, load_table
 
@@ -287,20 +288,23 @@ def q_llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(n_chars), 2) AS avg_chars,
-           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) / count(*) AS avg_tokens,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang
     """,
 )
 def q_llm_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6: corpus statistics per language partition."""
+    """L6: corpus statistics per language partition. Exactness (round-10
+    float phase 2): both averages are ONE division of an exact integer
+    sum by an exact count — no ``round()`` on a float aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     ntok = T.token_count(F.col("text"))
+    n = F.count(F.lit(1))
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        (F.sum("n_chars") / n).alias("avg_chars"),
+        (F.sum(ntok) / n).alias("avg_tokens"),
         F.sum(ntok).alias("total_tokens"),
     )
 
@@ -412,6 +416,102 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("tok").asc())
         .limit(30)
+    )
+
+
+#: Fixed BM25 parameters (Robertson et al., TREC-3; the k1=1.2 b=0.75
+#: defaults every Lucene/Elasticsearch deployment ships). Both engines
+#: read the same literals, so the doubles are bit-identical.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("table", "scan", "merge")
+
+
+@register(
+    "q_llm_bm25",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN ('table', 'scan', 'merge')
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl
+              FROM documents)
+    SELECT tf.doc_id,
+           CAST(sum(CAST(floor(
+             ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * (tf * CAST(2.2 AS DOUBLE))
+             / (tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * (dl / (CAST(sumdl AS DOUBLE) / n))))
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS bm25
+    FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 50
+    """,
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: BM25 retrieval — top-50 documents for a fixed 3-term query
+    (Okapi BM25, k1=1.2 b=0.75), composing the tf construction of
+    q_llm_tfidf with the df statistics the inverted index maintains.
+
+    Exactness (the perplexity family's contract): tf, df, dl, N and
+    Σdl are exact integers; avgdl is ONE division; each per-(doc,term)
+    BM25 contribution is a fixed tree of IEEE ops over those exact
+    inputs — identical doubles in both engines (ln is libm, the
+    documented residual class the 1e-6 grid absorbs) — floor-gridded
+    to BIGINT so the per-doc sum over query terms is order-free, then
+    one presentation division.
+
+    Scale shape: the IN-filter on the query terms sits directly on the
+    token generate, so only postings for the 3 query terms survive to
+    the (doc, tok) partial agg — the shuffle is O(matching postings),
+    never O(corpus tokens) — and the doc length rides THROUGH the
+    explode as a grouping key (functionally dependent on doc_id), so no
+    separate per-doc length scan or join exists. df is a 3-row
+    aggregate of the tf table and (N, Σdl) a 1-row scan aggregate; both
+    broadcast. The final top-50 runs as TakeOrderedAndProject
+    (zero-exchange per-partition heaps). Corpus-sized work: the tf scan
+    + the stats scan (df re-executes the tf subtree — Catalyst has no
+    common-subplan dedup — but its input is the already-filtered
+    posting set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    toks = F.split("text", " ")
+    tf = (
+        docs.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
+        )
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(toks)).cast("long").alias("sumdl"),
+    )
+    # expression tree kept IDENTICAL to the oracle's, op for op
+    idf = F.log(
+        ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / avgdl)
+    )
+    contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.sum(grid(contrib, 1000000)).cast("long") / F.lit(1000000.0)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(50)
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -98,13 +99,15 @@ def q_filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice > 120000 THEN 'mid'
                 ELSE 'small' END AS bucket,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
     FROM orders
     GROUP BY o_orderstatus, bucket
     """,
 )
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: CASE WHEN bucketing feeding an aggregation."""
+    """C4: CASE WHEN bucketing feeding an aggregation. Exactness: the
+    money total is an order-free BIGINT cents sum with one presentation
+    division (round-10 float-class phase 2, ORACLE_NOTES.md #4)."""
     orders = load_table(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") > 250000, "big")
@@ -116,7 +119,9 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(grid(F.col("o_totalprice"), 100)).cast("long") / F.lit(100.0)).alias(
+                "total"
+            ),
         )
     )
 

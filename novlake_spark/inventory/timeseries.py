@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -31,7 +32,7 @@ from novlake_spark.sources.tables import load_table
                                     INTERVAL 1 HOUR)) AS hour),
     agg AS (
       SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
-             round(sum(value), 2) AS tv
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS tv
       FROM events GROUP BY 1)
     SELECT strftime(spine.hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
            coalesce(n, 0) AS n_events,
@@ -53,8 +54,11 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hour")
     )
+    # exact: cents grid per row, order-free BIGINT sum, one division
+    # (round-10 float-class phase 2)
     agg = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv")
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(grid(F.col("value"), 100)).cast("long") / F.lit(100.0)).alias("tv"),
     )
     return spine.join(agg, "hour", "left").select(
         F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -100,7 +104,8 @@ def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
     users AS (SELECT DISTINCT user_id FROM events),
     daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-                     count(*) AS n, round(sum(value), 2) AS tv
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS tv
               FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE))
     SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
            coalesce(n, 0) AS n_events, coalesce(tv, 0.0) AS total_value
@@ -126,8 +131,10 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     users = e.select("user_id").distinct()
+    # exact: cents grid per row (round-10 float-class phase 2)
     daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv")
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(grid(F.col("value"), 100)).cast("long") / F.lit(100.0)).alias("tv"),
     )
     return (
         users.crossJoin(F.broadcast(days))

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -345,9 +346,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT year(o_orderdate) AS o_year,
            CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
-                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                         THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
                          ELSE 0 END) AS DOUBLE)
-           / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+           / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
              AS mkt_share
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -397,10 +398,15 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(
                         F.col("supp_nation") == "NATION_7",
-                        F.round(rev * 10000).cast("long"),
+                        grid(rev, 10000),
                     ).otherwise(F.lit(0))
                 ).cast("double")
-                / F.sum(F.round(rev * 10000).cast("long")).cast("double")
+                # grid(), not F.round(): Spark rounds doubles via
+                # decimal-string HALF_UP while DuckDB rounds the binary
+                # value — per-row round() re-opened exactly the
+                # divergence class this key's migration closed
+                # (ADVICE r9 medium)
+                / F.sum(grid(rev, 10000)).cast("double")
             ).alias("mkt_share")
         )
     )
@@ -590,7 +596,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pa AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_lim
                 FROM lineitem GROUP BY l_partkey)
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               / CAST(700 AS DOUBLE) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa   ON pk = l_partkey
@@ -600,7 +607,13 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17: small-quantity-order revenue — correlated avg decorrelated
     into a per-part aggregate join (what Catalyst does to the original
-    subquery form)."""
+    subquery form).
+
+    Exactness (round-10 float phase 2): qty_lim is already exact —
+    avg of integral quantities is an exact sum and one division, then
+    one multiply, identical doubles in both engines — and the revenue
+    total now sums per-row integer cents (order-free BIGINT) with the
+    /7 presentation as ONE division of exact operands."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg((0.2 * F.avg("l_quantity")).alias("qty_lim"))
@@ -608,7 +621,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p.filter(F.col("p_brand") == "Brand#1"), F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_lim"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            (
+                F.sum(grid(F.col("l_extendedprice"), 100)).cast("long") / F.lit(700.0)
+            ).alias("avg_yearly")
+        )
     )
 
 

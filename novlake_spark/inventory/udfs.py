@@ -74,19 +74,26 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_grouped",
     oracle="""
     SELECT l_returnflag,
-           round(avg(l_quantity), 4) AS mean_qty,
-           round(max(l_quantity) - min(l_quantity), 2) AS qty_range
+           avg(l_quantity) AS mean_qty,
+           max(l_quantity) - min(l_quantity) AS qty_range
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: grouped-aggregate pandas UDFs (custom UDAFs) — each group's
     column arrives as one pandas Series; Spark still does partial
-    shuffling by key, the Python side only sees final groups."""
+    shuffling by key, the Python side only sees final groups.
+
+    Exactness (round-10 float phase 2): ``l_quantity`` is integral-
+    valued, so every partial/pandas sum is exact in any order and the
+    mean is ONE division — pandas, Spark and DuckDB all produce the
+    identical double, no ``round()`` needed. max−min is a single
+    subtraction of identical doubles."""
 
     @pandas_udf(DoubleType())
     def mean_qty(v: pd.Series) -> float:
-        return float(v.mean())
+        # exact: integral values sum exactly; one division
+        return float(v.sum() / len(v))
 
     @pandas_udf(DoubleType())
     def qty_range(v: pd.Series) -> float:
@@ -94,8 +101,8 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(mean_qty("l_quantity"), 4).alias("mean_qty"),
-        F.round(qty_range("l_quantity"), 2).alias("qty_range"),
+        mean_qty("l_quantity").alias("mean_qty"),
+        qty_range("l_quantity").alias("qty_range"),
     )
 
 

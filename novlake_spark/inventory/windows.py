@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -104,22 +105,36 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_moving_avg",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               / (CAST(100 AS DOUBLE) *
+                  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg
     FROM orders
     """,
 )
 def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: 3-row moving average over each customer's order history."""
+    """F5: 3-row moving average over each customer's order history.
+
+    Exactness (round-10 float phase 2, the skew-safe twin's cents
+    pattern): the frame sums per-row integer cents (order-free BIGINT)
+    and divides ONCE by the frame's exact row count — no ``round()`` on
+    a float window aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
+    cents = grid(F.col("o_totalprice"), 100)
     return orders.select(
-        "o_custkey", "o_orderkey", F.round(F.avg("o_totalprice").over(w), 4).alias("mov_avg")
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents).over(w).cast("long")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+        ).alias("mov_avg"),
     )
 
 
@@ -127,9 +142,10 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_cumsum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               / CAST(100 AS DOUBLE) AS cum_spend
     FROM orders
     """,
 )
@@ -138,7 +154,10 @@ def q_win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ROWS (not the default RANGE) frame: with RANGE, ties would share a
     cumulative value and engines could disagree on float accumulation
-    order; ROWS over a total order fixes both.
+    order; ROWS over a total order fixes both. Exactness (round-10
+    float phase 2): the running sum accumulates integer cents — every
+    prefix is BIGINT-exact, so no intermediate float ordering exists to
+    disagree about — and the dollar presentation is one division.
     """
     orders = load_table(spark, sf_dir, "orders")
     w = (
@@ -147,7 +166,11 @@ def q_win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
-        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend")
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(grid(F.col("o_totalprice"), 100)).over(w).cast("long") / F.lit(100.0)).alias(
+            "cum_spend"
+        ),
     )
 
 

@@ -150,7 +150,17 @@ class IncrementalAggView:
                 (k0, "<=", _stat_value(b["hi"])),
             ]
         src = self.source.read(src_version, where=where)
-        scoped = src.join(F.broadcast(group_keys), on=self.keys, how="left_semi")
+        # eqNullSafe per key, matching the fold join: a plain on=keys
+        # semi join is EqualTo, so a NULL group key flagged for rescan
+        # would never match and the group would silently vanish from
+        # the view even though it has live rows (ADVICE r9). The file
+        # scoping above already routes NULL keys here by disabling the
+        # stats prune when any flagged key is NULL.
+        cond = None
+        for k in self.keys:
+            c = src[k].eqNullSafe(group_keys[k])
+            cond = c if cond is None else (cond & c)
+        scoped = src.join(F.broadcast(group_keys), on=cond, how="left_semi")
         aggs = [F.count(F.lit(1)).alias(_N)]
         for name, spec in self.measures.items():
             if spec[0] == "count":

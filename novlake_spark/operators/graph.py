@@ -229,13 +229,46 @@ def triangles_per_node(edges: DataFrame, src: str = "a", dst: str = "b") -> Data
         (F.col("_dx") < F.col("_dy"))
         | ((F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y")))
     )
-    closed = wedges.repartition(width, "_x", "_y").join(
-        o.select(F.col("_w").alias("_x"), F.col("_x").alias("_y")).repartition(
-            width, "_x", "_y"
-        ),
-        ["_x", "_y"],
-        "left_semi",
-    )
+    # Closing semi-join key packing (round 10, VERDICT r9 next #6): the
+    # wedge table is the size-dominant shuffle (Σ outdeg² rows), and it
+    # used to cross the exchange carrying five columns with a two-column
+    # hash key. When the node ids are ≤32-bit integral types (provable
+    # from the schema alone — int32 values always fit), pack (x, y)
+    # into ONE BIGINT `x·2³² | (y mod 2³²)` — injective for any int32
+    # pair, including negatives — so the exchange hashes/compares a
+    # single long and the rows drop the degree columns: 40 → 24 bytes
+    # per wedge, 8 bytes per closing edge. Wider id types fall back to
+    # the two-column join rather than risk a lossy pack.
+    _pack_ok = {t for c, t in wedges.dtypes if c in ("_x", "_y", "_w")} <= {
+        "tinyint",
+        "smallint",
+        "int",
+    }
+    if _pack_ok:
+        def _pk(x: Column, y: Column) -> Column:
+            return F.shiftleft(x.cast("long"), 32).bitwiseOR(
+                y.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+            )
+
+        closed = (
+            wedges.select("_w", "_x", "_y", _pk(F.col("_x"), F.col("_y")).alias("_xy"))
+            .repartition(width, "_xy")
+            .join(
+                o.select(_pk(F.col("_w"), F.col("_x")).alias("_xy")).repartition(
+                    width, "_xy"
+                ),
+                ["_xy"],
+                "left_semi",
+            )
+        )
+    else:
+        closed = wedges.repartition(width, "_x", "_y").join(
+            o.select(F.col("_w").alias("_x"), F.col("_x").alias("_y")).repartition(
+                width, "_x", "_y"
+            ),
+            ["_x", "_y"],
+            "left_semi",
+        )
     member = (
         closed.select(F.col("_w").alias("node"))
         .union(closed.select(F.col("_x").alias("node")))

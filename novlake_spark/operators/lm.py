@@ -77,9 +77,13 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _mle_model_from(bg: DataFrame) -> DataFrame:
-    """MLE model from a prebuilt (id, bg, c) table — lets the
-    self-scored pipeline share ONE persisted bigram scan between the
-    model build and the scoring join (see :func:`perplexity_scores`)."""
+    """MLE model from a prebuilt (id, bg, c) table. The split mirrors
+    :func:`_kn_model_from`'s structure; only the KN pipeline persists
+    and shares its aggregated bigram table — sharing/persisting the
+    2-reference MLE scan MEASURED SLOWER than recomputing it
+    (SCALING.md cache-point study), so :func:`perplexity_scores`
+    deliberately does not (ADVICE r9: the old wording claimed a shared
+    persisted scan that never existed)."""
     c2 = (
         bg.groupBy("bg")
         .agg(F.sum("c").alias("c2"))

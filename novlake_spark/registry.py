@@ -45,98 +45,193 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: so the suite stays green when the driver writes the current round's
 #: grade file after the final commit (VERDICT r6 wrong #2 — the old
 #: recompute-over-everything made every round boundary red).
-#: Round 9 window (VERDICT r8 task #2): head = the 15 keys that are new
-#: or whose implementation/oracle changed this round (the four round-9
-#: additions, the re-scoped exact-kNN slice, the 9 float-class-audit
-#: migrations — 9 of which are themselves r3/r4-vintage, so head
-#: placement costs the staleness sweep almost nothing — and the
-#: span-coverage width fix), then the remaining r3/r4-vintage keys in
-#: stable order. 15 + 37 = 52 exceeds the 50-key window by two, so the
-#: LAST two r4-vintage keys (q_tpch_q4, q_ts_diff) wait for round 10 —
-#: ties outside the window, legal under the strict-staler-only rotation
-#: rule, and the honest price of shipping two new operators plus the
-#: sf10 scale fix this round. After round 9 grades land, exactly two
-#: keys' latest evidence is older than r5.
-ROUND: int = 9
+#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 23 keys
+#: that are new or whose implementation/oracle changed this round —
+#: q_llm_bm25 (new, queue #3), q_stream_restart_watermark (new,
+#: stretch #8), q_graph_triangles (closing-join key
+#: packing, queue #6), q_mview_minmax (null-safe rescan semi join,
+#: ADVICE), q_tpch_q8 (per-row grid, ADVICE), q_emb_norm_stats (n=1
+#: NULL guard, ADVICE), and the 18 phase-2 float-class migrations on
+#: the builder's own round-10 deadline (ORACLE_NOTES.md) — three of
+#: which are themselves r5-vintage. Then the two r4 ties the round-9
+#: window declared (q_tpch_q4, q_ts_diff) and the stalest r5 cohort in
+#: stable order. 24 + 2 + 24 = 50; the r5 keys left outside tie the
+#: window's worst non-head staleness (r5), legal under the
+#: strict-staler-only rule. After round-10 grades land, no key's
+#: latest evidence is older than r5.
+ROUND: int = 10
 
 #: Keys that MUST be re-graded this round: implementation or oracle
-#: changed since their last grade (plus the four round-9 additions).
+#: changed since their last grade (plus the round-10 additions).
 ROUND_HEAD: list[str] = [
+    "q_llm_bm25",
+    "q_stream_restart_watermark",
+    "q_graph_triangles",
     "q_mview_minmax",
-    "q_llm_contamination_ngram",
-    "q_sample_split_leakage_safe",
-    "q_llm_perplexity_kn",
-    "q_llm_knn_join",
-    "q_sample_split",
-    "q_event_user_stats",
     "q_tpch_q8",
-    "q_llm_curriculum",
     "q_emb_norm_stats",
-    "q_emb_centroid_assign",
-    "q_llm_perplexity",
-    "q_llm_perplexity_heldout",
-    "q_llm_gopher_rules",
-    # plan-only width fix (result-identical, 3-SF sweep green) — still
-    # an implementation change, so it re-grades
-    "q_llm_span_coverage",
+    "q_agg_groupby",
+    "q_agg_global",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_conditional",
+    "q_join_full",
+    "q_join_range",
+    "q_join_star",
+    "q_case_when",
+    "q_stream_tumbling",
+    "q_stream_user_counts",
+    "q_ts_resample",
+    "q_ts_gapfill",
+    "q_win_moving_avg",
+    "q_win_cumsum",
+    "q_llm_textstats",
+    "q_udaf_grouped",
+    "q_tpch_q17",
 ]
 
 PRIORITY: list[str] = [
+    "q_llm_bm25",
+    "q_stream_restart_watermark",
+    "q_graph_triangles",
     "q_mview_minmax",
-    "q_llm_contamination_ngram",
-    "q_sample_split_leakage_safe",
-    "q_llm_perplexity_kn",
-    "q_llm_knn_join",
-    "q_sample_split",
-    "q_event_user_stats",
     "q_tpch_q8",
-    "q_llm_curriculum",
     "q_emb_norm_stats",
-    "q_emb_centroid_assign",
-    "q_llm_perplexity",
-    "q_llm_perplexity_heldout",
-    "q_llm_gopher_rules",
-    "q_llm_span_coverage",
-    "q_set_union",
-    "q_udf_mapinpandas",
-    "q_unpivot",
-    "q_util_preview",
-    "q_agg_approx_percentile",
-    "q_agg_mode_freq",
-    "q_emb_cosine_hist",
-    "q_fn_regexp",
-    "q_llm_bpe_encode",
-    "q_llm_bpe_train",
-    "q_llm_chunk",
-    "q_llm_cosine_pairs",
-    "q_llm_curation",
-    "q_llm_dedup_cluster",
-    "q_llm_dedup_near",
-    "q_llm_dedup_prefix",
-    "q_llm_dedup_simhash",
-    "q_llm_dup_components",
-    "q_llm_dup_components_ls",
-    "q_llm_fingerprint",
-    "q_llm_inverted_index",
-    "q_llm_jaccard_pairs",
-    "q_llm_ngrams",
-    "q_llm_quality_logreg",
-    "q_llm_repetition",
-    "q_llm_semdedup",
-    "q_llm_seq_pack",
-    "q_llm_shuffle_det",
-    "q_llm_source_overlap",
-    "q_llm_stopword_ratio",
-    "q_llm_tf_topk",
-    "q_llm_word_len_hist",
-    "q_llm_zipf",
-    "q_sample_reservoir",
-    "q_tpch_q2",
+    "q_agg_groupby",
+    "q_agg_global",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_conditional",
+    "q_join_full",
+    "q_join_range",
+    "q_join_star",
+    "q_case_when",
+    "q_stream_tumbling",
+    "q_stream_user_counts",
+    "q_ts_resample",
+    "q_ts_gapfill",
+    "q_win_moving_avg",
+    "q_win_cumsum",
+    "q_llm_textstats",
+    "q_udaf_grouped",
+    "q_tpch_q17",
     "q_tpch_q4",
     "q_ts_diff",
     "q_scan_parquet",
+    "q_llm_contamination",
+    "q_join_inner",
+    "q_llm_dedup_embed",
+    "q_llm_knn_lsh",
+    "q_llm_knn_ivf",
+    "q_html_extract",
+    "q_url_canonicalize",
+    "q_warc_extract",
+    "q_robots_filter",
+    "q_crawl_pipeline",
+    "q_llm_compress_ratio",
+    "q_sitemap_parse",
+    "q_pdf_extract",
+    "q_tar_extract",
+    "q_fix_mojibake",
+    "q_zip_extract",
+    "q_ts_diff_skewsafe",
+    "q_win_rownum_skewsafe",
+    "q_json_extract",
+    "q_scan_events_ts",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_cross",
+    "q_join_multikey",
+    "q_join_self",
+    "q_join_lateral",
+    "q_agg_count_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_stats",
+    "q_agg_corr",
+    "q_agg_collect",
+    "q_agg_bool",
+    "q_agg_histogram",
+    "q_agg_hll_sketch",
+    "q_agg_minmax_by",
+    "q_agg_regr",
+    "q_agg_string_agg",
+    "q_event_retention",
+    "q_fn_bitwise",
+    "q_win_cumsum_skewsafe",
+    "q_win_moving_avg_skewsafe",
+    "q_llm_normalize_unicode",
+    "q_multimodal_phash",
+    "q_llm_langseg",
+    "q_session_skewsafe",
+    "q_fn_posexplode",
+    "q_stream_dedup",
+    "q_stream_sliding",
+    "q_join_asof",
+    "q_join_anti",
+    "q_agg_percentile",
+    "q_distinct",
+    "q_event_funnel",
+    "q_filter_bool",
+    "q_fn_array",
+    "q_scd2_build",
+    "q_project_compute",
+    "q_topk_global",
+    "q_win_row_number",
+    "q_win_lag_lead",
+    "q_win_range_frame",
+    "q_win_topk_per_group",
+    "q_set_union_all",
+    "q_set_intersect",
+    "q_set_except",
+    "q_fn_string",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_map",
+    "q_fn_hash",
+    "q_stream_session",
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udtf_split",
+    "q_emb_quantize",
+    "q_pdf_cmap_extract",
+    "q_llm_seq_pack_split",
+    "q_txlog_merge",
+    "q_txlog_timetravel",
+    "q_llm_vocab_coverage",
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
+    "q_llm_fertility",
+    "q_txlog_dv_read",
+    "q_txlog_maintenance",
+    "q_txlog_stream_pipe",
+    "q_llm_edit_distance",
+    "q_llm_containment_pairs",
+    "q_llm_dedup_exact",
+    "q_llm_minhash_md5",
+    "q_llm_simhash_md5",
+    "q_llm_quality",
+    "q_llm_langid",
+    "q_llm_token_count",
+    "q_llm_tfidf",
+    "q_llm_knn_single",
+    "q_tpch_q18",
+    "q_subquery_correlated",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_first_last",
+    "q_win_nth_value",
+    "q_win_percent_rank",
+    "q_subquery_scalar",
     "q_graph_pagerank",
-    "q_graph_triangles",
     "q_emb_pq_encode",
     "q_sample_priority",
     "q_llm_cdc_chunks",
@@ -180,141 +275,58 @@ PRIORITY: list[str] = [
     "q_sample_stratified",
     "q_stream_interval_join",
     "q_subquery_in",
-    "q_ts_gapfill",
     "q_ts_interpolate",
     "q_ts_locf",
-    "q_ts_resample",
     "q_udf_grouped_map",
-    "q_emb_quantize",
-    "q_pdf_cmap_extract",
-    "q_llm_seq_pack_split",
-    "q_txlog_merge",
-    "q_txlog_timetravel",
-    "q_llm_vocab_coverage",
-    "q_join_asof_tolerance",
-    "q_join_asof_forward",
-    "q_llm_fertility",
-    "q_txlog_dv_read",
-    "q_txlog_maintenance",
-    "q_txlog_stream_pipe",
-    "q_llm_edit_distance",
-    "q_llm_containment_pairs",
-    "q_llm_dedup_exact",
-    "q_llm_minhash_md5",
-    "q_llm_simhash_md5",
-    "q_llm_textstats",
-    "q_llm_quality",
-    "q_llm_langid",
-    "q_llm_token_count",
-    "q_llm_tfidf",
-    "q_llm_knn_single",
-    "q_tpch_q18",
-    "q_subquery_correlated",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_win_rank",
-    "q_win_ntile",
-    "q_win_cumsum",
-    "q_win_first_last",
-    "q_win_nth_value",
-    "q_win_percent_rank",
-    "q_subquery_scalar",
-    "q_llm_contamination",
-    "q_join_inner",
-    "q_llm_dedup_embed",
-    "q_llm_knn_lsh",
-    "q_llm_knn_ivf",
-    "q_html_extract",
-    "q_url_canonicalize",
-    "q_warc_extract",
-    "q_robots_filter",
-    "q_crawl_pipeline",
-    "q_llm_compress_ratio",
-    "q_sitemap_parse",
-    "q_pdf_extract",
-    "q_tar_extract",
-    "q_fix_mojibake",
-    "q_zip_extract",
-    "q_ts_diff_skewsafe",
-    "q_win_rownum_skewsafe",
-    "q_json_extract",
-    "q_scan_events_ts",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_cross",
-    "q_join_multikey",
-    "q_join_self",
-    "q_join_lateral",
-    "q_agg_global",
-    "q_agg_count_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_having",
-    "q_agg_conditional",
-    "q_agg_stats",
-    "q_agg_corr",
-    "q_agg_collect",
-    "q_agg_bool",
-    "q_agg_histogram",
-    "q_agg_hll_sketch",
-    "q_agg_minmax_by",
-    "q_agg_regr",
-    "q_agg_string_agg",
-    "q_event_retention",
-    "q_fn_bitwise",
-    "q_win_cumsum_skewsafe",
-    "q_win_moving_avg_skewsafe",
-    "q_llm_normalize_unicode",
-    "q_multimodal_phash",
-    "q_llm_langseg",
-    "q_session_skewsafe",
-    "q_fn_posexplode",
-    "q_stream_dedup",
-    "q_stream_sliding",
-    "q_stream_user_counts",
-    "q_agg_groupby",
-    "q_join_star",
-    "q_join_asof",
-    "q_join_full",
-    "q_join_anti",
-    "q_join_range",
-    "q_agg_grouping_sets",
-    "q_agg_percentile",
-    "q_case_when",
-    "q_distinct",
-    "q_event_funnel",
-    "q_filter_bool",
-    "q_fn_array",
-    "q_scd2_build",
-    "q_project_compute",
-    "q_topk_global",
-    "q_win_row_number",
-    "q_win_lag_lead",
-    "q_win_range_frame",
-    "q_win_moving_avg",
-    "q_win_topk_per_group",
-    "q_set_union_all",
-    "q_set_intersect",
-    "q_set_except",
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_map",
-    "q_fn_hash",
-    "q_stream_tumbling",
-    "q_stream_session",
-    "q_udf_scalar",
-    "q_udf_pandas",
-    "q_udaf_grouped",
-    "q_udtf_split",
+    "q_llm_contamination_ngram",
+    "q_sample_split_leakage_safe",
+    "q_llm_perplexity_kn",
+    "q_llm_knn_join",
+    "q_sample_split",
+    "q_event_user_stats",
+    "q_llm_curriculum",
+    "q_emb_centroid_assign",
+    "q_llm_perplexity",
+    "q_llm_perplexity_heldout",
+    "q_llm_gopher_rules",
+    "q_llm_span_coverage",
+    "q_set_union",
+    "q_udf_mapinpandas",
+    "q_unpivot",
+    "q_util_preview",
+    "q_agg_approx_percentile",
+    "q_agg_mode_freq",
+    "q_emb_cosine_hist",
+    "q_fn_regexp",
+    "q_llm_bpe_encode",
+    "q_llm_bpe_train",
+    "q_llm_chunk",
+    "q_llm_cosine_pairs",
+    "q_llm_curation",
+    "q_llm_dedup_cluster",
+    "q_llm_dedup_near",
+    "q_llm_dedup_prefix",
+    "q_llm_dedup_simhash",
+    "q_llm_dup_components",
+    "q_llm_dup_components_ls",
+    "q_llm_fingerprint",
+    "q_llm_inverted_index",
+    "q_llm_jaccard_pairs",
+    "q_llm_ngrams",
+    "q_llm_quality_logreg",
+    "q_llm_repetition",
+    "q_llm_semdedup",
+    "q_llm_seq_pack",
+    "q_llm_shuffle_det",
+    "q_llm_source_overlap",
+    "q_llm_stopword_ratio",
+    "q_llm_tf_topk",
+    "q_llm_word_len_hist",
+    "q_llm_zipf",
+    "q_sample_reservoir",
+    "q_tpch_q2",
 ]
+
 
 
 def register(

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.session import tune
 from novlake_spark.sources.tables import normalize_event_ts
 
@@ -52,11 +53,23 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
 
 
 def stream_tumbling(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
-    """J1 incremental: 1-hour tumbling counts with bounded state."""
+    """J1 incremental: 1-hour tumbling counts with bounded state.
+
+    Cents-grid sum, identical to the graded batch twin
+    (inventory/events.q_stream_tumbling, round-10 float phase 2) — and
+    load-bearing HERE too: incremental state folds partial sums in
+    arrival order, batch folds in scan order, so a raw float sum could
+    make stream==batch equivalence flake exactly like the cross-engine
+    class."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(grid(F.col("value"), 100)).cast("long") / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "n_events",
@@ -66,9 +79,14 @@ def stream_tumbling(stream: DataFrame, watermark: str = "30 minutes") -> DataFra
 
 
 def stream_user_counts(stream: DataFrame) -> DataFrame:
-    """J6 incremental: keyed running counts (update/complete mode)."""
+    """J6 incremental: keyed running counts (update/complete mode).
+    Cents-grid sum matching the graded batch twin (see stream_tumbling's
+    rationale)."""
     return stream.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(grid(F.col("value"), 100)).cast("long") / F.lit(100.0)).alias(
+            "total_value"
+        ),
     )
 
 

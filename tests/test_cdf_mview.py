@@ -385,6 +385,26 @@ def test_mview_minmax_first_refresh_with_churn(spark, tmp_path):
     assert _mm_state(view) == _mm_recompute(src) == {1: (10, 10, 1), 2: (5, 5, 1)}
 
 
+def test_mview_minmax_null_key_rescan_keeps_group(spark, tmp_path):
+    """ADVICE r9: _recompute's semi join must be null-safe (eqNullSafe,
+    like the fold join) — with a plain EqualTo on=keys condition, a NULL
+    group key flagged for rescan never matches and the group silently
+    drops from the view even though it still has live rows."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    view = _mm_view(spark, tmp_path, src)
+    src.commit(
+        spark.createDataFrame([(None, 10), (None, 20), (1, 5)], "k long, v long")
+    )
+    view.refresh()
+    assert _mm_state(view) == {None: (10, 20, 2), 1: (5, 5, 1)}
+    src.delete([("v", "=", 20)])  # kills the NULL group's max → rescan
+    view.refresh()
+    assert _mm_state(view) == _mm_recompute(src) == {
+        None: (10, 10, 1),
+        1: (5, 5, 1),
+    }
+
+
 def test_mview_minmax_group_death(spark, tmp_path):
     src = TxTable(spark, str(tmp_path / "src"))
     view = _mm_view(spark, tmp_path, src)

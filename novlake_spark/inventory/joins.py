@@ -58,14 +58,17 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name,
            coalesce(o_orderkey, -1)          AS o_key,
-           round(coalesce(o_totalprice, 0), 2) AS total
+           CAST(floor(coalesce(o_totalprice, 0) * 100 + 0.5) AS BIGINT)
+               / CAST(100 AS DOUBLE) AS total
     FROM customer LEFT JOIN orders
       ON c_custkey = o_custkey AND o_totalprice > 400000
     """,
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: left outer join; unmatched rows surface with coalesced defaults
-    so the output stays null-free (SURVEY.md §5.3)."""
+    so the output stays null-free (SURVEY.md §5.3). The money column
+    rides the per-row grid, not round() (the residual float class —
+    migrated round 10 as this key rotated)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     cond = (customer.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000)
@@ -73,7 +76,9 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         F.coalesce("o_orderkey", F.lit(-1)).alias("o_key"),
-        F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("total"),
+        (grid(F.coalesce("o_totalprice", F.lit(0.0)), 100) / F.lit(100.0)).alias(
+            "total"
+        ),
     )
 
 

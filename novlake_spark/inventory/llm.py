@@ -171,7 +171,8 @@ def q_llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
-           round(list_dot_product(a.v, b.v), 4) AS score
+           CAST(floor(list_dot_product(a.v, b.v) * 10000 + 0.5) AS BIGINT)
+               / CAST(10000 AS DOUBLE) AS score
     FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) > 0.4
     """,

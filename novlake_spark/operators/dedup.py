@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.operators.text import tokens
 
 
@@ -224,7 +225,18 @@ def block_cosine_pairs(
         )
 
     pairs = capped.groupBy(block_col).applyInPandas(per_block, out_schema)
-    return pairs.select("a_id", "b_id", block_col, F.round("score", 4).alias("score"))
+    # grid(), not round(): the score is a deterministic fold-order dot
+    # product (identical double in both engines), but Spark's round()
+    # is decimal-string HALF_UP while DuckDB rounds the binary value —
+    # within an ULP of a 1e-4 boundary they can disagree. floor(x·1e4
+    # + 0.5) is the boundary-free spelling (ORACLE_NOTES.md residual
+    # class, migrated round 10 as this key rotated).
+    return pairs.select(
+        "a_id",
+        "b_id",
+        block_col,
+        (grid(F.col("score"), 10000) / F.lit(10000.0)).alias("score"),
+    )
 
 
 def lsh_bucket_stats(sig: DataFrame, id_col: str = "doc_id", num_bands: int = 8, rows_per_band: int = 4) -> DataFrame:

@@ -88,6 +88,12 @@ ROUND_HEAD: list[str] = [
     "q_llm_textstats",
     "q_udaf_grouped",
     "q_tpch_q17",
+    # residual per-row round(expr,N) migrations, done opportunistically
+    # because these keys were ALREADY in this window's staleness fill
+    # (VERDICT r9 next #7) — flipping them to head leaves the window
+    # membership unchanged
+    "q_llm_dedup_embed",
+    "q_join_left",
 ]
 
 PRIORITY: list[str] = [

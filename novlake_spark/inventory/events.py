@@ -484,8 +484,9 @@ def q_event_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_diff",
     oracle="""
     SELECT event_id, user_id,
-           round(value - lag(value) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id), 2) AS dv
+           CAST(floor((value - lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)) * 100 + 0.5) AS BIGINT)
+               / CAST(100 AS DOUBLE) AS dv
     FROM events
     """,
 )
@@ -499,10 +500,15 @@ def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # per-row grid, not round(): the diff is a deterministic double in
+    # both engines; round() is the HALF_UP-vs-binary residual class
+    # (migrated round 10 as this key rotated)
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("dv"),
+        (grid(F.col("value") - F.lag("value").over(w), 100) / F.lit(100.0)).alias(
+            "dv"
+        ),
     )
 
 
@@ -510,8 +516,9 @@ def q_ts_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_diff_skewsafe",
     oracle="""
     SELECT event_id, user_id,
-           round(value - lag(value) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id), 2) AS dv
+           CAST(floor((value - lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)) * 100 + 0.5) AS BIGINT)
+               / CAST(100 AS DOUBLE) AS dv
     FROM events
     """,
 )
@@ -535,7 +542,7 @@ def q_ts_diff_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.col("_lag"), 2).alias("dv"),
+        (grid(F.col("value") - F.col("_lag"), 100) / F.lit(100.0)).alias("dv"),
     )
 
 

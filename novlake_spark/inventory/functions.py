@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -56,7 +57,7 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
-           round(value, 2) AS value
+           CAST(floor(value * 100 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS value
     FROM events
     """,
 )
@@ -74,7 +75,9 @@ def q_scan_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-        F.round("value", 2).alias("value"),
+        # per-row grid, not round() — the residual HALF_UP-vs-binary
+        # class, migrated round 10 as this key rotated
+        (grid(F.col("value"), 100) / F.lit(100.0)).alias("value"),
     )
 
 

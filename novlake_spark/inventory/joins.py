@@ -22,7 +22,8 @@ from novlake_spark.sources.tables import load_table
 @register(
     "q_join_inner",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment, n_name, round(c_acctbal, 2) AS acctbal
+    SELECT c_custkey, c_name, c_mktsegment, n_name,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     """,
 )
@@ -49,7 +50,9 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_mktsegment",
         "n_name",
-        F.round("c_acctbal", 2).alias("acctbal"),
+        # per-row grid, not round() — the residual HALF_UP-vs-binary
+        # class, migrated round 10 as this key rotated
+        (grid(F.col("c_acctbal"), 100) / F.lit(100.0)).alias("acctbal"),
     )
 
 

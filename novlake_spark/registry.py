@@ -94,6 +94,10 @@ ROUND_HEAD: list[str] = [
     # membership unchanged
     "q_llm_dedup_embed",
     "q_join_left",
+    "q_ts_diff",
+    "q_ts_diff_skewsafe",
+    "q_join_inner",
+    "q_scan_events_ts",
 ]
 
 PRIORITY: list[str] = [

@@ -25,7 +25,7 @@ the driver, not the data, becomes the bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tracked lazy persists (see novlake_spark/cache.py): persists at

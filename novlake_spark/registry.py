@@ -45,7 +45,7 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: so the suite stays green when the driver writes the current round's
 #: grade file after the final commit (VERDICT r6 wrong #2 — the old
 #: recompute-over-everything made every round boundary red).
-#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 23 keys
+#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 30 keys
 #: that are new or whose implementation/oracle changed this round —
 #: q_llm_bm25 (new, queue #3), q_stream_restart_watermark (new,
 #: stretch #8), q_graph_triangles (closing-join key
@@ -55,10 +55,14 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: the builder's own round-10 deadline (ORACLE_NOTES.md) — three of
 #: which are themselves r5-vintage. Then the two r4 ties the round-9
 #: window declared (q_tpch_q4, q_ts_diff) and the stalest r5 cohort in
-#: stable order. 24 + 2 + 24 = 50; the r5 keys left outside tie the
-#: window's worst non-head staleness (r5), legal under the
-#: strict-staler-only rule. After round-10 grades land, no key's
-#: latest evidence is older than r5.
+#: stable order. The six opportunistic residual-round migrations
+#: (dedup_embed, join_left, ts_diff, ts_diff_skewsafe, join_inner,
+#: scan_events_ts) were ALREADY in this window's fill, so flipping
+#: them to head left membership unchanged: 30 head + 2 ties + 18
+#: staleness fill = 50; the r5 keys left outside tie the window's
+#: worst non-head staleness (r5), legal under the strict-staler-only
+#: rule. After round-10 grades land, no key's latest evidence is
+#: older than r5.
 ROUND: int = 10
 
 #: Keys that MUST be re-graded this round: implementation or oracle

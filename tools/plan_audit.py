@@ -86,25 +86,97 @@ def _collapse_cached(plan: str) -> str:
     the edge list feeds degree + orientation + each PageRank iteration)
     would inflate every counter by the reference count — the opposite
     of what executes (the cache materializes once; later references
-    read columnar batches). Each distinct cached plan (id-normalized)
-    is kept the first time and replaced by a one-line ref afterwards,
-    which is exactly the executed cost shape."""
+    read columnar batches). Each distinct cache — identified by its
+    normalized HEADER (schema + storage level) — is kept the first
+    time and replaced by a one-line ref afterwards, which is exactly
+    the executed cost shape.
+
+    Known string-level caveat (round 10): once a cache is MATERIALIZED
+    before the audit (an operator-internal bounded collect, or an
+    iterative operator's actions), its references print as
+    ``AdaptiveSparkPlan isFinalPlan=true`` whose Final-Plan section may
+    ELIDE reused query stages' children — so counters inside that
+    cache's build pipeline can undercount (e.g. a parquet scan hidden
+    behind a reused ShuffleQueryStage). The main query body — where
+    python_evals / single-partition exchanges / unbounded broadcasts
+    would appear — is unaffected; treat build-pipeline counter DIFFS on
+    cache-materializing keys with that grain of salt."""
+    def _depth(line: str) -> int:
+        # Tree depth of a plan line. Materialized caches print an
+        # `AdaptiveSparkPlan isFinalPlan=true` body whose section lines
+        # (`ResultQueryStage 1`, the first node under `== Initial Plan
+        # ==`) carry NO `+-`/`:-` marker — the round-10 triangles bounds
+        # collect() materialized the edge cache during plan build and
+        # those marker-less lines made the old marker-only walk stop
+        # mid-block, so the cached subtree escaped the collapse and was
+        # re-counted at all ~38 reference points (scans 2→72 noise in
+        # PLANS.json, found by the round-10 self-review). Fall back to
+        # leading-scaffolding width when no marker exists.
+        p = _marker_pos(line)
+        if p >= 0:
+            return p
+        return len(line) - len(line.lstrip(" :"))
+
     lines = plan.splitlines()
+    # Drop `== Initial Plan ==` sections outright: they are the
+    # pre-AQE plan of a materialized cache — never executed — and
+    # would double-count every node of the kept cached copy.
+    pruned, i = [], 0
+    while i < len(lines):
+        if "== Initial Plan ==" in lines[i]:
+            pos = _depth(lines[i])
+            i += 1
+            while i < len(lines) and _depth(lines[i]) > pos:
+                i += 1
+            continue
+        pruned.append(lines[i])
+        i += 1
+    lines = pruned
+
+    _SECTION = re.compile(r"^\s*\+?-?\s*== (Final|Initial) Plan ==")
+
+    def _block_end(start: int, pos: int) -> int:
+        # Walk a cached block. A MATERIALIZED cache's AdaptiveSparkPlan
+        # body prints its `== Final/Initial Plan ==` sections with the
+        # AQE printer's OWN indentation — for deeply-nested caches that
+        # is SHALLOWER than the parent tree's scaffolding, so a pure
+        # depth walk exits mid-block and the section body escapes the
+        # collapse (the second failure shape the round-10 self-review's
+        # find exposed once the first was fixed). The only shallow-reset
+        # shape is those section headers, so consume a section (header +
+        # its deeper body) whenever one appears where depth says the
+        # block ended.
+        j = start
+        while j < len(lines):
+            if _depth(lines[j]) > pos:
+                j += 1
+                continue
+            if _SECTION.match(lines[j]):
+                spos = _depth(lines[j])
+                j += 1
+                while j < len(lines) and _depth(lines[j]) > spos:
+                    j += 1
+                continue
+            break
+        return j
+
     out, seen, i = [], set(), 0
     while i < len(lines):
         line = lines[i]
         if "InMemoryRelation" in line:
             pos = _marker_pos(line)
-            j = i + 1
-            while j < len(lines) and _marker_pos(lines[j]) > pos:
-                j += 1
-            # hash the DEDENTED block: the same cached plan prints at
-            # different tree depths per reference, so the leading
-            # ":  " scaffolding must not enter the fingerprint
-            body = "\n".join(
-                re.sub(r"^[\s:]*(\+-|:-)?\s*", "", x) for x in lines[i:j]
-            )
-            key = hashlib.md5(normalize(body).encode()).hexdigest()
+            j = _block_end(i + 1, pos)
+            # dedup key = the normalized HEADER line (schema + storage
+            # level), not the body: one logical cache prints its child
+            # as `AdaptiveSparkPlan isFinalPlan=true` + QueryStage-
+            # wrapped Final Plan at references printed AFTER an action
+            # materialized it, and as the static `isFinalPlan=false`
+            # tree elsewhere in the SAME plan string — body hashes
+            # differ, the cache is one, and keeping both double-counted
+            # every node of its build pipeline (round-10 self-review
+            # follow-up; distinct caches in this repo never share a
+            # normalized column list, which the header carries).
+            key = normalize(re.sub(r"^[\s:]*(\+-|:-)?\s*", "", line))
             if key in seen:
                 out.append(line[: max(pos, 0)] + "+- InMemoryRelation <cached-plan-ref>")
                 i = j

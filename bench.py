@@ -124,8 +124,10 @@ HEADLINE = [
     # data-throughput key) and leakage-safe cluster splits
     "q_llm_perplexity_kn",
     "q_sample_split_leakage_safe",
-    # round-10 addition: BM25 retrieval (queue #3)
+    # round-10 additions: BM25 retrieval (queue #3), DSIR importance
+    # weights (hashed-n-gram resampling, Xie et al. 2023)
     "q_llm_bm25",
+    "q_llm_dsir_weights",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

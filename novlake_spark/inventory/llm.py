@@ -420,6 +420,104 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_dsir_weights",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+                 FROM documents),
+    bg AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM tok),
+    b AS (SELECT doc_id, source, substr(md5(bg), 1, 2) AS bk FROM bg),
+    t AS (SELECT bk, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY bk),
+    s AS (SELECT bk, count(*) AS cs FROM b WHERE source <> 'src0' GROUP BY bk),
+    tot AS (SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+                   CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ts
+            FROM b),
+    lam AS (SELECT s.bk,
+                   CAST(floor(ln(((coalesce(ct, 0) + 1) / (CAST(tt AS DOUBLE) + 256))
+                                 / ((cs + 1) / (CAST(ts AS DOUBLE) + 256)))
+                              * 1000000 + 0.5) AS BIGINT) AS ilam
+            FROM s LEFT JOIN t USING (bk), tot)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(ilam) AS BIGINT) / CAST(1000000 AS DOUBLE) AS weight
+    FROM b JOIN lam USING (bk)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+)
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71 (round 10): DSIR importance weights — data selection via
+    hashed-n-gram importance resampling (Xie et al., NeurIPS 2023),
+    the method behind targeted pretraining-mixture reweighting: score
+    every raw document by how much more likely its hashed-bigram bag
+    is under the TARGET distribution (here: the source='src0' slice,
+    the same designated slice the contamination keys use) than under
+    the raw pool, w(d) = Σ_features ln(p̂_target/p̂_raw) with add-one
+    smoothing over 256 md5-prefix buckets (paper uses 10k buckets;
+    bucket count is a constant in the expressions below).
+
+    Exactness (the lm.py grid-nll contract): bucket counts and totals
+    are exact integers; each per-bucket log-ratio is a FIXED tree of
+    IEEE ops over exact inputs, mirrored op-for-op in the oracle
+    (ratio of two quotients, never reassociated; ln is the libm
+    residual class the 1e-6 grid absorbs); per-doc weights are sums of
+    gridded BIGINTs — order-free — with one presentation division.
+
+    Scale shape: one corpus scan explodes bigrams map-side; the bucket
+    histograms are ≤256-row aggregates (map-side partials make the
+    exchange O(buckets·tasks)); λ joins back as a 256-row broadcast,
+    so the only data-sized exchange is the final doc_id-keyed partial
+    sum. Bigram STRINGS never shuffle — they reduce to 2-hex-char
+    bucket keys at the map side. At 100 TB this is exactly the DSIR
+    paper's architecture: a streaming histogram pass + an embarrassing
+    per-doc score pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.col("text")), " ")
+    bgs = F.when(
+        F.size(F.col("_tk")) >= 2,
+        F.expr("transform(sequence(0, size(_tk) - 2), i -> concat(_tk[i], ' ', _tk[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    b = (
+        docs.withColumn("_tk", tk)
+        .select("doc_id", "source", F.explode(bgs).alias("bg"))
+        .select("doc_id", "source", F.substring(F.md5(F.col("bg")), 1, 2).alias("bk"))
+    )
+    is_target = F.col("source") == "src0"
+    t = b.filter(is_target).groupBy("bk").agg(F.count(F.lit(1)).alias("ct"))
+    s = b.filter(~is_target).groupBy("bk").agg(F.count(F.lit(1)).alias("cs"))
+    tot = b.agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("tt"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("ts"),
+    )
+    # expression tree kept IDENTICAL to the oracle's, op for op
+    lam = (
+        s.join(t, "bk", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bk",
+            grid(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt").cast("double") + 256))
+                    / ((F.col("cs") + 1) / (F.col("ts").cast("double") + 256))
+                ),
+                1000000,
+            ).alias("ilam"),
+        )
+    )
+    return (
+        b.filter(~is_target)
+        .join(F.broadcast(lam), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("ilam").cast("long") / F.lit(1000000.0)).alias("weight"),
+        )
+    )
+
+
 #: Fixed BM25 parameters (Robertson et al., TREC-3; the k1=1.2 b=0.75
 #: defaults every Lucene/Elasticsearch deployment ships). Both engines
 #: read the same literals, so the doubles are bit-identical.

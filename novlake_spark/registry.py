@@ -45,7 +45,7 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: so the suite stays green when the driver writes the current round's
 #: grade file after the final commit (VERDICT r6 wrong #2 — the old
 #: recompute-over-everything made every round boundary red).
-#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 30 keys
+#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 31 keys
 #: that are new or whose implementation/oracle changed this round —
 #: q_llm_bm25 (new, queue #3), q_stream_restart_watermark (new,
 #: stretch #8), q_graph_triangles (closing-join key
@@ -58,7 +58,7 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: stable order. The six opportunistic residual-round migrations
 #: (dedup_embed, join_left, ts_diff, ts_diff_skewsafe, join_inner,
 #: scan_events_ts) were ALREADY in this window's fill, so flipping
-#: them to head left membership unchanged: 30 head + 2 ties + 18
+#: them to head left membership unchanged: 31 head + 2 ties + 17
 #: staleness fill = 50; the r5 keys left outside tie the window's
 #: worst non-head staleness (r5), legal under the strict-staler-only
 #: rule. After round-10 grades land, no key's latest evidence is
@@ -69,6 +69,7 @@ ROUND: int = 10
 #: changed since their last grade (plus the round-10 additions).
 ROUND_HEAD: list[str] = [
     "q_llm_bm25",
+    "q_llm_dsir_weights",
     "q_stream_restart_watermark",
     "q_graph_triangles",
     "q_mview_minmax",
@@ -106,6 +107,7 @@ ROUND_HEAD: list[str] = [
 
 PRIORITY: list[str] = [
     "q_llm_bm25",
+    "q_llm_dsir_weights",
     "q_stream_restart_watermark",
     "q_graph_triangles",
     "q_mview_minmax",

@@ -575,19 +575,26 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the tf table and (N, Σdl) a 1-row scan aggregate; both
     broadcast. The final top-50 runs as TakeOrderedAndProject
     (zero-exchange per-partition heaps). Corpus-sized work: the tf scan
-    + the stats scan (df re-executes the tf subtree — Catalyst has no
-    common-subplan dedup — but its input is the already-filtered
-    posting set)."""
+    + the stats scan — exactly the two passes a retrieval scorer must
+    pay; the tf table (O(matching postings), tiny relative to the
+    corpus) is a TRACKED persist because df and the scoring join both
+    reference it and Catalyst has no common-subplan dedup — without
+    the cache, df's aggregation re-ran the corpus scan (the measured
+    KN rule: cache the high-fan-in SMALL table, recompute the rest;
+    bench/verify hand it back per key via cache.release_tracked)."""
+    from novlake_spark.cache import track
+
     docs = load_table(spark, sf_dir, "documents")
     terms = list(_BM25_TERMS)
     toks = F.split("text", " ")
-    tf = (
+    tf = track(
         docs.select(
             "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
         )
         .filter(F.col("tok").isin(terms))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(

@@ -466,13 +466,15 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual class the 1e-6 grid absorbs); per-doc weights are sums of
     gridded BIGINTs — order-free — with one presentation division.
 
-    Scale shape: one corpus scan explodes bigrams map-side; the bucket
-    histograms are ≤256-row aggregates (map-side partials make the
-    exchange O(buckets·tasks)); λ joins back as a 256-row broadcast,
-    so the only data-sized exchange is the final doc_id-keyed partial
-    sum. Bigram STRINGS never shuffle — they reduce to 2-hex-char
-    bucket keys at the map side. At 100 TB this is exactly the DSIR
-    paper's architecture: a streaming histogram pass + an embarrassing
+    Scale shape: TWO corpus scans total — the histogram pass (one
+    ≤256-row aggregate holding both slices' counts, persisted so the
+    totals and λ derivations don't re-run the explode; map-side
+    partials make its exchange O(buckets·tasks)) and the per-doc score
+    pass; λ joins the score pass as a ≤256-row broadcast, so the only
+    data-sized exchange is the final doc_id-keyed partial sum. Bigram
+    STRINGS never shuffle — they reduce to 2-hex-char bucket keys at
+    the map side. At 100 TB this is exactly the DSIR paper's
+    architecture: a streaming histogram pass + an embarrassing
     per-doc score pass."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.split(F.lower(F.col("text")), " ")
@@ -486,21 +488,37 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.substring(F.md5(F.col("bg")), 1, 2).alias("bk"))
     )
     is_target = F.col("source") == "src0"
-    t = b.filter(is_target).groupBy("bk").agg(F.count(F.lit(1)).alias("ct"))
-    s = b.filter(~is_target).groupBy("bk").agg(F.count(F.lit(1)).alias("cs"))
-    tot = b.agg(
-        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("tt"),
-        F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("ts"),
+    # ONE histogram pass: both slices' bucket counts fold in a single
+    # ≤256-row aggregate, PERSISTED (tracked) because totals and λ both
+    # reference it — without the cache each reference re-executed the
+    # corpus-sized bigram explode (4 scans in the first-landed plan;
+    # caught by the round-10 self-review against this docstring's own
+    # "one histogram pass" claim). The oracle's t/s/tot decomposition
+    # computes the identical exact integers: ct is 0 (not NULL) for a
+    # target-absent bucket, matching coalesce(ct,0); Σct / Σcs over all
+    # buckets ARE the slice totals.
+    from novlake_spark.cache import track
+
+    hist = track(
+        b.groupBy("bk")
+        .agg(
+            F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("cs"),
+        )
+        .persist()
+    )
+    tot = hist.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cs").cast("long").alias("ts")
     )
     # expression tree kept IDENTICAL to the oracle's, op for op
     lam = (
-        s.join(t, "bk", "left")
+        hist.filter(F.col("cs") > 0)
         .crossJoin(F.broadcast(tot))
         .select(
             "bk",
             grid(
                 F.log(
-                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("tt").cast("double") + 256))
+                    ((F.col("ct") + 1) / (F.col("tt").cast("double") + 256))
                     / ((F.col("cs") + 1) / (F.col("ts").cast("double") + 256))
                 ),
                 1000000,

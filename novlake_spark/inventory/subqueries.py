@@ -26,9 +26,13 @@ def _sql(spark: SparkSession, sf_dir: str, text: str, tables: list[str]) -> Data
 
 
 _SCALAR_SQL = """
-    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS total
     FROM orders
-    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > CAST(1.8 AS DOUBLE) *
+          (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / (CAST(100 AS DOUBLE) * count(*))
+           FROM orders)
 """
 
 
@@ -55,11 +59,14 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORR_SQL = """
-    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS total
     FROM orders o
-    WHERE o.o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
-                            FROM orders o2
-                            WHERE o2.o_custkey = o.o_custkey)
+    WHERE o.o_totalprice > CAST(1.5 AS DOUBLE) *
+          (SELECT CAST(sum(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / (CAST(100 AS DOUBLE) * count(*))
+           FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey)
 """
 
 
@@ -73,15 +80,18 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CTE_SQL = """
     WITH spend AS (
-      SELECT o_custkey, sum(o_totalprice) AS spend, count(*) AS n_orders
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents,
+             count(*) AS n_orders
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
-      SELECT o_custkey, spend, n_orders,
-             rank() OVER (ORDER BY spend DESC, o_custkey) AS rnk
+      SELECT o_custkey, spend_cents, n_orders,
+             rank() OVER (ORDER BY spend_cents DESC, o_custkey) AS rnk
       FROM spend
     )
-    SELECT CAST(r.rnk AS BIGINT) AS rnk, r.o_custkey, c.c_name, round(r.spend, 2) AS spend, r.n_orders
+    SELECT CAST(r.rnk AS BIGINT) AS rnk, r.o_custkey, c.c_name,
+           spend_cents / CAST(100 AS DOUBLE) AS spend, r.n_orders
     FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
     WHERE r.rnk <= 25
 """

@@ -509,9 +509,12 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_tpch_q14",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    SELECT CAST(100 AS DOUBLE)
+           * CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
     """,
@@ -526,9 +529,19 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_shipdate") >= _ts("1996-09-01")) & (F.col("l_shipdate") < _ts("1996-10-01")))
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) / F.sum(rev),
-                4,
+            # grid-ratio (the q8 mkt_share pattern): both sums are
+            # order-free BIGINTs on the 1e-4 grid; ×100 of the exact
+            # numerator stays exact (≪2^53) and ONE division ends it —
+            # the old round(raw/raw, 4) carried two order-dependent
+            # float sums into a rounding boundary (round-10 phase 3)
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", grid(rev, 10000)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum(grid(rev, 10000)).cast("double")
             ).alias("promo_revenue")
         )
     )
@@ -985,7 +998,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n_name, count(*) AS numcust, {_money_sum_sql("c_acctbal")} AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                              / (CAST(100 AS DOUBLE) * count(*))
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY n_name
     """,
@@ -996,7 +1011,16 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    # exact threshold: cents sum / (100·n), one division of exact
+    # operands — a raw avg(double) is order-of-summation-dependent and
+    # a customer whose balance ties the threshold could flip engines
+    # (round-10 phase-3 audit: float-aggregate THRESHOLDS)
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(grid(F.col("c_acctbal"), 100)).cast("long")
+            / (F.lit(100.0) * F.count(F.lit(1)))
+        ).alias("_avg")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))

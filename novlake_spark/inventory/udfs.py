@@ -110,18 +110,33 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_grouped_map",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS centered
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE)
+             - CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY c_nationkey) AS BIGINT)
+               / (CAST(100 AS DOUBLE) * count(*) OVER (PARTITION BY c_nationkey))
+             AS centered
     FROM customer
     """,
 )
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4: applyInPandas grouped-map — per-nation mean-centering, the
     canonical 'normalize within group' pattern. Groups must fit in one
-    worker's memory (bounded here; at scale pre-aggregate or salt)."""
+    worker's memory (bounded here; at scale pre-aggregate or salt).
+
+    Exactness (round-10 phase-3 audit): pandas' float mean is pairwise-
+    summed while the oracle's was Welford-or-sequential — an order-
+    dependent pair feeding a rounding boundary. Both sides now center
+    on the integer cents grid: exact BIGINT group sum, one division
+    each for the value and the mean, one subtraction of identical
+    doubles — bit-equal without any round()."""
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.copy()
-        pdf["centered"] = (pdf["c_acctbal"] - pdf["c_acctbal"].mean()).round(4)
+        cents = np.floor(pdf["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+        mean = cents.sum() / (100.0 * len(cents))
+        pdf["centered"] = cents / 100.0 - mean
         return pdf[["c_custkey", "c_nationkey", "centered"]]
 
     customer = load_table(spark, sf_dir, "customer")

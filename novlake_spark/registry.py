@@ -45,7 +45,7 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: so the suite stays green when the driver writes the current round's
 #: grade file after the final commit (VERDICT r6 wrong #2 — the old
 #: recompute-over-everything made every round boundary red).
-#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 31 keys
+#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 37 keys
 #: that are new or whose implementation/oracle changed this round —
 #: q_llm_bm25 (new, queue #3), q_stream_restart_watermark (new,
 #: stretch #8), q_graph_triangles (closing-join key
@@ -58,11 +58,15 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: stable order. The six opportunistic residual-round migrations
 #: (dedup_embed, join_left, ts_diff, ts_diff_skewsafe, join_inner,
 #: scan_events_ts) were ALREADY in this window's fill, so flipping
-#: them to head left membership unchanged: 31 head + 2 ties + 17
-#: staleness fill = 50; the r5 keys left outside tie the window's
-#: worst non-head staleness (r5), legal under the strict-staler-only
-#: rule. After round-10 grades land, no key's latest evidence is
-#: older than r5.
+#: them to head cost nothing; the six phase-3 threshold/rank/ratio
+#: migrations (subquery_scalar, subquery_correlated, cte, q14, q22,
+#: udf_grouped_map) spend six slots deliberately — a float-aggregate
+#: THRESHOLD flip is a sharper flake than a presentation round().
+#: Final arithmetic: 37 head + 1 tie (q_tpch_q4; q_ts_diff moved into
+#: the head with its own migration) + 12 stalest-r5 fill = 50; the r5
+#: keys left outside tie the window's worst non-head staleness (r5),
+#: legal under the strict-staler-only rule. After round-10 grades
+#: land, no key's latest evidence is older than r5.
 ROUND: int = 10
 
 #: Keys that MUST be re-graded this round: implementation or oracle
@@ -103,6 +107,19 @@ ROUND_HEAD: list[str] = [
     "q_ts_diff_skewsafe",
     "q_join_inner",
     "q_scan_events_ts",
+    # phase-3 audit (round 10): order-dependent float aggregates in
+    # PREDICATE THRESHOLDS, rank keys and ratios — the class the
+    # phase-1/2 sweeps never reached because no round() marked it.
+    # Found by a systematic grep of every oracle for sum(/avg( over
+    # float columns without a grid; migrated to exact cents/1e-4-grid
+    # forms, window slots spent deliberately (a threshold flip is a
+    # sharper flake than a presentation round)
+    "q_subquery_scalar",
+    "q_subquery_correlated",
+    "q_cte",
+    "q_tpch_q14",
+    "q_tpch_q22",
+    "q_udf_grouped_map",
 ]
 
 PRIORITY: list[str] = [
@@ -131,12 +148,21 @@ PRIORITY: list[str] = [
     "q_llm_textstats",
     "q_udaf_grouped",
     "q_tpch_q17",
-    "q_tpch_q4",
+    "q_llm_dedup_embed",
+    "q_join_left",
     "q_ts_diff",
+    "q_ts_diff_skewsafe",
+    "q_join_inner",
+    "q_scan_events_ts",
+    "q_subquery_scalar",
+    "q_subquery_correlated",
+    "q_cte",
+    "q_tpch_q14",
+    "q_tpch_q22",
+    "q_udf_grouped_map",
+    "q_tpch_q4",
     "q_scan_parquet",
     "q_llm_contamination",
-    "q_join_inner",
-    "q_llm_dedup_embed",
     "q_llm_knn_lsh",
     "q_llm_knn_ivf",
     "q_html_extract",
@@ -150,11 +176,8 @@ PRIORITY: list[str] = [
     "q_tar_extract",
     "q_fix_mojibake",
     "q_zip_extract",
-    "q_ts_diff_skewsafe",
     "q_win_rownum_skewsafe",
     "q_json_extract",
-    "q_scan_events_ts",
-    "q_join_left",
     "q_join_semi",
     "q_join_cross",
     "q_join_multikey",
@@ -233,11 +256,9 @@ PRIORITY: list[str] = [
     "q_llm_tfidf",
     "q_llm_knn_single",
     "q_tpch_q18",
-    "q_subquery_correlated",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q13",
-    "q_tpch_q14",
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q21",
@@ -246,7 +267,6 @@ PRIORITY: list[str] = [
     "q_win_first_last",
     "q_win_nth_value",
     "q_win_percent_rank",
-    "q_subquery_scalar",
     "q_graph_pagerank",
     "q_emb_pq_encode",
     "q_sample_priority",
@@ -270,13 +290,11 @@ PRIORITY: list[str] = [
     "q_tpch_q10",
     "q_tpch_q15",
     "q_tpch_q19",
-    "q_tpch_q22",
     "q_llm_dedup_incremental",
     "q_multimodal_phash_clusters",
     "q_txlog_schema_lifecycle",
     "q_llm_embed_centroid",
     "q_emb_gram",
-    "q_cte",
     "q_filter_in_between_like",
     "q_fn_struct",
     "q_llm_pii_scrub",
@@ -293,7 +311,6 @@ PRIORITY: list[str] = [
     "q_subquery_in",
     "q_ts_interpolate",
     "q_ts_locf",
-    "q_udf_grouped_map",
     "q_llm_contamination_ngram",
     "q_sample_split_leakage_safe",
     "q_llm_perplexity_kn",
@@ -342,8 +359,6 @@ PRIORITY: list[str] = [
     "q_sample_reservoir",
     "q_tpch_q2",
 ]
-
-
 
 def register(
     key: str,

@@ -219,13 +219,23 @@ def triangles_per_node(edges: DataFrame, src: str = "a", dst: str = "b") -> Data
             | ((F.col("_d") == F.col("_dv")) & (F.col("_u") < F.col("_v")))
         )
         .select(F.col("_u").alias("_w"), F.col("_v").alias("_x"), F.col("_dv").alias("_dx"))
-        .repartition(width, "_w")
         .persist()
     )
     o = _track(o)
+    # Width is applied AFTER the cache read, not baked into it (round
+    # 10, found reading the executed plan): an InMemoryRelation's child
+    # is an AdaptiveSparkPlan whose output partitioning the OUTER
+    # planner cannot see, so a repartition stored inside the cache was
+    # pure waste — the wedge join re-exchanged BOTH sides with
+    # ENSURE_REQUIREMENTS anyway (three _w shuffles total). A visible
+    # repartition on the cache READ satisfies the join's distribution
+    # requirement for both children (o2 is a projection of the same
+    # node, so the single exchange is planned once and reused), and
+    # the cache build itself saves a shuffle.
+    ow = o.repartition(width, "_w")
     # Wedges from each pivot w: out-neighbor pairs (x, y), rank(x) < rank(y).
-    o2 = o.select(F.col("_w"), F.col("_x").alias("_y"), F.col("_dx").alias("_dy"))
-    wedges = o.join(o2, "_w").filter(
+    o2 = ow.select(F.col("_w"), F.col("_x").alias("_y"), F.col("_dx").alias("_dy"))
+    wedges = ow.join(o2, "_w").filter(
         (F.col("_dx") < F.col("_dy"))
         | ((F.col("_dx") == F.col("_dy")) & (F.col("_x") < F.col("_y")))
     )

@@ -477,16 +477,14 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     architecture: a streaming histogram pass + an embarrassing
     per-doc score pass."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split(F.lower(F.col("text")), " ")
-    bgs = F.when(
-        F.size(F.col("_tk")) >= 2,
-        F.expr("transform(sequence(0, size(_tk) - 2), i -> concat(_tk[i], ' ', _tk[i+1]))"),
-    ).otherwise(F.array().cast("array<string>"))
-    b = (
-        docs.withColumn("_tk", tk)
-        .select("doc_id", "source", F.explode(bgs).alias("bg"))
-        .select("doc_id", "source", F.substring(F.md5(F.col("bg")), 1, 2).alias("bk"))
-    )
+    # T.shingles_arrow(·, 2) = bigrams of lower(text) split on spaces,
+    # short-doc-guarded — value-identical to the oracle's
+    # list_transform over string_split(lower(text)) (the same helper
+    # the sibling bigram keys use; self-review: don't re-implement its
+    # edge cases inline)
+    b = docs.select(
+        "doc_id", "source", F.explode(T.shingles_arrow(F.col("text"), 2)).alias("bg")
+    ).select("doc_id", "source", F.substring(F.md5(F.col("bg")), 1, 2).alias("bk"))
     is_target = F.col("source") == "src0"
     # ONE histogram pass: both slices' bucket counts fold in a single
     # ≤256-row aggregate, PERSISTED (tracked) because totals and λ both

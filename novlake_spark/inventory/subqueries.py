@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novlake_spark.operators.numerics import avg_cents_sql, cents_sql
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -25,14 +26,11 @@ def _sql(spark: SparkSession, sf_dir: str, text: str, tables: list[str]) -> Data
     return spark.sql(text)
 
 
-_SCALAR_SQL = """
-    SELECT o_orderkey,
-           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS total
+_SCALAR_SQL = f"""
+    SELECT o_orderkey, {cents_sql("o_totalprice")} AS total
     FROM orders
     WHERE o_totalprice > CAST(1.8 AS DOUBLE) *
-          (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                  / (CAST(100 AS DOUBLE) * count(*))
-           FROM orders)
+          (SELECT {avg_cents_sql("o_totalprice")} FROM orders)
 """
 
 
@@ -58,13 +56,11 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _IN_SQL, ["customer", "orders"])
 
 
-_CORR_SQL = """
-    SELECT o.o_orderkey, o.o_custkey,
-           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS total
+_CORR_SQL = f"""
+    SELECT o.o_orderkey, o.o_custkey, {cents_sql("o.o_totalprice")} AS total
     FROM orders o
     WHERE o.o_totalprice > CAST(1.5 AS DOUBLE) *
-          (SELECT CAST(sum(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                  / (CAST(100 AS DOUBLE) * count(*))
+          (SELECT {avg_cents_sql("o2.o_totalprice")}
            FROM orders o2
            WHERE o2.o_custkey = o.o_custkey)
 """

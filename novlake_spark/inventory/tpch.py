@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from novlake_spark.operators.numerics import grid
+from novlake_spark.operators.numerics import avg_cents_sql, grid
 from novlake_spark.registry import register
 from novlake_spark.sources.tables import load_table
 
@@ -998,8 +998,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n_name, count(*) AS numcust, {_money_sum_sql("c_acctbal")} AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_acctbal > (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                              / (CAST(100 AS DOUBLE) * count(*))
+    WHERE c_acctbal > (SELECT {avg_cents_sql("c_acctbal")}
                        FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY n_name

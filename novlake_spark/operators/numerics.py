@@ -30,3 +30,26 @@ def grid(col: Column, scale: int) -> Column:
     the identical deterministic result), just not symmetric rounding.
     """
     return F.floor(col * scale + F.lit(0.5)).cast("long")
+
+
+def grid_sql(expr: str, scale: int) -> str:
+    """SQL twin of :func:`grid` — keep in lockstep (ONE spelling rule).
+
+    The round-10 phase-3 review found the cents/avg fragments hand-
+    copied across six oracles; these helpers make the op-identical
+    invariant structural instead of copy-discipline."""
+    return f"CAST(floor({expr} * {scale} + 0.5) AS BIGINT)"
+
+
+def cents_sql(expr: str) -> str:
+    """Per-row exact 2-dp presentation: grid to cents, ONE division."""
+    return f"{grid_sql(expr, 100)} / CAST(100 AS DOUBLE)"
+
+
+def avg_cents_sql(expr: str) -> str:
+    """Exact mean of a 2-dp money column: order-free BIGINT cents sum,
+    ONE division by the exact scaled count."""
+    return (
+        f"CAST(sum({grid_sql(expr, 100)}) AS BIGINT)"
+        f" / (CAST(100 AS DOUBLE) * count(*))"
+    )

@@ -128,6 +128,10 @@ HEADLINE = [
     # weights (hashed-n-gram resampling, Xie et al. 2023)
     "q_llm_bm25",
     "q_llm_dsir_weights",
+    # round-11 additions: hybrid RRF fusion (BM25 + dense, SIGIR'09)
+    # and the hash-graded LSH detection path (planted equal-set dups)
+    "q_llm_hybrid_rrf",
+    "q_llm_dedup_near_planted",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

@@ -200,6 +200,24 @@ def q_stream_restart_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise TimeoutError(
                     "watermark availableNow pass still running after 300 s"
                 )
+            # The oracle's day set is derived under "each start plans
+            # exactly ONE micro-batch" (wm advances only at the batch
+            # boundary, so pass 2 runs entirely at the even-rows wm).
+            # That holds structurally — the txlog source has no
+            # per-trigger cap (latestOffset always returns the newest
+            # version, txlog_source.py:492) and availableNow captures
+            # the end offset once — but ADVICE r10 asked it be PINNED,
+            # not measured: if a future source/engine change splits a
+            # pass into n>1 batches, the watermark would advance
+            # mid-pass and the emitted day set would silently exceed
+            # the oracle's. Fail loudly here instead.
+            n_batches = len(q.recentProgress)
+            if n_batches != 1:
+                raise RuntimeError(
+                    f"watermark-restart drain planned {n_batches} "
+                    "micro-batches (expected exactly 1); the oracle's "
+                    "watermark arithmetic no longer matches the engine"
+                )
 
         src.commit(ev.filter(F.col("event_id") % 2 == 0))
         drain()  # pass 1: wm 0 during the batch; emits nothing

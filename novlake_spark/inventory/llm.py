@@ -93,6 +93,93 @@ def q_llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_pairs(docs, threshold=0.0)
 
 
+@register(
+    "q_llm_dedup_near_planted",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS ss
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus)
+      WHERE len(toks) >= 3),
+    keyed AS (SELECT doc_id, md5(array_to_string(ss, chr(31))) AS k,
+                     CAST(len(ss) AS BIGINT) AS n
+              FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_shingles
+    FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+    """,
+)
+def q_llm_dedup_near_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 FULL-graded half (round 11, VERDICT r10 missing #3): the REAL
+    MinHash(32) → LSH(8×4) → verify pipeline, hash-graded by planting
+    duplicates whose detection is arithmetically FORCED. Corpus =
+    documents ∪ an exact copy of every doc_id % 5 == 0 doc (id-offset
+    +1e6); verification keeps candidates whose distinct 3-token shingle
+    SETS are EQUAL (threshold 1.0 in set terms — an integer comparison,
+    no float anywhere).
+
+    Why the oracle is exact: equal shingle sets ⇒ equal shingle-hash
+    sets ⇒ identical MinHash signatures ⇒ equal in EVERY band ⇒
+    guaranteed LSH candidate (loss would need >max_bucket collisions in
+    all 8 bands simultaneously; the 3-SF sweep checks the cap never
+    bites). Conversely any candidate with unequal sets — incidental
+    band collisions included — is filtered by the verify stage in both
+    engines. So the emitted set is EXACTLY {pairs with equal shingle
+    sets}, which DuckDB derives directly (canonical sorted-set md5
+    join; the md5 key never crosses engines, so collation order is
+    irrelevant — only within-engine set equality matters). The general
+    thresholded pipeline stays separately graded as q_llm_dedup_near
+    (rows-only by declared design) with planted-pair recall in pytest;
+    THIS key makes the detection half hash-checkable without
+    pretending banded MinHash at threshold <1 is engine-portable.
+
+    Scale shape: identical to q_llm_dedup_near — signatures are one
+    Arrow pass over the corpus, banding is one O(docs·bands) exchange
+    of (band, bucket, id), pair expansion happens inside bucket rows
+    (never a self-join), and the verify join touches only candidate
+    ids with a 40 B/doc (md5, n) projection — shingle strings never
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    sig = D.minhash_signatures(corpus)  # 32 hashes, 3-token shingles
+    cand = D.lsh_candidate_pairs(sig)  # 8 bands × 4 rows
+    # canonical per-doc shingle-set key: sorted distinct shingles, md5
+    # over a chr(31)-joined serialization (tokens are space-split so
+    # shingle strings contain spaces; the control char keeps boundaries
+    # unambiguous — fixtures verified free of chr(31))
+    keyed = (
+        corpus.select(
+            "doc_id",
+            F.sort_array(T.shingles_arrow(F.col("text"), 3, unique=True)).alias("ss"),
+        )
+        .filter(F.size("ss") >= 1)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws("\x1f", "ss")).alias("k"),
+            F.size("ss").cast("long").alias("n"),
+        )
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("k").alias("ka"), F.col("n").alias("na")
+    )
+    b = keyed.select(F.col("doc_id").alias("id_b"), F.col("k").alias("kb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("ka") == F.col("kb"))
+        .select("id_a", "id_b", F.col("na").alias("n_shingles"))
+    )
+
+
 @register("q_llm_dedup_simhash", weak=True)  # WEAK: xxhash64 has no DuckDB equivalent
 def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2b: 32-bit SimHash signature per document (Hamming-dedup input)."""
@@ -541,11 +628,13 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TERMS = ("table", "scan", "merge")
 
-
-@register(
-    "q_llm_bm25",
-    oracle="""
-    WITH tf AS (
+#: Shared oracle CTE block: per-doc INTEGER BM25 scores (1e-6 grid) for
+#: the fixed 3-term query — ONE spelling, consumed by q_llm_bm25 and
+#: q_llm_hybrid_rrf (the grid_sql lesson: shared SQL forms are
+#: structural, not copy-discipline). ``lexs.ibm25`` is an exact BIGINT,
+#: so every downstream rank/tie-break is integer arithmetic.
+_BM25_SQL_CTES = """
+    tf AS (
       SELECT doc_id, tok, count(*) AS tf FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE tok IN ('table', 'scan', 'merge')
@@ -554,53 +643,37 @@ _BM25_TERMS = ("table", "scan", "merge")
     dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
     stats AS (SELECT count(*) AS n,
                      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sumdl
-              FROM documents)
-    SELECT tf.doc_id,
-           CAST(sum(CAST(floor(
-             ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-             * (tf * CAST(2.2 AS DOUBLE))
-             / (tf + CAST(1.2 AS DOUBLE)
-                     * (CAST(0.25 AS DOUBLE)
-                        + CAST(0.75 AS DOUBLE) * (dl / (CAST(sumdl AS DOUBLE) / n))))
-             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS bm25
-    FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
-    GROUP BY tf.doc_id
-    ORDER BY bm25 DESC, tf.doc_id
-    LIMIT 50
-    """,
-)
-def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L70: BM25 retrieval — top-50 documents for a fixed 3-term query
-    (Okapi BM25, k1=1.2 b=0.75), composing the tf construction of
-    q_llm_tfidf with the df statistics the inverted index maintains.
+              FROM documents),
+    lexs AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(floor(
+               ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               * (tf * CAST(2.2 AS DOUBLE))
+               / (tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * (dl / (CAST(sumdl AS DOUBLE) / n))))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ibm25
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id)
+"""
 
-    Exactness (the perplexity family's contract): tf, df, dl, N and
-    Σdl are exact integers; avgdl is ONE division; each per-(doc,term)
-    BM25 contribution is a fixed tree of IEEE ops over those exact
-    inputs — identical doubles in both engines (ln is libm, the
-    documented residual class the 1e-6 grid absorbs) — floor-gridded
-    to BIGINT so the per-doc sum over query terms is order-free, then
-    one presentation division.
 
-    Scale shape: the IN-filter on the query terms sits directly on the
-    token generate, so only postings for the 3 query terms survive to
-    the (doc, tok) partial agg — the shuffle is O(matching postings),
-    never O(corpus tokens) — and the doc length rides THROUGH the
-    explode as a grouping key (functionally dependent on doc_id), so no
-    separate per-doc length scan or join exists. df is a 3-row
-    aggregate of the tf table and (N, Σdl) a 1-row scan aggregate; both
-    broadcast. The final top-50 runs as TakeOrderedAndProject
-    (zero-exchange per-partition heaps). Corpus-sized work: the tf scan
-    + the stats scan — exactly the two passes a retrieval scorer must
-    pay; the tf table (O(matching postings), tiny relative to the
-    corpus) is a TRACKED persist because df and the scoring join both
-    reference it and Catalyst has no common-subplan dedup — without
-    the cache, df's aggregation re-ran the corpus scan (the measured
-    KN rule: cache the high-fan-in SMALL table, recompute the rest;
-    bench/verify hand it back per key via cache.release_tracked)."""
+def _bm25_int_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc exact-integer BM25 scores ``(doc_id, ibm25)`` for the
+    fixed 3-term query — the Spark twin of :data:`_BM25_SQL_CTES`,
+    factored out of q_llm_bm25 (round 11) so the hybrid-RRF key fuses
+    the IDENTICAL lexical scorer rather than a copy.
+
+    Scale shape (unchanged from the r10 landing): the IN-filter on the
+    query terms sits directly on the token generate, so the (doc, tok)
+    partial-agg shuffle is O(matching postings), never O(corpus
+    tokens); doc length rides THROUGH the explode as a grouping key;
+    df (3 rows) and (N, Σdl) (1 row) broadcast. The tf table is a
+    TRACKED persist — df and the scoring join both reference it and
+    Catalyst has no common-subplan dedup (measured: without the cache
+    df's aggregation re-ran the corpus scan)."""
     from novlake_spark.cache import track
 
-    docs = load_table(spark, sf_dir, "documents")
     terms = list(_BM25_TERMS)
     toks = F.split("text", " ")
     tf = track(
@@ -631,9 +704,159 @@ def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df), "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg((F.sum(grid(contrib, 1000000)).cast("long") / F.lit(1000000.0)).alias("bm25"))
+        .agg(F.sum(grid(contrib, 1000000)).cast("long").alias("ibm25"))
+    )
+
+
+@register(
+    "q_llm_bm25",
+    oracle=f"""
+    WITH {_BM25_SQL_CTES}
+    SELECT doc_id, ibm25 / 1000000.0 AS bm25
+    FROM lexs
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70: BM25 retrieval — top-50 documents for a fixed 3-term query
+    (Okapi BM25, k1=1.2 b=0.75), composing the tf construction of
+    q_llm_tfidf with the df statistics the inverted index maintains.
+
+    Exactness (the perplexity family's contract): tf, df, dl, N and
+    Σdl are exact integers; avgdl is ONE division; each per-(doc,term)
+    BM25 contribution is a fixed tree of IEEE ops over those exact
+    inputs — identical doubles in both engines (ln is libm, the
+    documented residual class the 1e-6 grid absorbs) — floor-gridded
+    to BIGINT so the per-doc sum over query terms is order-free, then
+    one presentation division.
+
+    Scale shape: see :func:`_bm25_int_scores` (the scorer was factored
+    out in round 11 so q_llm_hybrid_rrf fuses the identical pipeline;
+    this key's plan is unchanged — the helper inlines into the same
+    tree). The final top-50 runs as TakeOrderedAndProject
+    (zero-exchange per-partition heaps); ORDER on the presentation
+    double is monotone in the exact BIGINT ibm25."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_int_scores(docs)
+        .select("doc_id", (F.col("ibm25") / F.lit(1000000.0)).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(50)
+    )
+
+
+#: RRF constant k=60 (Cormack, Clarke & Buettcher, SIGIR 2009 — the
+#: value every hybrid-search deployment ships).
+_RRF_K = 60
+_RRF_DEPTH = 50  # per-list candidate depth feeding the fusion
+
+
+@register(
+    "q_llm_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_SQL_CTES},
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY ibm25 DESC, doc_id) AS lex_rank
+      FROM lexs QUALIFY lex_rank <= {_RRF_DEPTH}),
+    d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    qv AS (SELECT v FROM d WHERE vec_id = 0),
+    den AS (SELECT d.vec_id,
+                   CAST(floor(list_dot_product(d.v, qv.v) * 10000 + 0.5) AS BIGINT) AS isc
+            FROM d, qv WHERE d.vec_id <> 0),
+    denr AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY isc DESC, vec_id) AS dense_rank
+      FROM den QUALIFY dense_rank <= {_RRF_DEPTH})
+    SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+           l.lex_rank, r.dense_rank,
+           CAST(floor((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + l.lex_rank), 0)
+                       + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + r.dense_rank), 0))
+                      * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS rrf
+    FROM lexr l FULL JOIN denr r ON l.doc_id = r.doc_id
+    """,
+)
+def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72 (round 11): hybrid retrieval via reciprocal-rank fusion —
+    the standard RAG primitive composing the two green retrieval
+    scorers: lexical BM25 (the q_llm_bm25 pipeline, reused verbatim
+    through :func:`_bm25_int_scores`) and dense top-k (the q_llm_knn
+    brute-force kernel: cosine against the broadcast query vector,
+    vec_id 0). Each list keeps its top-50 by exact-integer score with
+    doc-id tie-breaks; fused score is RRF with k=60 (Cormack et al.,
+    SIGIR 2009): Σ_lists 1/(60 + rank), docs absent from a list
+    contribute 0 for it. vec_id ≡ doc_id in the fixtures (one
+    embedding per document, the dedup_embed/semdedup convention).
+
+    Exactness: both rank keys are exact BIGINTs (BM25 on the 1e-6
+    grid, dot product on the 1e-4 grid of bit-identical fold-order
+    doubles), so ranks are exact integers in both engines; each RRF
+    term is ONE IEEE division of small exact integers, their sum is a
+    single commutative double add, and the presentation grid floors
+    identical doubles. The full outer join keeps single-list docs with
+    a NULL rank on the other side — graded as values.
+
+    Scale shape: both candidate lists collapse to ≤50 rows BEFORE the
+    fusion join — lexical via TakeOrderedAndProject on the O(matching
+    postings) scored set, dense via TakeOrderedAndProject on the
+    map-side-scored corpus (the knn_single shape: broadcast query, no
+    data-sized exchange) — so the rank windows and the full-outer
+    fusion join run on ≤50-row inputs (one tiny exchange each; the
+    windows' SinglePartition sort is over 50 rows, not the corpus).
+    At 100 TB the corpus-sized work is exactly the two scorer passes
+    already graded separately; fusion adds O(depth) regardless of
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # lexical list: top-50 by exact integer score, THEN rank the tiny
+    # result (orderBy+limit plans TakeOrderedAndProject; the subsequent
+    # row_number sorts 50 rows on one partition)
+    lex_top = (
+        _bm25_int_scores(docs)
+        .orderBy(F.col("ibm25").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    w_lex = Window.orderBy(F.col("ibm25").desc(), F.col("doc_id").asc())
+    lexr = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    # dense list: broadcast the single query vector, score map-side on
+    # the exact 1e-4 grid, top-50 via per-partition heaps
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    den_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            grid(K.dot(F.col("embedding"), F.col("_qv")), 10000).alias("isc"),
+        )
+        .orderBy(F.col("isc").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    w_den = Window.orderBy(F.col("isc").desc(), F.col("doc_id").asc())
+    denr = den_top.select(
+        "doc_id", F.row_number().over(w_den).alias("dense_rank")
+    )
+
+    # fusion: ≤50-row full outer join; each term is one exact division
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        lexr.join(denr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (
+                grid(term("lex_rank") + term("dense_rank"), 1000000).cast("long")
+                / F.lit(1000000.0)
+            ).alias("rrf"),
+        )
     )
 
 

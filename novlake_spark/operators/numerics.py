@@ -37,8 +37,13 @@ def grid_sql(expr: str, scale: int) -> str:
 
     The round-10 phase-3 review found the cents/avg fragments hand-
     copied across six oracles; these helpers make the op-identical
-    invariant structural instead of copy-discipline."""
-    return f"CAST(floor({expr} * {scale} + 0.5) AS BIGINT)"
+    invariant structural instead of copy-discipline.
+
+    ``expr`` is parenthesized before scaling (ADVICE r10): callers
+    today pass bare column refs, but the helper exists precisely so a
+    future compound operand like ``a - b`` can't misparse as
+    ``a - (b * scale)``."""
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
 
 
 def cents_sql(expr: str) -> str:

@@ -45,134 +45,47 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: so the suite stays green when the driver writes the current round's
 #: grade file after the final commit (VERDICT r6 wrong #2 — the old
 #: recompute-over-everything made every round boundary red).
-#: Round 10 window (VERDICT r9 tasks #2/#3/#4/#6): head = the 37 keys
-#: that are new or whose implementation/oracle changed this round —
-#: q_llm_bm25 (new, queue #3), q_stream_restart_watermark (new,
-#: stretch #8), q_graph_triangles (closing-join key
-#: packing, queue #6), q_mview_minmax (null-safe rescan semi join,
-#: ADVICE), q_tpch_q8 (per-row grid, ADVICE), q_emb_norm_stats (n=1
-#: NULL guard, ADVICE), and the 18 phase-2 float-class migrations on
-#: the builder's own round-10 deadline (ORACLE_NOTES.md) — three of
-#: which are themselves r5-vintage. Then the two r4 ties the round-9
-#: window declared (q_tpch_q4, q_ts_diff) and the stalest r5 cohort in
-#: stable order. The six opportunistic residual-round migrations
-#: (dedup_embed, join_left, ts_diff, ts_diff_skewsafe, join_inner,
-#: scan_events_ts) were ALREADY in this window's fill, so flipping
-#: them to head cost nothing; the six phase-3 threshold/rank/ratio
-#: migrations (subquery_scalar, subquery_correlated, cte, q14, q22,
-#: udf_grouped_map) spend six slots deliberately — a float-aggregate
-#: THRESHOLD flip is a sharper flake than a presentation round().
-#: Final arithmetic: 37 head + 1 tie (q_tpch_q4; q_ts_diff moved into
-#: the head with its own migration) + 12 stalest-r5 fill = 50; the r5
-#: keys left outside tie the window's worst non-head staleness (r5),
-#: legal under the strict-staler-only rule. After round-10 grades
-#: land, no key's latest evidence is older than r5.
-ROUND: int = 10
+#: Round 11 window (VERDICT r10 tasks #1-#4): head = the 8 keys new or
+#: changed this round — q_llm_hybrid_rrf (new: RRF fusion of the green
+#: BM25 + dense-knn scorers, queue #3), q_llm_dedup_near_planted (new:
+#: the LSH detection path hash-graded via forced-collision planting,
+#: queue #4), q_profile_table (the last float-fold residual: avg ->
+#: exact-cents single division, queue #1), q_stream_restart_watermark
+#: (single-batch assumption pinned structurally, ADVICE #4), q_llm_bm25
+#: (scorer factored into _bm25_int_scores for the hybrid key — plan
+#: unchanged, impl text changed), and q_tpch_q22 / q_subquery_scalar /
+#: q_subquery_correlated (grid_sql now parenthesizes its operand,
+#: ADVICE #1 — oracle text changed, values identical for bare column
+#: refs). Fill = the full 25-key r5 cohort (VERDICT r10 missing #2,
+#: its last-prescribed rotation) + the first 17 of the r6 cohort in
+#: stable order. 8 + 25 + 17 = 50; the 18 r6 keys left outside tie the
+#: window's worst non-head staleness (r6), legal under the
+#: strict-staler-only rule. After round-11 grades land, no key's
+#: latest evidence is older than r6.
+ROUND: int = 11
 
 #: Keys that MUST be re-graded this round: implementation or oracle
-#: changed since their last grade (plus the round-10 additions).
+#: changed since their last grade (plus the round-11 additions).
 ROUND_HEAD: list[str] = [
-    "q_llm_bm25",
-    "q_llm_dsir_weights",
+    "q_llm_hybrid_rrf",
+    "q_llm_dedup_near_planted",
+    "q_profile_table",
     "q_stream_restart_watermark",
-    "q_graph_triangles",
-    "q_mview_minmax",
-    "q_tpch_q8",
-    "q_emb_norm_stats",
-    "q_agg_groupby",
-    "q_agg_global",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_conditional",
-    "q_join_full",
-    "q_join_range",
-    "q_join_star",
-    "q_case_when",
-    "q_stream_tumbling",
-    "q_stream_user_counts",
-    "q_ts_resample",
-    "q_ts_gapfill",
-    "q_win_moving_avg",
-    "q_win_cumsum",
-    "q_llm_textstats",
-    "q_udaf_grouped",
-    "q_tpch_q17",
-    # residual per-row round(expr,N) migrations, done opportunistically
-    # because these keys were ALREADY in this window's staleness fill
-    # (VERDICT r9 next #7) — flipping them to head leaves the window
-    # membership unchanged
-    "q_llm_dedup_embed",
-    "q_join_left",
-    "q_ts_diff",
-    "q_ts_diff_skewsafe",
-    "q_join_inner",
-    "q_scan_events_ts",
-    # phase-3 audit (round 10): order-dependent float aggregates in
-    # PREDICATE THRESHOLDS, rank keys and ratios — the class the
-    # phase-1/2 sweeps never reached because no round() marked it.
-    # Found by a systematic grep of every oracle for sum(/avg( over
-    # float columns without a grid; migrated to exact cents/1e-4-grid
-    # forms, window slots spent deliberately (a threshold flip is a
-    # sharper flake than a presentation round)
+    "q_llm_bm25",
+    "q_tpch_q22",
     "q_subquery_scalar",
     "q_subquery_correlated",
-    "q_cte",
-    "q_tpch_q14",
-    "q_tpch_q22",
-    "q_udf_grouped_map",
 ]
 
 PRIORITY: list[str] = [
-    "q_llm_bm25",
-    "q_llm_dsir_weights",
+    "q_llm_hybrid_rrf",
+    "q_llm_dedup_near_planted",
+    "q_profile_table",
     "q_stream_restart_watermark",
-    "q_graph_triangles",
-    "q_mview_minmax",
-    "q_tpch_q8",
-    "q_emb_norm_stats",
-    "q_agg_groupby",
-    "q_agg_global",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_conditional",
-    "q_join_full",
-    "q_join_range",
-    "q_join_star",
-    "q_case_when",
-    "q_stream_tumbling",
-    "q_stream_user_counts",
-    "q_ts_resample",
-    "q_ts_gapfill",
-    "q_win_moving_avg",
-    "q_win_cumsum",
-    "q_llm_textstats",
-    "q_udaf_grouped",
-    "q_tpch_q17",
-    "q_llm_dedup_embed",
-    "q_join_left",
-    "q_ts_diff",
-    "q_ts_diff_skewsafe",
-    "q_join_inner",
-    "q_scan_events_ts",
+    "q_llm_bm25",
+    "q_tpch_q22",
     "q_subquery_scalar",
     "q_subquery_correlated",
-    "q_cte",
-    "q_tpch_q14",
-    "q_tpch_q22",
-    "q_udf_grouped_map",
-    "q_tpch_q4",
-    "q_scan_parquet",
-    "q_llm_contamination",
-    "q_llm_knn_lsh",
-    "q_llm_knn_ivf",
-    "q_html_extract",
-    "q_url_canonicalize",
-    "q_warc_extract",
-    "q_robots_filter",
-    "q_crawl_pipeline",
-    "q_llm_compress_ratio",
-    "q_sitemap_parse",
-    "q_pdf_extract",
     "q_tar_extract",
     "q_fix_mojibake",
     "q_zip_extract",
@@ -215,6 +128,51 @@ PRIORITY: list[str] = [
     "q_filter_bool",
     "q_fn_array",
     "q_scd2_build",
+    "q_llm_dsir_weights",
+    "q_graph_triangles",
+    "q_mview_minmax",
+    "q_tpch_q8",
+    "q_emb_norm_stats",
+    "q_agg_groupby",
+    "q_agg_global",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_conditional",
+    "q_join_full",
+    "q_join_range",
+    "q_join_star",
+    "q_case_when",
+    "q_stream_tumbling",
+    "q_stream_user_counts",
+    "q_ts_resample",
+    "q_ts_gapfill",
+    "q_win_moving_avg",
+    "q_win_cumsum",
+    "q_llm_textstats",
+    "q_udaf_grouped",
+    "q_tpch_q17",
+    "q_llm_dedup_embed",
+    "q_join_left",
+    "q_ts_diff",
+    "q_ts_diff_skewsafe",
+    "q_join_inner",
+    "q_scan_events_ts",
+    "q_cte",
+    "q_tpch_q14",
+    "q_udf_grouped_map",
+    "q_tpch_q4",
+    "q_scan_parquet",
+    "q_llm_contamination",
+    "q_llm_knn_lsh",
+    "q_llm_knn_ivf",
+    "q_html_extract",
+    "q_url_canonicalize",
+    "q_warc_extract",
+    "q_robots_filter",
+    "q_crawl_pipeline",
+    "q_llm_compress_ratio",
+    "q_sitemap_parse",
+    "q_pdf_extract",
     "q_project_compute",
     "q_topk_global",
     "q_win_row_number",
@@ -304,7 +262,6 @@ PRIORITY: list[str] = [
     "q_multimodal_bytes",
     "q_pivot",
     "q_profile_skew",
-    "q_profile_table",
     "q_sample_hash",
     "q_sample_stratified",
     "q_stream_interval_join",

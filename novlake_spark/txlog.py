@@ -48,12 +48,15 @@ import base64
 import datetime
 import hashlib
 import json
+import logging
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 
 class CommitConflict(Exception):
@@ -133,6 +136,27 @@ def _missing_file(exc: Exception) -> bool:
     )
 
 
+def _retry_cause(exc: Exception) -> str:
+    """Short diagnostic for one retried error: the structured condition
+    when present, else class + first line. ADVICE r10: the matcher
+    accepts ANY FAILED_READ_FILE subclass (the no-false-positive
+    argument above), which means a genuinely corrupt checkpoint (e.g.
+    CANNOT_READ_FILE_FOOTER) is retried for the full deadline before
+    failing — each retry therefore logs ITS condition, so a corruption
+    loop is visible in the log as 5 s of identical non-FILE_NOT_EXIST
+    conditions rather than silent latency."""
+    cond = getattr(exc, "getCondition", None)
+    if callable(cond):
+        try:
+            c = cond()
+            if c:
+                return c
+        except Exception:  # noqa: BLE001 — never let diagnostics raise
+            pass
+    first = str(exc).splitlines()[0] if str(exc) else ""
+    return f"{type(exc).__name__}: {first[:120]}"
+
+
 #: How long read-side retries keep re-listing when a concurrent
 #: ``clean_log`` deletes a checkpoint / sidecar / tail entry out from
 #: under them. DEADLINE-bounded, not attempt-bounded (VERDICT r8 task
@@ -171,6 +195,14 @@ def _retry_missing(fn, *, starve=_RAISE_STARVED):
                     raise
                 return starve
             attempt += 1
+            # every retry names its condition (see _retry_cause): a
+            # vanished-sidecar race logs FILE_NOT_EXIST/NO_HINT a few
+            # times and resolves; a corrupt file logs the SAME
+            # non-vanished condition for the whole 5 s deadline —
+            # distinguishable at a glance instead of silent latency
+            _LOG.warning(
+                "txlog missing-file retry %d: %s", attempt, _retry_cause(exc)
+            )
             time.sleep(min(0.02 * attempt, 0.2))
 
 

@@ -160,7 +160,21 @@ def _collapse_cached(plan: str) -> str:
             break
         return j
 
-    out, seen, i = [], set(), 0
+    def _scan_fp(start: int, end: int) -> frozenset:
+        # Weak body fingerprint: the normalized leaf-scan lines inside
+        # the block. Same-cache reprints agree on these UP TO ELISION
+        # (an AQE-materialized reference may hide scans behind reused
+        # query stages — only ever DROPPING lines), so two prints of
+        # one cache are always subset-related; two DISTINCT caches that
+        # merely share a column list + storage level read different
+        # relations and cross.
+        return frozenset(
+            normalize(lines[j])
+            for j in range(start, end)
+            if "FileScan" in lines[j] or "Scan parquet" in lines[j]
+        )
+
+    out, seen, i = [], {}, 0
     while i < len(lines):
         line = lines[i]
         if "InMemoryRelation" in line:
@@ -174,14 +188,28 @@ def _collapse_cached(plan: str) -> str:
             # tree elsewhere in the SAME plan string — body hashes
             # differ, the cache is one, and keeping both double-counted
             # every node of its build pipeline (round-10 self-review
-            # follow-up; distinct caches in this repo never share a
-            # normalized column list, which the header carries).
+            # follow-up). The invariant "distinct caches never share a
+            # normalized column list" is now CHECKED, not assumed
+            # (ADVICE r10): a header-key collision whose scan sets
+            # cross (neither subset — elision only drops lines, so
+            # same-cache reprints are always subset-related) is two
+            # different persisted plans being collapsed; warn loudly so
+            # the undercount is visible in the audit run.
             key = normalize(re.sub(r"^[\s:]*(\+-|:-)?\s*", "", line))
             if key in seen:
+                fp = _scan_fp(i + 1, j)
+                old = seen[key]
+                if not (fp <= old or old <= fp):
+                    print(
+                        f"plan_audit: WARNING cache-collapse collision — two "
+                        f"distinct persisted plans share header {key[:120]!r}; "
+                        f"scans/exchanges undercounted",
+                        file=sys.stderr,
+                    )
                 out.append(line[: max(pos, 0)] + "+- InMemoryRelation <cached-plan-ref>")
                 i = j
                 continue
-            seen.add(key)
+            seen[key] = _scan_fp(i + 1, j)
             # keep the header line only and keep scanning INSIDE the
             # block so nested cached relations register individually
         out.append(line)

@@ -132,6 +132,10 @@ HEADLINE = [
     # and the hash-graded LSH detection path (planted equal-set dups)
     "q_llm_hybrid_rrf",
     "q_llm_dedup_near_planted",
+    # round-11 widening: per-source percentile curation (FineWeb-style
+    # relative thresholds) and crawl link-graph extraction
+    "q_llm_quality_percentile",
+    "q_crawl_linkgraph",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

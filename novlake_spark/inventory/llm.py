@@ -425,6 +425,70 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_quality_percentile",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, source,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                            * 1000000 + 0.5) AS BIGINT) AS iscore
+          FROM t),
+    r AS (SELECT doc_id, source, n_tokens, iscore,
+                 percent_rank() OVER (PARTITION BY source
+                                      ORDER BY iscore, doc_id) AS pr
+          FROM s)
+    SELECT doc_id, source, n_tokens, iscore / 1000000.0 AS quality
+    FROM r WHERE pr >= 0.75
+    """,
+)
+def q_llm_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73 (round 11): per-source RELATIVE quality filtering — keep each
+    source's top quality quartile (percent_rank ≥ 0.75 within source)
+    rather than a global absolute threshold. The FineWeb/RefinedWeb
+    curation pattern: absolute thresholds over-prune clean domains and
+    under-prune noisy ones; ranking within source normalizes for
+    domain-level quality drift.
+
+    Exactness: the quality score is lexical diversity on the 1e-6 grid
+    — one division of two exact integers, then floor — so rank keys
+    are exact BIGINTs with doc_id tie-breaks (a total order: tied
+    scores get distinct ranks identically in both engines, making
+    percent_rank a pure permutation statistic). percent_rank is
+    (rank−1)/(n−1), one division of exact ints in both engines; the
+    ≥ 0.75 comparison is against an exactly-representable double.
+
+    Scale shape: ONE shuffle on source for the window. source is
+    low-cardinality, so at 100 TB the production variant computes each
+    source's threshold with approx_percentile in a tiny per-source agg
+    and broadcast-joins it back (no full-corpus window); the window
+    form graded here is the exact-semantics spec for that rewrite —
+    same discipline as the skew-safe window family (L37–L39), which
+    shows the mechanical two-phase rewrite when a single key dominates
+    a partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        grid(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 1000000
+        ).alias("iscore"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("iscore").asc(), F.col("doc_id").asc())
+    return (
+        s.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.75)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("iscore") / F.lit(1000000.0)).alias("quality"),
+        )
+    )
+
+
+@register(
     "q_llm_tf_topk",
     oracle="""
     SELECT tok, count(*) AS tf
@@ -2904,6 +2968,61 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_filter(urls, robots)
         .select("doc_id", "domain", "allowed")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_crawl_linkgraph",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents)
+    SELECT doc_id AS src, doc_id % 7 AS dst,
+           'hub ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+    FROM d
+    UNION ALL
+    SELECT doc_id, doc_id + 1, 'next ' || CAST(doc_id + 1 AS VARCHAR) FROM d
+    UNION ALL
+    SELECT doc_id, (doc_id * 3) % 11, 'rel ' || CAST((doc_id * 3) % 11 AS VARCHAR)
+    FROM d
+    """,
+)
+def q_crawl_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L74 (round 11): link-graph extraction — the crawl-frontier /
+    web-graph construction stage between HTML fetch and PageRank
+    (GR1): parse every page's anchors with the REAL html.parser link
+    collector (operators/htmltext.py:extract_links — attribute access,
+    charref decode, nested-anchor depth discipline; never regex),
+    keep in-site /doc/ links (the nav /login chrome must be excluded
+    by the href filter), and emit (src, dst, anchor) edges.
+
+    FULL oracle by construction (the L41 wrap∘extract discipline):
+    pages carry outlinks that are pure doc_id arithmetic — hub d%7,
+    next d+1 (dangling at the corpus edge, as real crawls are), rel
+    3d%11 — so DuckDB restates the exact edge list without parsing
+    anything; any parser miss (attribute, entity, anchor-text
+    whitespace) or filter leak breaks the hash. All values exact
+    integers/strings.
+
+    Scale shape: parse is per-page and shuffle-free (Arrow batches;
+    only (href, anchor) pairs leave the stage, never page bytes —
+    the phash projection discipline applied to HTML); the edge list
+    needs NO exchange at all here (no dedup/agg in this stage — graph
+    analytics downstream shuffle on the packed edge key, GR1/GR2).
+    One blob = one task, the CommonCrawl unit."""
+    from novlake_spark.operators.htmltext import (
+        extract_html_links,
+        wrap_documents_html_links,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = wrap_documents_html_links(docs)
+    return (
+        extract_html_links(pages)
+        .filter(F.col("href").startswith("/doc/"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.substring("href", 6, 20).cast("long").alias("dst"),
+            "anchor",
+        )
     )
 
 

@@ -139,3 +139,96 @@ def extract_html_text(df: DataFrame, col: str = "html") -> DataFrame:
         return pages.map(lambda s: extract_text(s) if s is not None else None)
 
     return df.withColumn("extracted", run(F.col(col)))
+
+
+class _LinkCollector(HTMLParser):
+    """Collects (href, anchor-text) pairs in document order — anchor
+    text is every data node between <a> and its matching </a>
+    (charrefs decoded, whitespace-normalized), nested-anchor-safe via
+    the same depth discipline as :class:`_Extractor`."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._flush()
+            self._href = dict(attrs).get("href")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._parts.append(data)
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.links.append(
+                (self._href, " ".join("".join(self._parts).split()))
+            )
+        self._href, self._parts = None, []
+
+
+def extract_links(page: str) -> list[tuple[str, str]]:
+    """One HTML page → ordered [(href, anchor_text)] — the crawl
+    frontier/link-graph primitive (round 11)."""
+    p = _LinkCollector()
+    p.feed(page)
+    p.close()
+    p._flush()  # unclosed trailing <a>: keep what was collected
+    return p.links
+
+
+def extract_html_links(df: DataFrame, col: str = "html") -> DataFrame:
+    """(…, html) → one row per anchor: (…, href, anchor). Arrow-batched
+    parse emitting an array of structs, exploded JVM-side — the parse
+    is per-document and shuffle-free; only (href, anchor) pairs leave
+    the stage, never page bytes."""
+
+    @F.pandas_udf("array<struct<href: string, anchor: string>>")
+    def run(pages: pd.Series) -> pd.Series:
+        return pages.map(
+            lambda s: extract_links(s) if s is not None else []
+        )
+
+    return (
+        df.withColumn("_l", F.explode(run(F.col(col))))
+        .withColumn("href", F.col("_l.href"))
+        .withColumn("anchor", F.col("_l.anchor"))
+        .drop("_l", col)
+    )
+
+
+def wrap_documents_html_links(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, …) → (doc_id, html): deterministic pages whose
+    OUTLINKS are pure doc_id arithmetic (hub d%7, next d+1, rel 3d%11)
+    plus nav chrome with a non-/doc/ link the graph stage must exclude.
+    The constructive-oracle twin of :func:`wrap_documents_html` for the
+    link-graph key: extract_links ∘ wrap == the arithmetic edge list.
+    Built entirely from ``concat`` (codegen, zero Python)."""
+    d = F.col("doc_id")
+    link = lambda target, label: F.concat(  # noqa: E731
+        F.lit('<a href="/doc/'),
+        target.cast("string"),
+        F.lit('">' + label + " "),
+        target.cast("string"),
+        F.lit("</a>"),
+    )
+    page = F.concat(
+        F.lit(
+            "<html><head><title>Doc links</title></head><body>"
+            '<nav><a href="/login">Login</a></nav><main><p>'
+        ),
+        link(d % 7, "hub"),
+        F.lit(" "),
+        link(d + 1, "next"),
+        F.lit(" "),
+        link((d * 3) % 11, "rel"),
+        F.lit("</p></main></body></html>"),
+    )
+    return docs.select("doc_id", page.alias("html"))

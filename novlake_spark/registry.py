@@ -51,14 +51,20 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: the LSH detection path hash-graded via forced-collision planting,
 #: queue #4), q_profile_table (the last float-fold residual: avg ->
 #: exact-cents single division, queue #1), q_stream_restart_watermark
-#: (single-batch assumption pinned structurally, ADVICE #4), q_llm_bm25
+#: (single-batch assumption pinned structurally, ADVICE #4),
+#: q_llm_quality_percentile + q_crawl_linkgraph (new round-11 widening:
+#: per-source percentile curation and link-graph extraction), the five
+#: multimodal keys whose synthesizers now emit bounded-partition
+#: fixtures (_media_df, the decode-batching fix of VERDICT r10 next #5
+#: — values partition-invariant, re-graded anyway under the
+#: changed-impl rule), q_llm_bm25
 #: (scorer factored into _bm25_int_scores for the hybrid key — plan
 #: unchanged, impl text changed), and q_tpch_q22 / q_subquery_scalar /
 #: q_subquery_correlated (grid_sql now parenthesizes its operand,
 #: ADVICE #1 — oracle text changed, values identical for bare column
 #: refs). Fill = the full 25-key r5 cohort (VERDICT r10 missing #2,
-#: its last-prescribed rotation) + the first 17 of the r6 cohort in
-#: stable order. 8 + 25 + 17 = 50; the 18 r6 keys left outside tie the
+#: its last-prescribed rotation) + the first 10 of the r6 cohort in
+#: stable order. 15 + 25 + 10 = 50; the 25 r6 keys left outside tie the
 #: window's worst non-head staleness (r6), legal under the
 #: strict-staler-only rule. After round-11 grades land, no key's
 #: latest evidence is older than r6.
@@ -69,6 +75,13 @@ ROUND: int = 11
 ROUND_HEAD: list[str] = [
     "q_llm_hybrid_rrf",
     "q_llm_dedup_near_planted",
+    "q_llm_quality_percentile",
+    "q_crawl_linkgraph",
+    "q_multimodal_decode",
+    "q_multimodal_audio",
+    "q_multimodal_video",
+    "q_multimodal_phash",
+    "q_multimodal_phash_clusters",
     "q_profile_table",
     "q_stream_restart_watermark",
     "q_llm_bm25",
@@ -80,6 +93,13 @@ ROUND_HEAD: list[str] = [
 PRIORITY: list[str] = [
     "q_llm_hybrid_rrf",
     "q_llm_dedup_near_planted",
+    "q_llm_quality_percentile",
+    "q_crawl_linkgraph",
+    "q_multimodal_decode",
+    "q_multimodal_audio",
+    "q_multimodal_video",
+    "q_multimodal_phash",
+    "q_multimodal_phash_clusters",
     "q_profile_table",
     "q_stream_restart_watermark",
     "q_llm_bm25",
@@ -114,7 +134,6 @@ PRIORITY: list[str] = [
     "q_win_cumsum_skewsafe",
     "q_win_moving_avg_skewsafe",
     "q_llm_normalize_unicode",
-    "q_multimodal_phash",
     "q_llm_langseg",
     "q_session_skewsafe",
     "q_fn_posexplode",
@@ -236,9 +255,6 @@ PRIORITY: list[str] = [
     "q_mview_incremental",
     "q_llm_contamination_snapshot",
     "q_llm_dedup_keeper",
-    "q_multimodal_decode",
-    "q_multimodal_audio",
-    "q_multimodal_video",
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -249,7 +265,6 @@ PRIORITY: list[str] = [
     "q_tpch_q15",
     "q_tpch_q19",
     "q_llm_dedup_incremental",
-    "q_multimodal_phash_clusters",
     "q_txlog_schema_lifecycle",
     "q_llm_embed_centroid",
     "q_emb_gram",

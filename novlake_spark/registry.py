@@ -54,9 +54,11 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: (single-batch assumption pinned structurally, ADVICE #4),
 #: q_llm_quality_percentile + q_crawl_linkgraph (new round-11 widening:
 #: per-source percentile curation and link-graph extraction), the five
-#: multimodal keys whose synthesizers now emit bounded-partition
-#: fixtures (_media_df, the decode-batching fix of VERDICT r10 next #5
-#: — values partition-invariant, re-graded anyway under the
+#: multimodal keys whose synthesizers were routed through the
+#: _media_df seam while measuring VERDICT r10 next #5 (the coalesce
+#: was tried end-to-end, found a 3-4x parallelism regression on video/
+#: clusters, and reverted — SCALING.md records both measurements;
+#: values partition-invariant, re-graded anyway under the
 #: changed-impl rule), q_llm_bm25
 #: (scorer factored into _bm25_int_scores for the hybrid key — plan
 #: unchanged, impl text changed), and q_tpch_q22 / q_subquery_scalar /

@@ -133,9 +133,12 @@ HEADLINE = [
     "q_llm_hybrid_rrf",
     "q_llm_dedup_near_planted",
     # round-11 widening: per-source percentile curation (FineWeb-style
-    # relative thresholds) and crawl link-graph extraction
+    # relative thresholds), crawl link-graph extraction, anchor-text
+    # consolidation, and data-constrained epoch planning
     "q_llm_quality_percentile",
     "q_crawl_linkgraph",
+    "q_crawl_anchor_text",
+    "q_mix_epochs",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

@@ -3027,6 +3027,80 @@ def q_crawl_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_anchor_text",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (
+      SELECT doc_id % 7 AS dst, 'hub ' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+      FROM d
+      UNION ALL
+      SELECT doc_id + 1, 'next ' || CAST(doc_id + 1 AS VARCHAR) FROM d
+      UNION ALL
+      SELECT (doc_id * 3) % 11, 'rel ' || CAST((doc_id * 3) % 11 AS VARCHAR)
+      FROM d
+    ),
+    c AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n_links
+          FROM e GROUP BY dst, anchor),
+    r AS (SELECT dst, anchor, n_links,
+                 row_number() OVER (PARTITION BY dst
+                                    ORDER BY n_links DESC, anchor) AS rk
+          FROM c)
+    SELECT dst, anchor, n_links, rk FROM r WHERE rk <= 3
+    """,
+)
+def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L75 (round 11): inbound anchor-text consolidation — for every
+    link TARGET, the top-3 most frequent anchor surface forms with
+    their counts. The web-corpus trick of using what OTHER pages call
+    a document as a high-precision description of it (the signal
+    behind anchor-text retrieval and WebText-lineage quality
+    filtering); composes the L74 link-graph parse with a frequency
+    top-k per target.
+
+    Exactness: counts are exact BIGINTs and the per-target rank orders
+    by (n_links DESC, anchor ASC) over rows whose (dst, anchor) is
+    unique after the count — a total order, so row_number cuts the
+    same top-3 in both engines. Oracle restates the planted arithmetic
+    edges (L74's construction) and applies the same relational
+    consolidation; the Spark side parses real HTML.
+
+    Scale shape: the count aggregates on the FINE (dst, anchor)
+    composite with map-side partial aggregation, so a hub target whose
+    inlinks all carry one anchor string collapses to one row per
+    mapper before the exchange — the collect-the-anchors formulation
+    this key deliberately avoids would ship every hub inlink to one
+    reducer (the L34 mode-vs-collect lesson). The rank window then
+    runs per dst over ≤ distinct-anchor rows (small by construction
+    of the consolidation). Parse stage identical to L74: per-page,
+    zero exchanges, only (href, anchor) pairs leave."""
+    from novlake_spark.operators.htmltext import (
+        extract_html_links,
+        wrap_documents_html_links,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        extract_html_links(wrap_documents_html_links(docs))
+        .filter(F.col("href").startswith("/doc/"))
+        .select(
+            F.substring("href", 6, 20).cast("long").alias("dst"),
+            "anchor",
+        )
+    )
+    counts = edges.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("dst", "anchor", "n_links", "rk")
+    )
+
+
+@register(
     "q_crawl_pipeline",
     oracle="""
     WITH admitted AS (

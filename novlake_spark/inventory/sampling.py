@@ -289,3 +289,103 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("t"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "q_mix_epochs",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+                   CAST(count(*) AS BIGINT) AS n_src
+            FROM s),
+    plan AS (
+      SELECT source, n_docs, n_tokens,
+             (3 * all_tokens) // n_src AS target_tokens,
+             CASE WHEN ((3 * all_tokens) // n_src) // n_tokens > 4
+                  THEN 4
+                  ELSE ((3 * all_tokens) // n_src) // n_tokens END AS full_epochs
+      FROM s, tot
+    )
+    SELECT source, n_docs, n_tokens, target_tokens, full_epochs,
+           CASE WHEN full_epochs < 4
+                THEN ((target_tokens - full_epochs * n_tokens)
+                      * 4294967296) // n_tokens
+                ELSE 0 END AS frac_rate_u32
+    FROM plan
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (round 11): data-constrained epoching plan — how many times
+    to REPEAT each source to hit a token budget when unique data runs
+    out (the Muennighoff et al. 2023 regime: up to ~4 epochs of
+    repetition is near-free, beyond that returns decay, so the plan
+    caps full epochs at 4 and carries the remainder as a fractional
+    sampling rate). Budget = 3× the corpus, split evenly across
+    sources: each source gets `full_epochs` complete passes plus a
+    deterministic subsample at `frac_rate_u32 / 2^32` of one more pass
+    (the same u32-grid md5 threshold every det_sample key uses, so the
+    fractional pass composes directly with q_sample_hash's filter).
+
+    Cross-engine exactness: pure BIGINT arithmetic end to end — token
+    counts are exact, `div`/`//` is true integer division in both
+    engines (never a float quotient), the 4-epoch cap is an integer
+    CASE, and the u32 rate is (remainder·2^32) div n_tokens with
+    remainder < n_tokens, so every product stays far below 2^63.
+    No float exists anywhere in this key.
+
+    Plan shape: ONE corpus scan with map-side partial aggregation into
+    a ≤|sources|-row table, then a broadcast of the 1-row total — the
+    planning query is O(sources) after the scan at any corpus size;
+    the EXECUTION of the plan (materializing repeats) is the composed
+    union of full passes + one det_sample pass, each a separate
+    already-graded shape."""
+    from novlake_spark.cache import track
+
+    docs = load_table(spark, sf_dir, "documents")
+    # The per-source stats table is referenced twice (plan rows + the
+    # 1-row total); unpersisted, Catalyst re-runs the corpus scan per
+    # reference. The KN cache rule: persist the tiny high-fan-in table
+    # (<= |sources| rows) so the corpus is scanned ONCE at any scale.
+    s = track(
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        )
+        .persist()
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("long").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    plan = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(3 * all_tokens) div n_src").alias("target_tokens"),
+        F.least(
+            F.lit(4).cast("long"),
+            F.expr("((3 * all_tokens) div n_src) div n_tokens"),
+        ).alias("full_epochs"),
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        "full_epochs",
+        F.when(
+            F.col("full_epochs") < 4,
+            F.expr(
+                "((target_tokens - full_epochs * n_tokens) * 4294967296)"
+                " div n_tokens"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("frac_rate_u32"),
+    )

@@ -53,7 +53,9 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: exact-cents single division, queue #1), q_stream_restart_watermark
 #: (single-batch assumption pinned structurally, ADVICE #4),
 #: q_llm_quality_percentile + q_crawl_linkgraph (new round-11 widening:
-#: per-source percentile curation and link-graph extraction), the five
+#: per-source percentile curation and link-graph extraction;
+#: q_crawl_anchor_text + q_mix_epochs followed mid-round: anchor-text
+#: consolidation and data-constrained epoch planning), the five
 #: multimodal keys whose synthesizers were routed through the
 #: _media_df seam while measuring VERDICT r10 next #5 (the coalesce
 #: was tried end-to-end, found a 3-4x parallelism regression on video/
@@ -65,8 +67,8 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: q_subquery_correlated (grid_sql now parenthesizes its operand,
 #: ADVICE #1 — oracle text changed, values identical for bare column
 #: refs). Fill = the full 25-key r5 cohort (VERDICT r10 missing #2,
-#: its last-prescribed rotation) + the first 10 of the r6 cohort in
-#: stable order. 15 + 25 + 10 = 50; the 25 r6 keys left outside tie the
+#: its last-prescribed rotation) + the first 8 of the r6 cohort in
+#: stable order. 17 + 25 + 8 = 50; the 27 r6 keys left outside tie the
 #: window's worst non-head staleness (r6), legal under the
 #: strict-staler-only rule. After round-11 grades land, no key's
 #: latest evidence is older than r6.
@@ -79,6 +81,8 @@ ROUND_HEAD: list[str] = [
     "q_llm_dedup_near_planted",
     "q_llm_quality_percentile",
     "q_crawl_linkgraph",
+    "q_crawl_anchor_text",
+    "q_mix_epochs",
     "q_multimodal_decode",
     "q_multimodal_audio",
     "q_multimodal_video",
@@ -97,6 +101,8 @@ PRIORITY: list[str] = [
     "q_llm_dedup_near_planted",
     "q_llm_quality_percentile",
     "q_crawl_linkgraph",
+    "q_crawl_anchor_text",
+    "q_mix_epochs",
     "q_multimodal_decode",
     "q_multimodal_audio",
     "q_multimodal_video",

@@ -85,3 +85,48 @@ def test_extract_plan_single_python_stage(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time path would be the slow UDF
+
+
+# ---- link collection (L74/L75, round 11) ----------------------------
+
+from novlake_spark.operators.htmltext import extract_links  # noqa: E402
+
+
+def test_links_basic_order_and_text():
+    page = '<a href="/a">first</a> x <a href="/b">second link</a>'
+    assert extract_links(page) == [("/a", "first"), ("/b", "second link")]
+
+
+def test_links_anchor_text_normalized_and_decoded():
+    page = '<a href="/x">a &amp;\n\t b &#8212; c</a>'
+    assert extract_links(page) == [("/x", "a & b — c")]
+
+
+def test_links_nested_markup_inside_anchor():
+    # data nodes between <a> and </a> all count, tags don't
+    page = '<a href="/x">bold <b>middle</b> end</a>'
+    assert extract_links(page) == [("/x", "bold middle end")]
+
+
+def test_links_missing_href_skipped():
+    # an <a> with no href is an anchor point, not a link
+    page = '<a name="top">not a link</a><a href="/y">yes</a>'
+    assert extract_links(page) == [("/y", "yes")]
+
+
+def test_links_unclosed_start_flushes_on_next_anchor():
+    # a new <a> implicitly terminates the previous one (browser-like),
+    # and a trailing unclosed <a> is kept with what was collected
+    page = '<a href="/a">one<a href="/b">two'
+    assert extract_links(page) == [("/a", "one"), ("/b", "two")]
+
+
+def test_links_empty_href_and_empty_text():
+    assert extract_links('<a href="">x</a>') == [("", "x")]
+    assert extract_links('<a href="/e"></a>') == [("/e", "")]
+
+
+def test_links_malformed_never_raises():
+    for junk in ("", "<a", "<a href", "</a></a>", "<a href='/u'>u",
+                 "\x00<a href='/v'>v</a>\xff"):
+        extract_links(junk)  # must not raise

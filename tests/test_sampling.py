@@ -75,3 +75,37 @@ def test_reservoir_per_group_fixed_budget(spark, sf_small):
         for r in S.reservoir_per_group(docs.repartition(13), ["doc_id"], "lang", 5).collect()
     )
     assert ids1 == ids2
+
+
+def test_mix_epochs_arithmetic_invariants(spark, sf_small):
+    """S9: the epoching plan is self-consistent pure-integer output."""
+    from novlake_spark.inventory.sampling import q_mix_epochs
+
+    rows = {r["source"]: r for r in q_mix_epochs(spark, sf_small).collect()}
+    total = sum(r["n_tokens"] for r in rows.values())
+    n_src = len(rows)
+    for r in rows.values():
+        # even split of the 3x budget, true integer division
+        assert r["target_tokens"] == (3 * total) // n_src
+        assert 0 <= r["full_epochs"] <= 4
+        assert 0 <= r["frac_rate_u32"] < 2**32
+        if r["full_epochs"] < 4:
+            # consumed + fractional pass reconstructs the target
+            rem = r["target_tokens"] - r["full_epochs"] * r["n_tokens"]
+            assert 0 <= rem < r["n_tokens"]
+            assert r["frac_rate_u32"] == (rem * 2**32) // r["n_tokens"]
+        else:
+            assert r["frac_rate_u32"] == 0
+
+
+def test_mix_epochs_cap_binds_on_scarce_source(spark, sf_small):
+    """Shrinking one source's tokens below target/4 must hit the cap."""
+    from novlake_spark.inventory.sampling import q_mix_epochs
+
+    plan = q_mix_epochs(spark, sf_small)
+    # with budget = 3x corpus split evenly, a source holding far less
+    # than its even share repeats up to the cap: assert the cap rule
+    # holds pointwise rather than trusting fixture balance
+    for r in plan.collect():
+        uncapped = r["target_tokens"] // r["n_tokens"]
+        assert r["full_epochs"] == min(4, uncapped)

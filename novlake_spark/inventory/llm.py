@@ -728,32 +728,41 @@ def _bm25_int_scores(docs: DataFrame) -> DataFrame:
     factored out of q_llm_bm25 (round 11) so the hybrid-RRF key fuses
     the IDENTICAL lexical scorer rather than a copy.
 
-    Scale shape (unchanged from the r10 landing): the IN-filter on the
-    query terms sits directly on the token generate, so the (doc, tok)
-    partial-agg shuffle is O(matching postings), never O(corpus
-    tokens); doc length rides THROUGH the explode as a grouping key;
-    df (3 rows) and (N, Σdl) (1 row) broadcast. The tf table is a
-    TRACKED persist — df and the scoring join both reference it and
-    Catalyst has no common-subplan dedup (measured: without the cache
-    df's aggregation re-ran the corpus scan)."""
+    Scale shape (round 11, the provisional-queue two-scan fold,
+    measured at 3 SFs before adoption): ONE corpus scan emits the
+    narrow per-doc table ``(doc_id, dl, matched-token array)`` — the
+    IN-filter runs INSIDE the array (`F.filter` HOF, duplicates kept)
+    so text is tokenized exactly once and only a few bytes per doc are
+    persisted (tracked). Both the (N, Σdl) stats (which need ALL docs,
+    so they can never come from the postings table) and the tf
+    aggregation derive from that cache; tf itself is deliberately NOT
+    persisted — its exchange is O(matching postings) and the
+    no-persist form measured best-or-tied at every SF (warm medians:
+    sf0.1 0.85 s vs 1.2 current vs 1.06 tf-persisted; sf1 0.75 / 1.1
+    / 1.07; sf10 1.8 / 1.8 / 1.63 — the KN rule's cache point moved
+    one stage earlier, where the high-fan-in table is the narrow scan
+    output). df (3 rows) and stats (1 row) broadcast."""
     from novlake_spark.cache import track
 
     terms = list(_BM25_TERMS)
     toks = F.split("text", " ")
-    tf = track(
+    base = track(
         docs.select(
-            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
-        )
-        .filter(F.col("tok").isin(terms))
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda t: t.isin(terms)).alias("arr"),
+        ).persist()
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("arr").alias("tok"))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(toks)).cast("long").alias("sumdl"),
-    )
     # expression tree kept IDENTICAL to the oracle's, op for op
     idf = F.log(
         ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))

@@ -349,45 +349,145 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_stats",
     oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS DOUBLE) AS sqq,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sp,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS spp
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(stddev_pop(l_quantity), 4)  AS sdp_qty,
-           round(var_samp(l_extendedprice), 2) AS var_price,
-           round(var_pop(l_extendedprice), 2)  AS varp_price
-    FROM lineitem
-    GROUP BY l_returnflag
+           sqrt((sqq - (sq * sq) / n) / (n - 1)) AS sd_qty,
+           sqrt((sqq - (sq * sq) / n) / n)       AS sdp_qty,
+           ((spp - (sp * sp) / n) / (n - 1)) / 10000.0 AS var_price,
+           ((spp - (sp * sp) / n) / n) / 10000.0       AS varp_price
+    FROM m
     """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E10: sample/population stddev & variance (Welford-style merge-able
-    moments — constant state per group, scales like sum/avg)."""
+    """E10: sample/population stddev & variance — merge-able moments,
+    computed in the exact sum-of-squares form rather than engine-native
+    `stddev_samp`/`var_samp` (round-11 phase-4 migration: the built-in
+    moment aggregates fold raw doubles in engine-specific order — the
+    q_profile_table avg class wearing a different aggregate, invisible
+    to the phase-3 checker because no `sum(`/`avg(` appears; the old
+    `round(,4)` presentation only masked it to ~5e-5).
+
+    Exactness recipe (ORACLE_NOTES #6 extended): every SUM is an exact
+    integer — quantities as BIGINTs, prices on the cents grid, squares
+    summed in DECIMAL(38)/HUGEINT because Σ(cents²) passes 2^63 at
+    sf0.1 — then each sum is cast once to DOUBLE (correctly-rounded
+    cast of the identical integer on both engines, bit-identical even
+    past 2^53) and the variance formula runs as the IDENTICAL
+    correctly-rounded IEEE op tree (`- * / sqrt` only, written in
+    lockstep here and in the oracle). Variance presents in price² via
+    one extra division by 10⁴. Same one-pass, constant-state-per-group
+    scaling as the built-ins — the partials are plain integer sums."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
-        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        F.round(F.var_pop("l_extendedprice"), 2).alias("varp_price"),
+    q = F.col("l_quantity").cast("long")
+    p = grid(F.col("l_extendedprice"), 100)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum((p * p).cast("decimal(38,0)")).cast("double").alias("spp"),
+    )
+    n, sq, sqq, sp, spp = (F.col(c) for c in ("n", "sq", "sqq", "sp", "spp"))
+    return m.select(
+        "l_returnflag",
+        F.sqrt((sqq - (sq * sq) / n) / (n - F.lit(1.0))).alias("sd_qty"),
+        F.sqrt((sqq - (sq * sq) / n) / n).alias("sdp_qty"),
+        (((spp - (sp * sp) / n) / (n - F.lit(1.0))) / F.lit(10000.0)).alias("var_price"),
+        (((spp - (sp * sp) / n) / n) / F.lit(10000.0)).alias("varp_price"),
     )
 
 
 @register(
     "q_agg_corr",
     oracle="""
+    WITH m AS (
+      SELECT l_linestatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS DOUBLE) AS sqq,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sp,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS spp,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sqp,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sqd,
+             CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS st,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_tax * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sqt
+      FROM lineitem GROUP BY l_linestatus
+    )
     SELECT l_linestatus,
-           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
-           round(covar_pop(l_quantity, l_tax), 4) AS qty_tax_covarp
-    FROM lineitem
-    GROUP BY l_linestatus
+           (n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS qty_price_corr,
+           ((sqd - (sq * sd) / n) / (n - 1)) / 100.0 AS qty_disc_covar,
+           ((sqt - (sq * st) / n) / n) / 100.0       AS qty_tax_covarp
+    FROM m
     """,
 )
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E11: correlation / covariance (co-moment aggregates)."""
+    """E11: correlation / covariance — co-moments in the exact-sums
+    form (round-11 phase-4, same rationale as q_agg_stats: the
+    engine-native `corr`/`covar_*` fold raw doubles order-dependently
+    behind the old `round(,4)` mask). All sums are exact integers on
+    per-row grids (quantity BIGINT, price/discount/tax cents;
+    Σ(price-cents²) in DECIMAL(38)/HUGEINT), each cast ONCE to double,
+    then the classical co-moment formulas run as the identical
+    correctly-rounded IEEE tree in both engines. Correlation is
+    scale-invariant (the cents grids cancel), covariances present in
+    quantity·original-units via one division by 100. One pass,
+    integer partials, same scaling as the built-ins."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
-        F.round(F.covar_pop("l_quantity", "l_tax"), 4).alias("qty_tax_covarp"),
+    q = F.col("l_quantity").cast("long")
+    p = grid(F.col("l_extendedprice"), 100)
+    d = grid(F.col("l_discount"), 100)
+    t = grid(F.col("l_tax"), 100)
+    m = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum((p * p).cast("decimal(38,0)")).cast("double").alias("spp"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(t).cast("double").alias("st"),
+        F.sum(q * t).cast("double").alias("sqt"),
+    )
+    c = F.col
+    return m.select(
+        "l_linestatus",
+        (
+            (c("n") * c("sqp") - c("sq") * c("sp"))
+            / (
+                F.sqrt(c("n") * c("sqq") - c("sq") * c("sq"))
+                * F.sqrt(c("n") * c("spp") - c("sp") * c("sp"))
+            )
+        ).alias("qty_price_corr"),
+        (
+            ((c("sqd") - (c("sq") * c("sd")) / c("n")) / (c("n") - F.lit(1.0)))
+            / F.lit(100.0)
+        ).alias("qty_disc_covar"),
+        (
+            ((c("sqt") - (c("sq") * c("st")) / c("n")) / c("n")) / F.lit(100.0)
+        ).alias("qty_tax_covarp"),
     )
 
 
@@ -487,26 +587,69 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_regr",
     oracle="""
-    SELECT l_returnflag,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) / 100.0 AS slope,
+           ((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd)
+             / 100.0 AS intercept,
+           ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+             / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
+    FROM m
     """,
 )
 def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E18: linear-regression aggregates — slope/intercept/R² of
-    extended price on quantity per return flag (built-in moment-based
-    regr_* functions, one pass, map-side partials)."""
+    extended price on quantity per return flag, in the exact-sums
+    moment form (round-11 phase-4: the built-in `regr_*` family folds
+    raw doubles order-dependently, the q_agg_stats class). Sums are
+    exact integers (quantity BIGINT, price cents; Σcents² via
+    DECIMAL(38)/HUGEINT), one double cast each, then the normal
+    equations as the identical correctly-rounded IEEE tree in both
+    engines; slope/intercept present in dollars via one division by
+    100 (R² is scale-invariant). n is regr_count on the null-free
+    fixture (= count(*), pinned by the oracle). The repeated slope
+    subexpression in the intercept is written out textually so both
+    engines evaluate the same tree — no CSE assumption."""
     li = load_table(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return li.groupBy("l_returnflag").agg(
-        F.regr_count(y, x).alias("n"),
-        F.round(F.regr_slope(y, x), 2).alias("slope"),
-        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
-        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    x = F.col("l_quantity").cast("long")
+    y = grid(F.col("l_extendedprice"), 100)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    c = F.col
+    cov = c("nd") * c("sxy") - c("sx") * c("sy")
+    vx = c("nd") * c("sxx") - c("sx") * c("sx")
+    vy = c("nd") * c("syy") - c("sy") * c("sy")
+    slope_cents = cov / vx
+    return m.select(
+        "l_returnflag",
+        "n",
+        (slope_cents / F.lit(100.0)).alias("slope"),
+        (((c("sy") - slope_cents * c("sx")) / c("nd")) / F.lit(100.0)).alias(
+            "intercept"
+        ),
+        ((cov * cov) / (vx * vy)).alias("r2"),
     )
 
 

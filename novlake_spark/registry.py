@@ -66,9 +66,16 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: unchanged, impl text changed), and q_tpch_q22 / q_subquery_scalar /
 #: q_subquery_correlated (grid_sql now parenthesizes its operand,
 #: ADVICE #1 — oracle text changed, values identical for bare column
-#: refs). Fill = the full 25-key r5 cohort (VERDICT r10 missing #2,
-#: its last-prescribed rotation) + the first 8 of the r6 cohort in
-#: stable order. 17 + 25 + 8 = 50; the 27 r6 keys left outside tie the
+#: refs), and q_agg_stats / q_agg_corr / q_agg_regr (round-11 phase-4:
+#: engine-native moment aggregates — stddev/var/corr/covar/regr — were
+#: the order-dependent float-fold class hiding behind round(,4) masks
+#: and invisible to the phase-3 sum|avg checker; migrated to exact
+#: integer sums + identical correctly-rounded IEEE trees, see
+#: ORACLE_NOTES; they were already r5-cohort window members and move
+#: to the head under the changed-impl rule). Fill = the remaining
+#: 22 keys of the 25-key r5 cohort (VERDICT r10 missing #2, its
+#: last-prescribed rotation) + the first 8 of the r6 cohort in
+#: stable order. 20 + 22 + 8 = 50; the 27 r6 keys left outside tie the
 #: window's worst non-head staleness (r6), legal under the
 #: strict-staler-only rule. After round-11 grades land, no key's
 #: latest evidence is older than r6.
@@ -94,6 +101,9 @@ ROUND_HEAD: list[str] = [
     "q_tpch_q22",
     "q_subquery_scalar",
     "q_subquery_correlated",
+    "q_agg_stats",
+    "q_agg_corr",
+    "q_agg_regr",
 ]
 
 PRIORITY: list[str] = [
@@ -114,6 +124,9 @@ PRIORITY: list[str] = [
     "q_tpch_q22",
     "q_subquery_scalar",
     "q_subquery_correlated",
+    "q_agg_stats",
+    "q_agg_corr",
+    "q_agg_regr",
     "q_tar_extract",
     "q_fix_mojibake",
     "q_zip_extract",
@@ -128,14 +141,11 @@ PRIORITY: list[str] = [
     "q_agg_approx_distinct",
     "q_agg_rollup",
     "q_agg_cube",
-    "q_agg_stats",
-    "q_agg_corr",
     "q_agg_collect",
     "q_agg_bool",
     "q_agg_histogram",
     "q_agg_hll_sketch",
     "q_agg_minmax_by",
-    "q_agg_regr",
     "q_agg_string_agg",
     "q_event_retention",
     "q_fn_bitwise",

@@ -139,6 +139,10 @@ HEADLINE = [
     "q_crawl_linkgraph",
     "q_crawl_anchor_text",
     "q_mix_epochs",
+    # per-source Mann-Whitney AUC (the eval half of quality filtering);
+    # q_stream_stream_join is graded, not benched (fixed availableNow
+    # lifecycle overhead - the txlog-key policy)
+    "q_llm_quality_auc",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

@@ -230,6 +230,119 @@ def q_stream_restart_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    # side-effecting (full streaming lifecycle + txlog sink per call):
+    # schema sweep reads the declaration (same policy as J4/txlog keys)
+    declared_schema="user_id bigint, click_id bigint, purchase_id bigint",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (round 11): stream-stream event-time INTERVAL JOIN — the
+    canonical hard Structured Streaming operator the J-family lacked
+    as a REAL streaming lifecycle: clicks and purchases arrive as two
+    streams, and each purchase joins every click by the same user in
+    the preceding hour. Run end-to-end through the txlog source/sink
+    (the J4 infrastructure): both branches readStream from the same
+    committed source, carry ``withWatermark("ts", "1 hour")``, inner-
+    join on user_id + the time-range predicate, and drain with ONE
+    availableNow pass (append mode, exactly-once txlog sink).
+
+    Why the oracle is the plain batch join: inner stream-stream joins
+    emit a pair the moment both sides are buffered — no watermark
+    finalization gate (that is the OUTER-join wait) — and the single
+    planned batch runs at watermark 0, so nothing is late-dropped and
+    the emitted set is EXACTLY the batch interval join, restated by
+    DuckDB. The single-batch assumption is pinned structurally (the J4
+    discipline, ADVICE r10): if the source ever splits the pass, fail
+    loudly rather than grade a silently-different row set. Output is
+    pure BIGINT ids — no floats, no timestamp formatting.
+
+    Scale: state is keyed by user_id and bounded by the watermark ±
+    interval (Spark evicts click state older than wm − 1 h); the join
+    shuffles both streams on user_id once — the same exchange a batch
+    join would need — and the range predicate prunes within key
+    groups. Graded, not benched (fixed availableNow lifecycle
+    overhead — the txlog-key policy)."""
+    import shutil
+    import tempfile
+
+    from novlake_spark.sources.txlog_source import register_txlog_source
+    from novlake_spark.txlog import TxTable
+
+    register_txlog_source(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="novlake-qssj-")
+    try:
+        src = TxTable(spark, f"{root}/src")
+        src.commit(ev)
+
+        def branch(etype: str, prefix: str):
+            return (
+                spark.readStream.format("txlog")
+                .option("path", f"{root}/src")
+                .load()
+                .filter(F.col("event_type") == etype)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", "1 hour")
+            )
+
+        clicks, purchases = branch("click", "click"), branch("purchase", "purchase")
+        joined = clicks.join(
+            purchases,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).select(
+            F.col("click_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+        )
+        q = (
+            joined.writeStream.format("txlog")
+            .option("path", f"{root}/sink")
+            .option("txnAppId", "q-ss-join")
+            .option("checkpointLocation", f"{root}/cp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream-stream join pass still running after 300 s")
+        n_batches = len(q.recentProgress)
+        if n_batches != 1:
+            raise RuntimeError(
+                f"stream-stream join drain planned {n_batches} micro-batches "
+                "(expected exactly 1); the single-batch oracle equivalence "
+                "no longer holds"
+            )
+        snap = TxTable(spark, f"{root}/sink").read().select(
+            "user_id", "click_id", "purchase_id"
+        )
+        return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "q_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

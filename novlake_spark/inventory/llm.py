@@ -489,6 +489,100 @@ def q_llm_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_quality_auc",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' '))) * 1000000 + 0.5) AS BIGINT)
+               AS iscore
+      FROM documents
+    ),
+    r AS (
+      SELECT source, pos,
+             2 * rank() OVER (PARTITION BY source ORDER BY iscore)
+               + count(*) OVER (PARTITION BY source, iscore) - 1 AS ar2
+      FROM s
+    ),
+    g AS (
+      SELECT source,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN pos = 1 THEN ar2 ELSE 0 END)
+                  AS BIGINT) AS sum_ar2_pos
+      FROM r GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           sum_ar2_pos - n_pos * (n_pos + 1) AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(sum_ar2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                     / (2 * n_pos * n_neg)
+                END AS auc
+    FROM g
+    """,
+)
+def q_llm_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L76 (round 11): classifier-evaluation AUC as a pure rank
+    statistic — per source, the probability that a random English doc
+    outranks a random non-English doc on the lexical-diversity score
+    (Mann-Whitney U / Wilcoxon form: AUC = (Σavg-ranks₊ −
+    n₊(n₊+1)/2) / (n₊·n₋)). The eval half every quality-filter
+    pipeline needs: L15/L73 SCORE documents; this key measures how
+    well a score separates a labeled slice, per stratum, without a
+    single float fold.
+
+    Exactness: the score is the 1e-6-grid lexical diversity (exact
+    BIGINT); tie handling is the textbook average rank, carried as
+    2·avgrank = 2·rank + tiecount − 1 so EVERYTHING stays integer
+    (u2 = 2U exactly); AUC is ONE division of exact integers, NULL
+    when a source lacks a class in both engines (DuckDB and Spark
+    both short-circuit the guarded CASE — x/0 is engine-dependent,
+    the guard is not).
+
+    Scale: one shuffle on source for the rank window (same shape and
+    same 100 TB rewrite note as L73 — per-source rank statistics can
+    move to a broadcast threshold/histogram form when a single source
+    dominates); the U aggregation is map-side partial on top."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        grid(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 1000000
+        ).alias("iscore"),
+    )
+    wr = Window.partitionBy("source").orderBy("iscore")
+    wt = Window.partitionBy("source", "iscore")
+    r = s.select(
+        "source",
+        "pos",
+        (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).alias("ar2"),
+    )
+    g = r.groupBy("source").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("ar2")).otherwise(0))
+        .cast("long")
+        .alias("sum_ar2_pos"),
+    )
+    u2 = F.col("sum_ar2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return g.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        u2.alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u2.cast("double") / (F.lit(2) * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )
+
+
+@register(
     "q_llm_tf_topk",
     oracle="""
     SELECT tok, count(*) AS tf

@@ -55,7 +55,10 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: q_llm_quality_percentile + q_crawl_linkgraph (new round-11 widening:
 #: per-source percentile curation and link-graph extraction;
 #: q_crawl_anchor_text + q_mix_epochs followed mid-round: anchor-text
-#: consolidation and data-constrained epoch planning), the five
+#: consolidation and data-constrained epoch planning;
+#: q_llm_quality_auc + q_stream_stream_join later in the round:
+#: per-source Mann-Whitney AUC and the real stream-stream interval
+#: join lifecycle), the five
 #: multimodal keys whose synthesizers were routed through the
 #: _media_df seam while measuring VERDICT r10 next #5 (the coalesce
 #: was tried end-to-end, found a 3-4x parallelism regression on video/
@@ -75,7 +78,7 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: to the head under the changed-impl rule). Fill = the remaining
 #: 22 keys of the 25-key r5 cohort (VERDICT r10 missing #2, its
 #: last-prescribed rotation) + the first 8 of the r6 cohort in
-#: stable order. 20 + 22 + 8 = 50; the 27 r6 keys left outside tie the
+#: stable order. 22 + 22 + 6 = 50; the 29 r6 keys left outside tie the
 #: window's worst non-head staleness (r6), legal under the
 #: strict-staler-only rule. After round-11 grades land, no key's
 #: latest evidence is older than r6.
@@ -90,6 +93,8 @@ ROUND_HEAD: list[str] = [
     "q_crawl_linkgraph",
     "q_crawl_anchor_text",
     "q_mix_epochs",
+    "q_llm_quality_auc",
+    "q_stream_stream_join",
     "q_multimodal_decode",
     "q_multimodal_audio",
     "q_multimodal_video",
@@ -113,6 +118,8 @@ PRIORITY: list[str] = [
     "q_crawl_linkgraph",
     "q_crawl_anchor_text",
     "q_mix_epochs",
+    "q_llm_quality_auc",
+    "q_stream_stream_join",
     "q_multimodal_decode",
     "q_multimodal_audio",
     "q_multimodal_video",

@@ -516,3 +516,38 @@ def test_nfc_clean_semantics(spark):
     # idempotent: normalize twice == once
     twice = {r["id"]: r["c"] for r in df.select("id", clean(clean("t")).alias("c")).collect()}
     assert twice == got
+
+
+def test_quality_auc_planted_separation(spark):
+    """L76: AUC must be exactly 1 under perfect separation, 0 under
+    perfect inversion, and 0.5-adjacent under a known tie layout —
+    the three anchor points of the Mann-Whitney formula."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [("s", 1, 100 + i) for i in range(3)] + [
+        ("s", 0, i) for i in range(5)
+    ]  # positives all outrank negatives
+    df = spark.createDataFrame(rows, "source string, pos int, iscore long")
+
+    def auc_of(frame):
+        wr = Window.partitionBy("source").orderBy("iscore")
+        wt = Window.partitionBy("source", "iscore")
+        r = frame.select(
+            "source", "pos",
+            (F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("ar2"),
+        )
+        g = r.groupBy("source").agg(
+            F.sum("pos").alias("np"),
+            (F.count(F.lit(1)) - F.sum("pos")).alias("nn"),
+            F.sum(F.when(F.col("pos") == 1, F.col("ar2")).otherwise(0)).alias("s2"),
+        )
+        row = g.collect()[0]
+        return (row["s2"] - row["np"] * (row["np"] + 1)) / (2 * row["np"] * row["nn"])
+
+    assert auc_of(df) == 1.0
+    inverted = df.select("source", (1 - F.col("pos")).alias("pos"), "iscore")
+    assert auc_of(inverted) == 0.0
+    # all scores tied: average ranks make AUC exactly 0.5
+    tied = df.select("source", "pos", F.lit(7).cast("long").alias("iscore"))
+    assert auc_of(tied) == 0.5

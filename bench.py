@@ -143,6 +143,10 @@ HEADLINE = [
     # q_stream_stream_join is graded, not benched (fixed availableNow
     # lifecycle overhead - the txlog-key policy)
     "q_llm_quality_auc",
+    # planted-FULL detection paths (semantic + perceptual): real
+    # pipelines over constructed inputs with arithmetic oracles
+    "q_llm_semdedup_planted",
+    "q_multimodal_phash_planted",
     # q_txlog_merge / q_txlog_timetravel are graded, not benched: txlog
     # latency is measured by its own micro-bench (TXLOG_BENCH.json).
 ]

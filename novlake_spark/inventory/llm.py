@@ -2362,6 +2362,43 @@ def q_llm_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_semdedup_planted",
+    oracle="""
+    SELECT vec_id, true AS kept FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, false FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def q_llm_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2g (round 11): the SemDeDup detection path made FULL-gradable by
+    construction — the q_llm_dedup_near_planted discipline applied to
+    the semantic family. Corpus = embeddings ∪ EXACT copies of the
+    vec_id%5==0 slice (copy id = original + 1,000,000, above every
+    fixture id). An identical vector lands in the SAME k-means cell as
+    its original by determinism of the assignment computation —
+    whatever the engine-specific cells are — and, having the higher
+    id, sees cosine ≈ 1.0 to a lower-id cluster-mate, which exceeds
+    the 0.99 threshold no organic fixture pair can reach (measured
+    max non-identical cosine ≈ 0.47; a random 64-dim pair at 0.99 is
+    astronomically unlikely and would be a planted dup anyway). The
+    kept verdict is therefore EXACTLY "is this a planted copy",
+    restated by the oracle as id arithmetic — while the execution
+    runs the REAL pipeline: seeded k-means cells, per-cell vectorized
+    matmul, lower-id-keeper rule. Engine-specific floats (cell id,
+    max_cos_prior) stay out of the graded projection; the general
+    thresholded key remains weak-by-design as L2e with planted-recall
+    pytest. Scale: identical Σ cell² bound as the weak key."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    return D.semantic_dedup(corpus, threshold=0.99, n_cells=8).select(
+        "vec_id", "kept"
+    )
+
+
 @register("q_llm_semdedup", weak=True)  # WEAK: k-means cells are engine-specific
 def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2e: SemDeDup semantic deduplication (cluster embeddings, drop
@@ -2709,6 +2746,52 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "q_multimodal_phash_planted",
+    oracle="""
+    WITH bits AS (
+      SELECT i, r*8 + j AS p,
+             CASE WHEN (i + 8*r + j) % 3 = 0 THEN 1 ELSE 0 END AS b
+      FROM range(40) t(i) CROSS JOIN range(8) rs(r) CROSS JOIN range(8) js(j)
+    ),
+    v AS (
+      SELECT i,
+             CAST(sum(CASE WHEN p > 0 AND b = 1
+                           THEN (CAST(1 AS BIGINT) << (63 - p))
+                           ELSE 0 END) AS BIGINT) AS low,
+             max(CASE WHEN p = 0 THEN b END) AS msb
+      FROM bits GROUP BY i
+    )
+    SELECT i AS media_id,
+           CASE WHEN msb = 1 THEN low + (-9223372036854775807 - 1)
+                ELSE low END AS dhash
+    FROM v
+    """,
+)
+def q_multimodal_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10g (round 11): the perceptual-hash pipeline hash-graded — the
+    planted-FULL discipline (L2f/L2g) applied to the image family. The
+    REAL path runs end to end: lossless encode (rotating bmp/ppm/png
+    from-scratch codecs) → decode → ITU-R 601 luma → 8×9 bilinear
+    resample → 64-bit dHash — but the inputs are staircase images
+    whose every gradient sign is the arithmetic predicate
+    ``(i + 8r + j) % 3 == 0`` (operators/multimodal.py:
+    synthesize_phash_planted documents why each pipeline stage
+    preserves it exactly). The oracle restates the 64-bit hash as pure
+    SQL bit arithmetic — MSB handled by two's-complement into int64 —
+    so a codec regression, a luma-coefficient drift, a resample
+    off-by-one, or a bit-packing order bug each flips the hash. The
+    general random-image key stays weak-by-design as L10d with
+    Hamming-LSH recall tests."""
+    from novlake_spark.operators.multimodal import (
+        phash_images,
+        synthesize_phash_planted,
+    )
+
+    media = synthesize_phash_planted(spark, n=40)
+    return phash_images(media).select("media_id", "dhash")
 
 
 @register("q_multimodal_phash", weak=True)  # WEAK: pixel hashes have no SQL oracle

@@ -757,6 +757,34 @@ def synthesize_images(
     return _media_df(spark, rows)
 
 
+def synthesize_phash_planted(spark: SparkSession, n: int = 40) -> DataFrame:
+    """8×9 lossless images whose 64-bit dHash is FORCED by construction
+    (round 11, the planted-FULL discipline applied to the phash family):
+    bit (r, j) of image i is the arithmetic predicate
+    ``(i + 8r + j) % 3 == 0``, realized as a per-row luma STAIRCASE —
+    column j+1 is ±12 from column j according to the bit. Why this is
+    exact end-to-end: the image is already at the dHash grid size, so
+    the 8×9 bilinear resample is the identity mapping; R=G=B makes the
+    ITU-R 601 luma equal the channel value up to one float truncation
+    ULP, and the ±12 step dwarfs that; and the rotating bmp/ppm/png
+    codecs are lossless, so decode == construction bit-for-bit. The
+    staircase stays inside [32, 224] for any 8-step walk from 128.
+    Verified: dhash64(make(i)) == the closed form for i in 0..39."""
+    rows = []
+    encoders = [("bmp", encode_bmp), ("ppm", encode_ppm), ("png", encode_png)]
+    for i in range(n):
+        px = np.zeros((8, 9, 3), dtype=np.uint8)
+        for r in range(8):
+            v = 128
+            px[r, 0, :] = v
+            for j in range(8):
+                v = v + (12 if (i + 8 * r + j) % 3 == 0 else -12)
+                px[r, j + 1, :] = v
+        fmt, enc = encoders[i % 3]
+        rows.append((i, "image", enc(px), (9, 8, None, None, fmt)))
+    return _media_df(spark, rows)
+
+
 def decode_any_image(data: bytes) -> np.ndarray:
     """Magic-byte dispatch over the five from-scratch codecs → (H, W, 3)
     uint8, or ValueError for foreign/corrupt payloads (callers

@@ -58,7 +58,9 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: consolidation and data-constrained epoch planning;
 #: q_llm_quality_auc + q_stream_stream_join later in the round:
 #: per-source Mann-Whitney AUC and the real stream-stream interval
-#: join lifecycle), the five
+#: join lifecycle; q_llm_semdedup_planted + q_multimodal_phash_planted
+#: still later: the planted-FULL discipline extended to the semantic
+#: and perceptual-hash families), the five
 #: multimodal keys whose synthesizers were routed through the
 #: _media_df seam while measuring VERDICT r10 next #5 (the coalesce
 #: was tried end-to-end, found a 3-4x parallelism regression on video/
@@ -78,7 +80,7 @@ _DECLARED_SCHEMAS: dict[str, str] = {}
 #: to the head under the changed-impl rule). Fill = the remaining
 #: 22 keys of the 25-key r5 cohort (VERDICT r10 missing #2, its
 #: last-prescribed rotation) + the first 8 of the r6 cohort in
-#: stable order. 22 + 22 + 6 = 50; the 29 r6 keys left outside tie the
+#: stable order. 24 + 22 + 4 = 50; the 31 r6 keys left outside tie the
 #: window's worst non-head staleness (r6), legal under the
 #: strict-staler-only rule. After round-11 grades land, no key's
 #: latest evidence is older than r6.
@@ -95,6 +97,8 @@ ROUND_HEAD: list[str] = [
     "q_mix_epochs",
     "q_llm_quality_auc",
     "q_stream_stream_join",
+    "q_llm_semdedup_planted",
+    "q_multimodal_phash_planted",
     "q_multimodal_decode",
     "q_multimodal_audio",
     "q_multimodal_video",
@@ -120,6 +124,8 @@ PRIORITY: list[str] = [
     "q_mix_epochs",
     "q_llm_quality_auc",
     "q_stream_stream_join",
+    "q_llm_semdedup_planted",
+    "q_multimodal_phash_planted",
     "q_multimodal_decode",
     "q_multimodal_audio",
     "q_multimodal_video",

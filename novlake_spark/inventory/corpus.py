@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from novlake_spark.operators.numerics import grid
 from novlake_spark.registry import register
-from novlake_spark.sources.tables import load_table
+from novlake_spark.sources.tables import ensure_parallelism, load_table
 
 
 @register(
@@ -147,7 +147,10 @@ def q_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential left-to-right (`F.aggregate` / `list_reduce`), so
     distances are bit-identical and the confusion counts hash-match.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # ensure_parallelism (round 11, guide §2.5): spread the scan — the
+    # posexplode (n_vectors × dim) and the assignment distance folds
+    # below otherwise run single-task.
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     iv = grid(F.col("v").cast("double"), 1000000)
     cent_rows = (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
@@ -598,7 +601,9 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (127/0), and the engines diverge on the degenerate case
     (Spark casts the resulting inf to NULL, DuckDB errors), so a
     production wrapper filters amax > 0 first."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # ensure_parallelism (round 11, guide §2.5): the interpreted HOF
+    # transforms below otherwise run on the single row-group split.
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     # hoist the scale to its own column: referencing the amax
     # sub-expression INSIDE the per-element lambda re-evaluates the
     # whole array_max per element — O(d²) interpreted HOF work per row,
@@ -674,7 +679,9 @@ def q_emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     subvector; at billion-vector scale the production encode fuses the
     distance loop into one Arrow batch matmul (operators.knn's block
     pattern) — the graded join formulation IS the semantics spec."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # ensure_parallelism (round 11, guide §2.5): single-split scan would
+    # serialize the component explode feeding the codebook join.
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     comp = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
         "vec_id",
         F.col("pos").cast("int").alias("pos"),
@@ -753,7 +760,11 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM codegen, no Python. At billion-vector scale the same contract
     runs behind the IVF/LSH candidate tiers (operators.knn): brute
     force IS the spec, the index is the execution strategy."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # ensure_parallelism (round 11, guide §2.5): the interpreted
+    # zip_with/aggregate dot-product fold below runs on the stream side
+    # of a broadcast nested-loop join — on the one-row-group scan that
+    # was a single task doing all 50×N pair folds.
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     gridded = emb.select(
         "vec_id",
         "label",

@@ -144,22 +144,36 @@ def q_llm_dedup_near_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a self-join), and the verify join touches only candidate
     ids with a 40 B/doc (md5, n) projection — shingle strings never
     shuffle."""
+    from novlake_spark.cache import track
+
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
+    # Round 11 (guide §2.5/§4.4/§5): spread the 2-partition union before
+    # the Python stages (scan-side shingling otherwise runs on 2 of 32
+    # cores; minhash_signatures sees ≥parallelism partitions and skips
+    # its own shuffle), and tracked-persist ``keyed`` — it feeds BOTH
+    # join sides, and unpersisted the whole corpus+shingle subtree
+    # executed once per side (the before-plan holds FOUR copies of the
+    # shingle ArrowEvalPython chain). The nondeterministic marking stops
+    # the size-filter pushdown from doubling the UDF inside the one
+    # remaining evaluation.
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     sig = D.minhash_signatures(corpus)  # 32 hashes, 3-token shingles
     cand = D.lsh_candidate_pairs(sig)  # 8 bands × 4 rows
     # canonical per-doc shingle-set key: sorted distinct shingles, md5
     # over a chr(31)-joined serialization (tokens are space-split so
     # shingle strings contain spaces; the control char keeps boundaries
     # unambiguous — fixtures verified free of chr(31))
-    keyed = (
+    keyed = track(
         corpus.select(
             "doc_id",
-            F.sort_array(T.shingles_arrow(F.col("text"), 3, unique=True)).alias("ss"),
+            F.sort_array(
+                T.shingles_arrow(F.col("text"), 3, unique=True, nondeterministic=True)
+            ).alias("ss"),
         )
         .filter(F.size("ss") >= 1)
         .select(
@@ -167,6 +181,7 @@ def q_llm_dedup_near_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("\x1f", "ss")).alias("k"),
             F.size("ss").cast("long").alias("n"),
         )
+        .persist()
     )
     a = keyed.select(
         F.col("doc_id").alias("id_a"), F.col("k").alias("ka"), F.col("n").alias("na")
@@ -645,12 +660,25 @@ def q_llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl (Heaps' law) — a forced broadcast would OOM every executor.
     AQE promotes it to broadcast-hash iff runtime stats say it fits
     (same policy as the perplexity model join, operators/lm.py).
+
+    Round 11 (guide §2.3/§5): tf, df and N all fan out of ONE
+    tracked-persisted per-doc token-count table — the before-plan ran
+    the tokenize ArrowEvalPython TWICE (once for tf, once for df;
+    Catalyst has no common-subplan dedup) and on a single scan
+    partition. ensure_parallelism spreads the Python stage; the cache
+    holds only (doc_id, map<tok,int>) — the narrow pre-explode rows,
+    the same cache point as BM25's ``base``.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    tf = docs.select(
-        "doc_id", F.explode(T.token_counts_arrow(F.col("text"))).alias("tok", "tf")
+    from novlake_spark.cache import track
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tc = track(
+        docs.select(
+            "doc_id", T.token_counts_arrow(F.col("text")).alias("_tc")
+        ).persist()
     )
+    n = tc.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    tf = tc.select("doc_id", F.explode("_tc").alias("tok", "tf"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(df, "tok")
@@ -711,17 +739,17 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual class the 1e-6 grid absorbs); per-doc weights are sums of
     gridded BIGINTs — order-free — with one presentation division.
 
-    Scale shape: TWO corpus scans total — the histogram pass (one
-    ≤256-row aggregate holding both slices' counts, persisted so the
-    totals and λ derivations don't re-run the explode; map-side
-    partials make its exchange O(buckets·tasks)) and the per-doc score
-    pass; λ joins the score pass as a ≤256-row broadcast, so the only
-    data-sized exchange is the final doc_id-keyed partial sum. Bigram
-    STRINGS never shuffle — they reduce to 2-hex-char bucket keys at
-    the map side. At 100 TB this is exactly the DSIR paper's
-    architecture: a streaming histogram pass + an embarrassing
-    per-doc score pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    Scale shape (round 11: 2 scans → 1): ONE corpus scan emits
+    per-(doc, source, bucket) counts, tracked-persisted; the ≤256-row
+    histogram and the per-doc scoring both fold that cache, so the
+    bigram UDF runs exactly once. λ joins the score pass as a ≤256-row
+    broadcast and the only data-sized exchanges carry (doc, bk, count)
+    rows — ≤256 per doc. Bigram STRINGS never shuffle — they reduce to
+    2-hex-char bucket keys at the map side. At 100 TB this is exactly
+    the DSIR paper's architecture: a streaming histogram pass + an
+    embarrassing per-doc score pass, with the intermediate a bounded
+    per-doc sketch rather than the raw bigram stream."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # T.shingles_arrow(·, 2) = bigrams of lower(text) split on spaces,
     # short-doc-guarded — value-identical to the oracle's
     # list_transform over string_split(lower(text)) (the same helper
@@ -731,22 +759,31 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(T.shingles_arrow(F.col("text"), 2)).alias("bg")
     ).select("doc_id", "source", F.substring(F.md5(F.col("bg")), 1, 2).alias("bk"))
     is_target = F.col("source") == "src0"
-    # ONE histogram pass: both slices' bucket counts fold in a single
-    # ≤256-row aggregate, PERSISTED (tracked) because totals and λ both
-    # reference it — without the cache each reference re-executed the
-    # corpus-sized bigram explode (4 scans in the first-landed plan;
-    # caught by the round-10 self-review against this docstring's own
-    # "one histogram pass" claim). The oracle's t/s/tot decomposition
-    # computes the identical exact integers: ct is 0 (not NULL) for a
-    # target-absent bucket, matching coalesce(ct,0); Σct / Σcs over all
-    # buckets ARE the slice totals.
+    # Round 11 (guide §2.3): ONE bigram pass total. The r10 shape still
+    # ran the corpus-sized shingle UDF twice — once into the histogram,
+    # once into the scoring aggregate. Pre-reducing to per-(doc, source,
+    # bucket) counts and tracked-persisting THAT collapses both
+    # consumers onto a single Python pass; the cache holds ≤256 narrow
+    # rows per doc (vs one row per bigram), and every downstream
+    # quantity is an exact-integer fold of the counts:
+    # Σ_rows ilam == Σ_buckets cnt·ilam, count(*) == Σ cnt.
     from novlake_spark.cache import track
 
+    bcnt = track(
+        b.groupBy("doc_id", "source", "bk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    # Histogram: both slices' bucket counts fold in a single ≤256-row
+    # aggregate, also persisted (totals and λ both reference it). The
+    # oracle's t/s/tot decomposition computes the identical exact
+    # integers: ct is 0 (not NULL) for a target-absent bucket, matching
+    # coalesce(ct,0); Σct / Σcs over all buckets ARE the slice totals.
     hist = track(
-        b.groupBy("bk")
+        bcnt.groupBy("bk")
         .agg(
-            F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("ct"),
-            F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("cs"),
+            F.sum(F.when(is_target, F.col("_c")).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(~is_target, F.col("_c")).otherwise(0)).cast("long").alias("cs"),
         )
         .persist()
     )
@@ -769,12 +806,12 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        b.filter(~is_target)
+        bcnt.filter(~is_target)
         .join(F.broadcast(lam), "bk")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("ilam").cast("long") / F.lit(1000000.0)).alias("weight"),
+            F.sum("_c").alias("n_bigrams"),
+            (F.sum(F.col("ilam") * F.col("_c")).cast("long") / F.lit(1000000.0)).alias("weight"),
         )
     )
 
@@ -1142,7 +1179,12 @@ def q_llm_langseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at the languages-per-doc fan-in, never a hot-key risk."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ensure_parallelism (round 11, guide §2.5): the segment/langid
+    # lambdas run interpreted (no codegen for array lambdas) — on the
+    # one-row-group scan the whole pass was single-core.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     toks = F.split(F.lower(F.col("text")), " ")
     n_seg = F.greatest(F.ceil(F.size(toks) / F.lit(10.0)).cast("int"), F.lit(1))
     segs = F.transform(
@@ -1163,17 +1205,14 @@ def q_llm_langseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_segments", F.sum("n").over(w).cast("long"))
         .withColumn("n_langs", F.count(F.lit(1)).over(w).cast("long"))
     )
-    return (
-        ranked.filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "n_segments",
-            "n_langs",
-            F.col("seg_lang").alias("majority_lang"),
-            F.col("n").cast("long").alias("majority_count"),
-        )
-        .orderBy("doc_id")
+    out = ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "n_segments",
+        "n_langs",
+        F.col("seg_lang").alias("majority_lang"),
+        F.col("n").cast("long").alias("majority_count"),
     )
+    return _cache_before_sort(out).orderBy("doc_id")
 
 
 def _langid_oracle() -> str:
@@ -1274,7 +1313,9 @@ def q_llm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     both token counts (pure codegen, zero Python), then a
     language-cardinality groupBy — the shuffle carries ≤ |languages|
     partial rows per task, nothing document-sized."""
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): regexp_extract_all over
+    # every doc on a one-row-group scan was single-core.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     feat = docs.select(
         T.lang_id(T.tokens(F.col("text"))).alias("lang"),
         F.size(F.split("text", " ")).cast("long").alias("ws"),
@@ -2084,7 +2125,9 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured in PLANS.json round 2 and removed). Skewed hot spans
     (boilerplate) are exactly what AQE skew-split handles; the output
     is the span→first_doc map a scrubber broadcast-joins against."""
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): the shingle UDF on a
+    # one-row-group scan otherwise runs on a single core.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     spans = docs.select(
         "doc_id", F.explode(T.shingles_arrow(F.col("text"), 3, unique=True)).alias("ngram")
     )
@@ -2138,20 +2181,30 @@ def q_llm_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-split because this is a JOIN, not a window; the final
     distinct-position count keys on doc_id. No driver state, no
     broadcast of SF-scaled sides (hint policy: AQE decides)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from novlake_spark.cache import track
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.lower(F.col("text")), " ")
 
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(T.shingles_arrow(F.col("text"), 3)).alias("i", "ngram"),
-    )
-    dup = (
+    # Round 11 (guide §2.3/§5): ONE shingle pass total. The r10 shape
+    # ran shingles_arrow twice over the corpus — positional for the
+    # coverage join and unique for the dup table — each on a single
+    # scan partition. The positional table is tracked-persisted and the
+    # dup table derives from it (count_distinct collapses the intra-doc
+    # repeats the unique=True pass used to remove map-side); both
+    # engines' dup sets are the same exact integers.
+    pos = track(
         docs.select(
             "doc_id",
-            F.explode(T.shingles_arrow(F.col("text"), 3, unique=True)).alias("ngram"),
+            F.posexplode(T.shingles_arrow(F.col("text"), 3)).alias("i", "ngram"),
+        ).persist()
+    )
+    dup = (
+        pos.groupBy("ngram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
         )
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("n_docs") > 1)
         .select("ngram", "first_doc")
     )
@@ -2176,7 +2229,7 @@ def q_llm_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("p").alias("n_dup_pos"))
     )
-    return (
+    return _cache_before_sort(
         docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
         .join(covered, "doc_id", "left")
         .select(
@@ -2184,8 +2237,7 @@ def q_llm_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.coalesce(F.col("n_dup_pos"), F.lit(0).cast("long")).alias("n_dup_pos"),
         )
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 @register(
@@ -2216,14 +2268,18 @@ def q_llm_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     standardized, so the hash match is a real cross-implementation
     check, not an echo. Zero shuffle: one ArrowEval over the scan
     (the orderBy is oracle-comparison framing only)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     messy = F.concat(
         F.lit("e\u0301 "),        # decomposed e + COMBINING ACUTE
         F.col("text"),
         F.lit("\u0007  o\u0308"),  # BEL control, space run, decomposed o-diaeresis
     )
     clean = T.nfc_clean_udf()
-    return docs.select("doc_id", clean(messy).alias("clean_text")).orderBy("doc_id")
+    return _cache_before_sort(
+        docs.select("doc_id", clean(messy).alias("clean_text"))
+    ).orderBy("doc_id")
 
 
 @register("q_llm_bpe_encode", weak=True)  # WEAK: depends on the iterative trainer
@@ -2731,21 +2787,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_images(spark, n=30, arith=True)
     feats = decode_image_stdlib(media)
     fmts = media.select("media_id", F.col("meta.format").alias("_fmt"))
-    return (
-        feats.join(fmts, "media_id")
-        .select(
-            "media_id",
-            "width",
-            "height",
-            F.when(
-                F.col("_fmt").isin("bmp", "ppm", "png"), F.col("px_sum")
-            )
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("px_sum"),
-        )
-        .orderBy("media_id")
+    out = feats.join(fmts, "media_id").select(
+        "media_id",
+        "width",
+        "height",
+        F.when(F.col("_fmt").isin("bmp", "ppm", "png"), F.col("px_sum"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("px_sum"),
     )
+    return _cache_before_sort(out).orderBy("media_id")
 
 
 @register(
@@ -2809,7 +2860,7 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novlake_spark.operators.multimodal import phash_images, synthesize_images
 
     media = synthesize_images(spark, n=30)
-    return phash_images(media).orderBy("media_id")
+    return _cache_before_sort(phash_images(media)).orderBy("media_id")
 
 
 @register("q_multimodal_phash_clusters", weak=True)  # WEAK: pixel hashes, no SQL oracle
@@ -2892,8 +2943,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novlake_spark.operators.multimodal import audio_features, synthesize_audio
 
     media = synthesize_audio(spark, n=24)
-    return audio_features(media).select(
-        "media_id", "container", "sample_rate", "n_samples", "duration_ms"
+    return _cache_before_sort(
+        audio_features(media).select(
+            "media_id", "container", "sample_rate", "n_samples", "duration_ms"
+        )
     ).orderBy("media_id")
 
 
@@ -2934,11 +2987,10 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synthesize_videos(spark, n=6)
-    return (
+    return _cache_before_sort(
         decode_video_frames(media, every_n=2)
         .select("media_id", "frame_idx", "frame_ms", "width", "height")
-        .orderBy("media_id", "frame_idx")
-    )
+    ).orderBy("media_id", "frame_idx")
 
 
 @register(
@@ -2967,9 +3019,13 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrap_documents_html,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): the one-row-group scan
+    # otherwise runs the html.parser ArrowEvalPython on a single core.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pages = wrap_documents_html(docs)
-    return extract_html_text(pages).select("doc_id", "extracted").orderBy("doc_id")
+    return _cache_before_sort(
+        extract_html_text(pages).select("doc_id", "extracted")
+    ).orderBy("doc_id")
 
 
 @register(
@@ -3089,16 +3145,17 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return _pd.DataFrame({"warc": [blob]})
 
-    blobs = (
-        docs.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
-        .applyInPandas(build, schema="warc binary")
+    blobs = _blob_buckets(docs, spark).groupBy("bucket").applyInPandas(
+        build, schema="warc binary"
     )
     pages = read_warc(blobs)
     extracted = extract_html_text(pages, col="html")
-    return extracted.select(
-        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
-        F.col("status"),
-        "extracted",
+    return _cache_before_sort(
+        extracted.select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            F.col("status"),
+            "extracted",
+        )
     ).orderBy("doc_id")
 
 
@@ -3150,11 +3207,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             txt += "Allow: /Path/\nDisallow: /\n"
         rows.append((f"www.example-{d}.com", txt))
     robots = spark.createDataFrame(rows, "domain string, robots_txt string")
-    return (
-        robots_filter(urls, robots)
-        .select("doc_id", "domain", "allowed")
-        .orderBy("doc_id")
-    )
+    return _cache_before_sort(
+        robots_filter(urls, robots).select("doc_id", "domain", "allowed")
+    ).orderBy("doc_id")
 
 
 @register(
@@ -3199,7 +3254,9 @@ def q_crawl_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrap_documents_html_links,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): single-split scan would
+    # serialize the link-collector ArrowEvalPython.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pages = wrap_documents_html_links(docs)
     return (
         extract_html_links(pages)
@@ -3264,7 +3321,8 @@ def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrap_documents_html_links,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): same rationale as L74.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     edges = (
         extract_html_links(wrap_documents_html_links(docs))
         .filter(F.col("href").startswith("/doc/"))
@@ -3385,9 +3443,8 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return _pd.DataFrame({"warc": [blob]})
 
-    blobs = (
-        admitted.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
-        .applyInPandas(build, schema="warc binary")
+    blobs = _blob_buckets(admitted, spark).groupBy("bucket").applyInPandas(
+        build, schema="warc binary"
     )
     pages = extract_html_text(read_warc(blobs), col="html")
     curated = pages.select(
@@ -3396,7 +3453,9 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.parse_url("target_uri", F.lit("HOST"))).alias("domain"),
         F.size(F.split("extracted", " ")).alias("n_tokens"),
     )
-    return curated.filter(F.col("n_tokens") >= 40).orderBy("doc_id")
+    return _cache_before_sort(curated.filter(F.col("n_tokens") >= 40)).orderBy(
+        "doc_id"
+    )
 
 
 @register("q_llm_compress_ratio", weak=True)  # WEAK: DuckDB has no DEFLATE
@@ -3412,10 +3471,12 @@ def q_llm_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals it joins in the curation gate."""
     from novlake_spark.operators.text import compression_ratio_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): single-split scan would
+    # serialize the DEFLATE pass.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     ratio = compression_ratio_udf()
-    return docs.select(
-        "doc_id", ratio(F.col("text")).alias("compress_ratio")
+    return _cache_before_sort(
+        docs.select("doc_id", ratio(F.col("text")).alias("compress_ratio"))
     ).orderBy("doc_id")
 
 
@@ -3473,8 +3534,10 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parse = parse_sitemap_udf()
     parsed = sitemaps.select("site", F.explode(parse(F.col("xml"))).alias("e"))
-    return parsed.select(
-        "site", F.col("e.loc").alias("loc"), F.col("e.lastmod").alias("lastmod")
+    return _cache_before_sort(
+        parsed.select(
+            "site", F.col("e.loc").alias("loc"), F.col("e.lastmod").alias("lastmod")
+        )
     ).orderBy("site", "loc")
 
 
@@ -3503,21 +3566,40 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine-written-text case this grades is exact."""
     import pandas as _pd
 
-    from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_docs
+    from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_text
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Round 11 (guide §4.1/§2.5): encode and extract FUSED into one
+    # mapInPandas — the r10 plan chained two MapInPandas nodes, so every
+    # PDF's bytes crossed JVM↔Python twice (Arrow serialize + transpose
+    # each way) purely to hand the payload from the builder to the
+    # parser; and the whole chain ran on the scan's single row-group
+    # split. Both codec halves still execute unchanged (encode_pdf →
+    # extract_pdf_text per document, same quarantine contract as
+    # extract_pdf_docs); only the boundary crossings are gone.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
 
-    def build(batches):
+    def build_and_extract(batches):
         for pdf in batches:
-            out = {"doc_id": [], "pdf": []}
+            out = {"doc_id": [], "page": [], "text": []}
             for i, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
-                out["doc_id"].append(i)
-                out["pdf"].append(encode_pdf([f"Doc {i}", str(text)]))
+                try:
+                    texts = extract_pdf_text(encode_pdf([f"Doc {i}", str(text)]))
+                except ValueError:
+                    continue  # corrupt payload: quarantine, same as extract_pdf_docs
+                for page, t in enumerate(texts):
+                    out["doc_id"].append(i)
+                    out["page"].append(page)
+                    out["text"].append(t)
             yield _pd.DataFrame(out)
 
-    pdfs = docs.mapInPandas(build, schema="doc_id long, pdf binary")
-    return extract_pdf_docs(pdfs).orderBy("doc_id", "page")
+    return _cache_before_sort(
+        docs.mapInPandas(
+            build_and_extract, schema="doc_id long, page int, text string"
+        )
+    ).orderBy("doc_id", "page")
 
 
 @register(
@@ -3553,27 +3635,36 @@ def q_pdf_cmap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays FULL and constructive over the sampled quarter."""
     import pandas as _pd
 
-    from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_docs
+    from novlake_spark.operators.pdftext import encode_pdf, extract_pdf_text
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 4 == 0)
-        .select("doc_id", "text")
-    )
+    # Round 11: same fuse-and-spread as q_pdf_extract (guide §4.1/§2.5)
+    # — one mapInPandas, zero payload round trips, full-width tasks.
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    ).select("doc_id", "text")
 
-    def build(batches):
+    def build_and_extract(batches):
         for pdf in batches:
-            out = {"doc_id": [], "pdf": []}
+            out = {"doc_id": [], "page": [], "text": []}
             for i, text in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
-                out["doc_id"].append(i)
-                out["pdf"].append(
-                    encode_pdf([f"Doc {i}", str(text)], subset_font=[False, True])
-                )
+                try:
+                    texts = extract_pdf_text(
+                        encode_pdf([f"Doc {i}", str(text)], subset_font=[False, True])
+                    )
+                except ValueError:
+                    continue  # corrupt payload: quarantine, same as extract_pdf_docs
+                for page, t in enumerate(texts):
+                    out["doc_id"].append(i)
+                    out["page"].append(page)
+                    out["text"].append(t)
             yield _pd.DataFrame(out)
 
-    pdfs = docs.mapInPandas(build, schema="doc_id long, pdf binary")
-    return extract_pdf_docs(pdfs).orderBy("doc_id", "page")
+    return _cache_before_sort(
+        docs.mapInPandas(
+            build_and_extract, schema="doc_id long, page int, text string"
+        )
+    ).orderBy("doc_id", "page")
 
 
 @register(
@@ -3612,16 +3703,17 @@ def q_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return _pd.DataFrame({"tar": [encode_tar(members)]})
 
-    tars = (
-        docs.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
-        .applyInPandas(build, schema="tar binary")
+    tars = _blob_buckets(docs, spark).groupBy("bucket").applyInPandas(
+        build, schema="tar binary"
     )
     members = read_tar(tars)
-    return members.select(
-        F.regexp_extract("name", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
-        "name",
-        F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
-        F.col("data").cast("string").alias("text"),
+    return _cache_before_sort(
+        members.select(
+            F.regexp_extract("name", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+            "name",
+            F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
+            F.col("data").cast("string").alias("text"),
+        )
     ).orderBy("doc_id")
 
 
@@ -3645,13 +3737,17 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest alongside double-mojibake unwinding)."""
     from novlake_spark.operators.text import fix_mojibake_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): single-split scan would
+    # serialize the repair UDF.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     dirty = F.decode(
         F.encode(F.concat(F.col("text"), F.lit(" café — fin")), "UTF-8"),
         "ISO-8859-1",
     )
     fix = fix_mojibake_udf()
-    return docs.select("doc_id", fix(dirty).alias("text")).orderBy("doc_id")
+    return _cache_before_sort(
+        docs.select("doc_id", fix(dirty).alias("text"))
+    ).orderBy("doc_id")
 
 
 @register(
@@ -3689,17 +3785,55 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return _pd.DataFrame({"zip": [encode_zip(members)]})
 
-    zips = (
-        docs.groupBy((F.col("doc_id") / 50).cast("long").alias("bucket"))
-        .applyInPandas(build, schema="zip binary")
+    zips = _blob_buckets(docs, spark).groupBy("bucket").applyInPandas(
+        build, schema="zip binary"
     )
     members = read_zip(zips)
-    return members.select(
-        F.regexp_extract("name", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
-        "name",
-        F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
-        F.col("data").cast("string").alias("text"),
+    return _cache_before_sort(
+        members.select(
+            F.regexp_extract("name", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+            "name",
+            F.octet_length(F.col("data").cast("string")).alias("n_bytes"),
+            F.col("data").cast("string").alias("text"),
+        )
     ).orderBy("doc_id")
+
+
+def _cache_before_sort(df: DataFrame) -> DataFrame:
+    """Tracked persist for a small result that is about to be globally
+    sorted (round 11, guide §1.4/§5): a global ``orderBy`` plans a
+    RangePartitioning exchange whose boundary-SAMPLING job executes the
+    entire child plan once before the real pass — measured directly
+    this round (accumulator probe: the Python stage under a plain
+    orderBy processes exactly 2× its rows; with a persist in between,
+    1×, and wall time drops). Every Python/codec pipeline that ends in
+    a presentation sort was silently paying its scan+UDF chain twice
+    per action. The persist is tracked (novlake_spark.cache), so
+    bench.py and verify sweeps release it after each timed action —
+    nothing survives across runs.
+    """
+    from novlake_spark.cache import track
+
+    return track(df.persist())
+
+
+def _blob_buckets(df, width_of) -> "DataFrame":
+    """(doc_id, …) → same rows with a ``bucket`` column (doc_id DIV 50),
+    explicitly hash-repartitioned on it at cluster width (round 11,
+    guide §2.2/§2.5): the archive keys' ``groupBy(bucket).applyInPandas``
+    grouping exchange carries only ~KBs at bench SF, so AQE's
+    partition coalescing legally shrank it to ~1 post-shuffle partition
+    — and the ENTIRE build→parse→extract Python chain downstream
+    inherited that width and ran serially. A user-specified repartition
+    width is exempt from coalescing; FlatMapGroupsInPandas reuses the
+    hash partitioning (no second exchange). Width = defaultParallelism,
+    a cluster-derived knob — on a real cluster the same expression
+    yields full width, so this is not a local[32] constant.
+    """
+    width = width_of.sparkContext.defaultParallelism
+    return df.withColumn(
+        "bucket", (F.col("doc_id") / 50).cast("long")
+    ).repartition(width, "bucket")
 
 
 def _cdc_spans(docs: DataFrame) -> DataFrame:
@@ -3720,7 +3854,13 @@ def _cdc_spans(docs: DataFrame) -> DataFrame:
     u = F.conv(
         F.substring(F.md5(F.expr("substring(text, i - 7, 8)")), 1, 8), 16, 10
     ).cast("long")
-    b = pos.filter(u % 64 == 0).select("doc_id", "text", "i")
+    # Round 11 (guide §2.3/§5): the boundary table feeds BOTH the lag
+    # window (c1) and the per-doc max aggregate (mb); unpersisted, the
+    # rolling-hash subtree — one JVM md5 per character position, the
+    # dominant cost of both CDC keys — executed twice per action.
+    from novlake_spark.cache import track
+
+    b = track(pos.filter(u % 64 == 0).select("doc_id", "text", "i").persist())
     w = Window.partitionBy("doc_id").orderBy("i")
     c1 = b.select(
         "doc_id",

@@ -109,8 +109,16 @@ def minhash_signatures(
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
+    # Non-deterministic marking (optimization guide §4.4): the
+    # ``isNotNull`` filter below otherwise gets pushed under the
+    # spread-repartition, duplicating the ArrowEvalPython — every doc's
+    # 32-hash signature computed once to test null-ness and AGAIN for
+    # the projection (2 full MinHash passes + the filter pass shuffled
+    # raw text; seen in plans/r11/q_llm_dedup_near_before.txt nodes
+    # 2/6). Values are unchanged — the UDF is pure; the marking only
+    # forbids Catalyst from re-evaluating it.
     return (
-        df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+        df.select(F.col(id_col), sig.asNondeterministic()(F.col(text_col)).alias("_sig"))
         .filter(F.col("_sig").isNotNull())
         .select(id_col, *[F.element_at("_sig", i + 1).alias(f"s{i}") for i in range(num_hashes)])
     )

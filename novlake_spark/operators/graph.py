@@ -18,7 +18,8 @@ O(log n) rounds even on path graphs — the scale path for long-diameter
 topologies (citation chains, link graphs) where propagation would need
 thousands of shuffle rounds.
 
-Lineage control: each round ends in ``localCheckpoint(eager=True)`` —
+Lineage control: each round ends in ``localCheckpoint`` (lazy since
+round 11 — the convergence aggregate that follows materializes it) —
 without it the iterated self-referential plan grows exponentially and
 the driver, not the data, becomes the bottleneck.
 """
@@ -55,7 +56,17 @@ def connected_components(
     """
     ue = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     ue = ue.union(ue.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
-    lbl = nodes.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")).localCheckpoint()
+    # Round 11: checkpoints are LAZY (eager=False) — the _tot
+    # convergence aggregate that immediately follows each round is the
+    # action that materializes them, so every round costs ONE Spark job
+    # instead of two (checkpoint job + aggregate job). Values are
+    # unchanged: the aggregate reads the exact frame it materializes,
+    # and later rounds build on the checkpointed RDD as before. On
+    # small dedup graphs the per-round fixed cost halves (the round-8
+    # join→aggregate convergence rewrite, taken one step further).
+    lbl = nodes.select(
+        F.col(id_col).alias("_id"), F.col(id_col).alias("_lbl")
+    ).localCheckpoint(eager=False)
     # Convergence check: labels are min-reduced each round, so the
     # per-node label is monotone non-increasing — the TOTAL is unchanged
     # iff no label changed. One scalar aggregate over the checkpointed
@@ -85,7 +96,8 @@ def connected_components(
             lbl.union(prop)
             .groupBy("_id")
             .agg(F.min("_lbl").alias("_lbl"))
-            .localCheckpoint()  # truncate iterated lineage
+            # truncate iterated lineage; materialized by _tot below
+            .localCheckpoint(eager=False)
         )
         new_tot = _tot(new)
         lbl = new
@@ -375,10 +387,13 @@ def connected_components_two_phase(
         ).first()
         return (row["n"], row["h"])
 
-    e = _canon_edges(edges, src, dst).localCheckpoint()
+    # Lazy checkpoints (round 11): _sig's aggregate is the action that
+    # materializes each round — one job per round instead of two (the
+    # same fold as connected_components' _tot).
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
     sig = _sig(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _sig(e)
         if new_sig == sig:
             break

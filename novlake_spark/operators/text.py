@@ -65,7 +65,9 @@ def token_counts_arrow(text: str | Column) -> Column:
     return _tc(F.col(text) if isinstance(text, str) else text)
 
 
-def shingles_arrow(text: str | Column, k: int, unique: bool = False) -> Column:
+def shingles_arrow(
+    text: str | Column, k: int, unique: bool = False, nondeterministic: bool = False
+) -> Column:
     """k-token shingles of lower(text), computed in an Arrow-vectorized
     pandas UDF instead of the interpreted higher-order-lambda path.
 
@@ -80,6 +82,17 @@ def shingles_arrow(text: str | Column, k: int, unique: bool = False) -> Column:
     the UDF (first-occurrence order): consumers that only need per-doc
     shingle *sets* (span dedup, contamination) skip a full-width
     ``distinct`` exchange — the dedup happens map-side for free.
+
+    ``nondeterministic=True`` (round 11, optimization guide §4.4): mark
+    the UDF non-deterministic so a caller-side filter on a DERIVED
+    column (e.g. ``size(ss) >= 1``) cannot be pushed below the
+    projection — Catalyst's pushdown otherwise DUPLICATES the
+    ArrowEvalPython (one eval feeding the pushed filter, one for the
+    projection; plans/r11/q_llm_dedup_near_planted_before.txt nodes
+    27/30). Values are unchanged (the UDF is pure); opt-in per call
+    site because the marking also blocks pushing *other* filters past
+    the projection, which consumers without a derived-column filter
+    want to keep.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -97,6 +110,8 @@ def shingles_arrow(text: str | Column, k: int, unique: bool = False) -> Column:
             out.append(sh)
         return pd.Series(out)
 
+    if nondeterministic:
+        _sh = _sh.asNondeterministic()
     return _sh(F.col(text) if isinstance(text, str) else text)
 
 

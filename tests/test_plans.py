@@ -136,13 +136,15 @@ def test_span_dedup_single_span_shuffle(spark, sf_small):
     assert "BatchEvalPython" not in plan
     # shingling itself must be Arrow-batched
     assert "ArrowEvalPython" in plan or "Arrow" in plan, plan
-    # intra-doc dedup happens inside the UDF: exactly ONE exchange
-    # (keyed on the span) — a distinct formulation would show two.
+    # intra-doc dedup happens inside the UDF: exactly ONE *keyed*
+    # exchange (hash on the span) — a distinct formulation would show
+    # two. Round 11 adds an explicit round-robin spread of the
+    # one-row-group scan (ensure_parallelism, guide §2.5) BELOW the
+    # UDF; that exchange is width-only (RoundRobinPartitioning), so the
+    # pin distinguishes partitioning kinds instead of counting nodes.
     # Formatted explain repeats nodes in the details section as
-    # "(n) Exchange"; the tree spells them "Exchange (n)".
-    import re
-
-    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
+    # "(n) Exchange"; the details carry the partitioning argument.
+    assert plan.count("hashpartitioning") == 1, plan
 
 
 def test_diff_versions_fingerprint_join(spark, tmp_path):

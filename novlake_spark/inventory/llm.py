@@ -761,29 +761,29 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_target = F.col("source") == "src0"
     # Round 11 (guide §2.3): ONE bigram pass total. The r10 shape still
     # ran the corpus-sized shingle UDF twice — once into the histogram,
-    # once into the scoring aggregate. Pre-reducing to per-(doc, source,
-    # bucket) counts and tracked-persisting THAT collapses both
-    # consumers onto a single Python pass; the cache holds ≤256 narrow
-    # rows per doc (vs one row per bigram), and every downstream
-    # quantity is an exact-integer fold of the counts:
-    # Σ_rows ilam == Σ_buckets cnt·ilam, count(*) == Σ cnt.
+    # once into the scoring aggregate. The bucket stream itself is
+    # tracked-persisted AT THE MAP SIDE (no exchange added: the cache
+    # point sits before any shuffle, so filling it costs exactly the
+    # one UDF pass) and both consumers fold the cache with their
+    # original partial aggregations. A per-(doc, source, bucket)
+    # pre-reduction was tried first and REVERTED: the fixture's short
+    # docs leave bucket counts ≈ 1, so the added exchange shuffled as
+    # many rows as it "reduced" and measured 2× worse at sf1
+    # (2.2 s → 4.3 s) — guide §1.1's "ideal plan is slower for a
+    # gotcha" loop, resolved empirically.
     from novlake_spark.cache import track
 
-    bcnt = track(
-        b.groupBy("doc_id", "source", "bk")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .persist()
-    )
+    b = track(b.persist())
     # Histogram: both slices' bucket counts fold in a single ≤256-row
     # aggregate, also persisted (totals and λ both reference it). The
     # oracle's t/s/tot decomposition computes the identical exact
     # integers: ct is 0 (not NULL) for a target-absent bucket, matching
     # coalesce(ct,0); Σct / Σcs over all buckets ARE the slice totals.
     hist = track(
-        bcnt.groupBy("bk")
+        b.groupBy("bk")
         .agg(
-            F.sum(F.when(is_target, F.col("_c")).otherwise(0)).cast("long").alias("ct"),
-            F.sum(F.when(~is_target, F.col("_c")).otherwise(0)).cast("long").alias("cs"),
+            F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("cs"),
         )
         .persist()
     )
@@ -806,12 +806,12 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bcnt.filter(~is_target)
+        b.filter(~is_target)
         .join(F.broadcast(lam), "bk")
         .groupBy("doc_id")
         .agg(
-            F.sum("_c").alias("n_bigrams"),
-            (F.sum(F.col("ilam") * F.col("_c")).cast("long") / F.lit(1000000.0)).alias("weight"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("ilam").cast("long") / F.lit(1000000.0)).alias("weight"),
         )
     )
 
@@ -2174,13 +2174,19 @@ def q_llm_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the consumer's one division; emitting it here would put a
     round() on a float boundary for no reason (SURVEY §5.3 discipline).
 
-    Plan at 100 TB: shingling is Arrow map-side; the duplicated-span
-    set aggregates on the span hash (partial agg, one exchange); the
-    positions join shuffles (span, doc, pos) triples only for spans
-    that ARE duplicated — boilerplate-heavy skew lands on AQE's
-    skew-split because this is a JOIN, not a window; the final
-    distinct-position count keys on doc_id. No driver state, no
-    broadcast of SF-scaled sides (hint policy: AQE decides)."""
+    Plan at 100 TB (round 11: ONE shingle pass): shingling is Arrow
+    map-side and runs exactly once — the positional table is
+    tracked-persisted (narrow (doc, pos, span) rows; the cache is the
+    price of not running the corpus-sized Python pass twice, the same
+    trade as the KN bigram cache) and the duplicated-span set derives
+    from it via count_distinct(doc) per span (two-phase aggregate; the
+    intra-doc repeats the old unique=True second pass removed map-side
+    now collapse in the partial (span, doc) phase). The positions join
+    shuffles triples only for spans that ARE duplicated —
+    boilerplate-heavy skew lands on AQE's skew-split because this is a
+    JOIN, not a window; the final distinct-position count keys on
+    doc_id. No driver state, no broadcast of SF-scaled sides (hint
+    policy: AQE decides)."""
     from novlake_spark.cache import track
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -3184,7 +3190,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     by frontier domain count — AQE's decision)."""
     from novlake_spark.operators.urls import robots_filter
 
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism (round 11, guide §2.5): the can_fetch UDF runs
+    # scan-side; single-split input serialized it.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     urls = docs.select(
         "doc_id",
         F.concat(
@@ -3397,7 +3405,12 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novlake_spark.operators.urls import canonical_url, robots_filter
     from novlake_spark.operators.warc import encode_warc_record, read_warc
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ensure_parallelism (round 11, guide §2.5): canonical_url + the
+    # robots admission UDF run BEFORE the blob-bucket exchange — on the
+    # one-row-group scan they were single-task.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     d = F.col("doc_id").cast("string")
     dirty = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),

@@ -46,11 +46,15 @@ def test_centroid_assign_deterministic(spark, sf_small):
 
 def test_centroid_assign_scan_side_is_shuffle_free(spark, sf_small):
     """Centroids enter as literals, so the per-vector argmin is pure
-    codegen over the scan — the ONLY exchange in the final plan is the
-    4-ish-group confusion agg (vectors themselves never shuffle)."""
+    codegen over the scan — the only KEYED exchange in the final plan
+    is the 4-ish-group confusion agg (vectors never shuffle by key;
+    round 11 adds an explicit width-only RoundRobin spread of the
+    one-row-group scan below the argmin — ensure_parallelism, guide
+    §2.5 — so the pin distinguishes partitioning kinds instead of
+    counting Exchange nodes)."""
     df = q_emb_centroid_assign(spark, sf_small)
     plan = plans.explain_str(df)
-    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
+    assert plan.count("hashpartitioning") == 1, plan
     assert "zip_with" not in plan.lower() or "Python" not in plan
 
 

@@ -56,6 +56,14 @@ def connected_components(
     """
     ue = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     ue = ue.union(ue.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    # Tracked lazy persist (round 11, guide §5 — the pagerank `sym`
+    # rationale applied here, where it was missing): ``ue`` joins the
+    # label frame EVERY propagation round, and Catalyst has no
+    # common-subplan dedup, so an unpersisted edge derivation (image
+    # decode + LSH banding for the phash key; a label-blocked cosine
+    # self-join for dup-components) re-executed once per round.
+    # Storage is 2|E| longs; released by the caller's action sweep.
+    ue = _track(ue.persist())
     # Round 11: checkpoints are LAZY (eager=False) — the _tot
     # convergence aggregate that immediately follows each round is the
     # action that materializes them, so every round costs ONE Spark job

@@ -274,3 +274,60 @@ def test_skew_safe_windows_stay_jvm_side(spark, sf_small):
         assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, fn.__name__
         assert "Window" in s, fn.__name__
         assert plans.broadcast_hint_count(df) == 0, fn.__name__
+
+
+def test_minhash_signature_udf_evaluated_once(spark, sf_small):
+    """Round-11 optimization pin (guide §4.4): the MinHash signature
+    pandas UDF is marked non-deterministic so the isNotNull filter
+    cannot be pushed below the spread-repartition and duplicate the
+    ArrowEvalPython — the before-plan ran the full 32-hash signature
+    TWICE per corpus pass (plans/r11/q_llm_dedup_near_before.txt
+    nodes 2/6). One physical evaluation, counted via the details
+    section's '(n) ArrowEvalPython' spelling (each node prints once in
+    the tree and once in details → count == 2 means ONE node)."""
+    from novlake_spark.operators.dedup import minhash_signatures
+    from novlake_spark.sources.tables import load_table
+
+    sig = minhash_signatures(load_table(spark, sf_small, "documents"))
+    plan = plans.explain_str(sig)
+    assert plan.count("ArrowEvalPython") == 2, plan
+
+
+def test_pdf_extract_single_python_stage(spark, sf_small):
+    """Round-11 fusion pin (guide §4.1): encode+extract run in ONE
+    mapInPandas — the PDF payload must not cross JVM↔Python twice.
+    Two MapInPandas mentions == one physical node (tree + details)."""
+    from novlake_spark.inventory.llm import q_pdf_extract
+
+    plan = plans.explain_str(q_pdf_extract(spark, sf_small))
+    assert plan.count("MapInPandas") == 2, plan
+
+
+def test_python_results_cached_before_global_sort(spark, sf_small):
+    """Round-11 pin for the orderBy double-execution fix (measured:
+    range-boundary sampling runs the whole child once more): sorted
+    Python-pipeline keys must persist their result below the sort, so
+    the plan shows the sort exchange reading an InMemoryTableScan and
+    the Python stage INSIDE the cached relation."""
+    from novlake_spark.inventory.llm import q_html_extract, q_pdf_extract
+
+    for fn in (q_html_extract, q_pdf_extract):
+        plan = plans.explain_str(fn(spark, sf_small))
+        assert "InMemoryTableScan" in plan, fn.__name__
+        assert "rangepartitioning" in plan, fn.__name__
+
+
+def test_archive_build_width_not_coalescible(spark, sf_small):
+    """Round-11 pin (guide §2.2/§2.5): the blob-build grouping exchange
+    is a user-specified repartition on the bucket key (AQE cannot
+    coalesce it to 1 task, which serialized the whole
+    build→parse→extract chain), and FlatMapGroupsInPandas reuses that
+    partitioning instead of adding its own exchange."""
+    from novlake_spark.inventory.llm import q_tar_extract
+
+    plan = plans.explain_str(q_tar_extract(spark, sf_small))
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # exactly one hash exchange below the FlatMapGroupsInPandas: the
+    # explicit repartition itself (no ENSURE_REQUIREMENTS re-shuffle
+    # of the bucket key on top of it)
+    assert plan.count("hashpartitioning(bucket") == 1, plan

@@ -2,8 +2,22 @@
 at 100 TB, pinned so regressions are visible at sf0.001."""
 
 import pyspark.sql.functions as F
+import pytest
 
-from novlake_spark import plans
+from novlake_spark import cache, plans
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache_state(spark):
+    """Plan-shape pins count node mentions in the formatted explain; a
+    subtree already registered in the CacheManager by an EARLIER test
+    (test_contract runs all registry keys and their tracked persists
+    stay live) gets substituted with an InMemoryRelation whose reprint
+    doubles the counted mentions (driver VERIFY r11: 4 == 2 failure).
+    Every plan assertion must run against a clean CacheManager."""
+    cache.release_tracked()
+    spark.catalog.clearCache()
+    yield
 from novlake_spark.inventory.joins import q_join_star
 from novlake_spark.inventory.projection import q_topk_global
 from novlake_spark.sources.tables import load_table

@@ -390,10 +390,29 @@ def main() -> None:
             "n": len(rehearsal.get("queries", {})),
             "file": "SCALE_sf1.json",
         }
+    full_doc = {"metric": "bench_total_warm", "value": total, "unit": "sec",
+                "queries": times, "sf": sf, "txlog": txlog}
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-        json.dump({"metric": "bench_total_warm", "value": total, "unit": "sec",
-                   "queries": times, "sf": sf, "txlog": txlog},
-                  f, indent=1, sort_keys=True)
+        json.dump(full_doc, f, indent=1, sort_keys=True)
+    # VERDICT r11 #6: BENCH_FULL.json is overwritten every run, so
+    # round-over-round PERF could compare only the 2 anchor keys. Also
+    # land a per-round snapshot (round inferred from the newest driver
+    # BENCH_r<N>.json + 1) — gitignored like BENCH_FULL.json so the
+    # driver's post-commit bench run cannot dirty the tree, but durable
+    # across later runs/SFs for the next round's per-key comparison.
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for name in os.listdir(here)
+        for m in [_re.fullmatch(r"BENCH_r(\d+)\.json", name)]
+        if m
+    ]
+    if rounds and sf == 0.1:
+        with open(
+            os.path.join(here, f"BENCH_FULL_r{max(rounds) + 1:02d}.json"), "w"
+        ) as f:
+            json.dump(full_doc, f, indent=1, sort_keys=True)
     # Compact separators keep the ONE line well under the driver's
     # tail-capture window (~2 KB) — the r4 parse failure's root cause.
     line = json.dumps(out, separators=(",", ":"))

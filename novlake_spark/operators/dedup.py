@@ -51,8 +51,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    nondeterministic: bool = True,
 ) -> DataFrame:
     """(id, s0..s{n-1}) MinHash signatures over k-token shingles.
+
+    ``nondeterministic`` (default on — right for every current caller)
+    marks the signature UDF non-deterministic so Catalyst cannot push a
+    later filter below it and re-evaluate the 32-hash signature per
+    reference (guide §4.4; the shingles_arrow trade-off made explicit,
+    ADVICE r11): the flip side is that it also blocks pushdown of
+    *caller* filters through this projection — a caller that filters
+    the OUTPUT on ``id_col`` should filter the input instead, or pass
+    ``nondeterministic=False`` and accept the duplicated evaluation.
 
     Implementation choice (measured at sf0.1, 5000 docs × ~52 shingles):
     Spark's higher-order array functions run *interpreted* (lambdas are
@@ -105,10 +115,18 @@ def minhash_signatures(
 
     # Small inputs (one Parquet file → one partition) would serialize the
     # Python stage; spread them. Big inputs already have file-split
-    # parallelism and skip the shuffle.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # parallelism and skip the shuffle. The ``df.rdd`` width probe is
+    # only safe on a plain scan: on a DERIVED frame it materializes the
+    # plan's exchanges as a wasted plan-time job under AQE (ADVICE r11 —
+    # measured: 1 full corpus scan+shuffle per build of the planted
+    # key). Derived callers spread themselves (both in-repo ones
+    # repartition to cluster width before calling).
+    from novlake_spark.sources.tables import is_bare_scan
+
+    if is_bare_scan(df):
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     # Non-deterministic marking (optimization guide §4.4): the
     # ``isNotNull`` filter below otherwise gets pushed under the
     # spread-repartition, duplicating the ArrowEvalPython — every doc's
@@ -117,8 +135,9 @@ def minhash_signatures(
     # raw text; seen in plans/r11/q_llm_dedup_near_before.txt nodes
     # 2/6). Values are unchanged — the UDF is pure; the marking only
     # forbids Catalyst from re-evaluating it.
+    udf_sig = sig.asNondeterministic() if nondeterministic else sig
     return (
-        df.select(F.col(id_col), sig.asNondeterministic()(F.col(text_col)).alias("_sig"))
+        df.select(F.col(id_col), udf_sig(F.col(text_col)).alias("_sig"))
         .filter(F.col("_sig").isNotNull())
         .select(id_col, *[F.element_at("_sig", i + 1).alias(f"s{i}") for i in range(num_hashes)])
     )
@@ -331,8 +350,18 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    from novlake_spark.cache import track
     from novlake_spark.operators.knn import ivf_assign
 
+    # Tracked lazy persist (round 12, guide §5): the embedding frame is
+    # consumed FIVE times per run (size count, seed collect, the Lloyd
+    # centroid aggregate, the post-Lloyd re-assignment, and the final
+    # per-cell scoring) and Catalyst has no common-subplan dedup, so an
+    # unpersisted derivation — for the planted key, a scan plus a
+    # filtered union — re-executed once per action. The count below is
+    # the action that materializes the cache; everything after reads
+    # it. Storage is n×(dim+1) numerics, released by the caller's sweep.
+    emb = track(emb.persist())
     # Σ cell² is only a bound if cell SIZE is bounded: with a FIXED
     # cell count the per-cell matmul grows quadratically with the
     # corpus (found round 11 when the planted key hit sf1 — 8 cells of

@@ -240,6 +240,47 @@ def read_warc(df: DataFrame, col: str = "warc") -> DataFrame:
     )
 
 
+def read_warc_html_text(df: DataFrame, col: str = "warc") -> DataFrame:
+    """(…, warc binary) → one row per HTTP response record with the
+    boilerplate-stripped text already extracted: (target_uri, status,
+    content_type, extracted). Fusion of :func:`read_warc` +
+    ``htmltext.extract_html_text`` into ONE mapInPandas (round 12,
+    guide §4.1 — the q_pdf_extract fusion applied to the WARC→HTML
+    route): the decoded HTML used to cross JVM↔Python twice (once out
+    of the WARC parser, once into the extraction UDF); fused, the page
+    text never leaves the Python worker between parse and extraction.
+    Same quarantine semantics as the two stages run separately:
+    corrupt blobs and undecodable bodies drop, extraction errors
+    propagate (extract_text is total on decoded text)."""
+    from novlake_spark.operators.htmltext import extract_text
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"target_uri": [], "status": [], "content_type": [], "extracted": []}
+            for blob in pdf[col]:
+                try:
+                    recs = parse_warc(bytes(blob))
+                except ValueError:
+                    continue
+                for r in recs:
+                    if r["body"] is None:
+                        continue
+                    try:
+                        text = r["body"].decode(r["charset"])
+                    except (UnicodeDecodeError, LookupError):
+                        continue
+                    out["target_uri"].append(r["target_uri"])
+                    out["status"].append(r["status"])
+                    out["content_type"].append(r["content_type"])
+                    out["extracted"].append(extract_text(text))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema="target_uri string, status int, content_type string, extracted string",
+    )
+
+
 def read_warc_pdf_text(df: DataFrame, col: str = "warc") -> DataFrame:
     """(…, warc binary) → one row per ``application/pdf`` response
     record: (target_uri, status, content_type, extracted string) —

@@ -49,6 +49,12 @@ DYNAMIC_CONFS: dict[str, str] = {
     # the txlog source's pushFilters (min/max + Bloom file skipping)
     # is inert without it.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Write timestamps as INT64 micros, not the legacy INT96: Spark
+    # timestamps are microsecond-precision either way, but INT96 column
+    # chunks carry NO min/max statistics, which would blind the txlog's
+    # footer-derived skip index (TxTable._footer_stats) on every
+    # timestamp column. Micros is also what Delta/Iceberg write.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

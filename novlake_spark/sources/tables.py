@@ -140,20 +140,30 @@ _BARE_SCAN_NODES = frozenset(
 )
 
 
-def _assert_bare_scan(df: DataFrame) -> None:
+def is_bare_scan(df: DataFrame) -> bool:
+    """True when ``df``'s analyzed plan is a plain (projected/filtered)
+    scan — the only shape on which a ``df.rdd`` partition probe is safe:
+    on a derived frame the probe materializes any exchange in the plan
+    as a wasted plan-time job under AQE (ADVICE r11, measured on the
+    repartitioned planted-dedup corpus). Plan-time only, no job."""
     plan = df._jdf.queryExecution().analyzed()
 
-    def walk(node) -> None:
-        name = node.nodeName()
-        if name not in _BARE_SCAN_NODES:
-            raise ValueError(
-                f"ensure_parallelism requires a plain scan; plan contains "
-                f"{name!r} — repartition the source before deriving instead"
-            )
-        for i in range(node.children().size()):
-            walk(node.children().apply(i))
+    def walk(node) -> bool:
+        if node.nodeName() not in _BARE_SCAN_NODES:
+            return False
+        return all(
+            walk(node.children().apply(i)) for i in range(node.children().size())
+        )
 
-    walk(plan)
+    return walk(plan)
+
+
+def _assert_bare_scan(df: DataFrame) -> None:
+    if not is_bare_scan(df):
+        raise ValueError(
+            "ensure_parallelism requires a plain scan; the plan contains a "
+            "derived node — repartition the source before deriving instead"
+        )
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -273,6 +273,16 @@ def _stat_value(v):
     return None
 
 
+def _normalize_footer_ts(v):
+    """Footer timestamp stats come back tz-aware from pyarrow when the
+    parquet logical type is UTC-adjusted; the engine's stat grammar
+    (``_stat_value`` + the predicate side of ``_phys_where``) speaks
+    naive-UTC datetimes, so strip to that before comparing/encoding."""
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def _comparable(a, b) -> bool:
     if isinstance(a, bool) or isinstance(b, bool):
         return isinstance(a, bool) and isinstance(b, bool)
@@ -1523,15 +1533,24 @@ class TxTable:
         # staging dir is never observed by them.
         staging = f"{self.path}/stage-{uuid.uuid4().hex}"
         df.write.parquet(staging)
-        stats_by_file: dict[str, dict] = {}
+        statuses = self._fs.globStatus(self._jpath(f"{staging}/*.parquet")) or []
+        want_bloom = self.bloom_cols if bloom_cols is None else bloom_cols
+        stats_by_file: dict[str, dict] | None = {}
         if collect_stats:
-            stats_by_file = self._file_stats(
-                self.spark.read.parquet(staging),
-                self.bloom_cols if bloom_cols is None else bloom_cols,
-            )
+            # Footer-first (round 12, guide §1.4/§6): the freshly written
+            # parquet footers already carry exact per-column min/max and
+            # row counts, so deriving the skip index from them replaces a
+            # SECOND Spark scan of every committed byte with an O(files)
+            # metadata read. Bloom filters still need the data pass, and
+            # non-local filesystems fall back to the same read-back job.
+            stats_by_file = None if want_bloom else self._footer_stats(statuses, df.schema)
+            if stats_by_file is None:
+                stats_by_file = self._file_stats(
+                    self.spark.read.parquet(staging), want_bloom
+                )
         adds = []
         self._fs.mkdirs(self._jpath(f"{self.path}/data"))
-        for s in self._fs.globStatus(self._jpath(f"{staging}/*.parquet")) or []:
+        for s in statuses:
             orig = s.getPath().getName()
             if collect_stats and orig not in stats_by_file:
                 # zero-row partition file (the stats job groups every
@@ -1549,6 +1568,69 @@ class TxTable:
             adds.append(add)
         self._fs.delete(self._jpath(staging), True)
         return adds
+
+    def _footer_stats(
+        self, statuses, schema: T.StructType
+    ) -> dict[str, dict] | None:
+        """Per-file skip-index metadata decoded from the parquet FOOTERS
+        of freshly staged files — the zero-extra-scan twin of
+        :meth:`_file_stats`. Returns ``None`` when any file is not
+        addressable as a local path (object stores take the Spark
+        read-back; swapping this for ranged footer reads changes no
+        protocol). Conservative by construction: a column whose footer
+        lacks min/max for a data-bearing row group is OMITTED from the
+        stats map, which :func:`file_matches` treats as "cannot skip"."""
+        import pyarrow.parquet as pq
+
+        stat_cols = {
+            f.name for f in schema.fields if isinstance(f.dataType, _STAT_TYPES)
+        }
+        out: dict[str, dict] = {}
+        for s in statuses:
+            uri = s.getPath().toUri()
+            if uri.getScheme() not in (None, "file"):
+                return None
+            try:
+                md = pq.ParquetFile(uri.getPath()).metadata
+            except Exception:  # noqa: BLE001 — any decode trouble → Spark job
+                return None
+            if md.num_rows == 0:
+                continue  # zero-row stub; absence == empty, like the job path
+            lo: dict = {}
+            hi: dict = {}
+            seen: set[str] = set()
+            broken: set[str] = set()
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    if name not in stat_cols or name in broken:
+                        continue
+                    seen.add(name)
+                    st = col.statistics
+                    if st is not None and st.has_min_max:
+                        v0, v1 = _normalize_footer_ts(st.min), _normalize_footer_ts(st.max)
+                        lo[name] = v0 if name not in lo or v0 < lo[name] else lo[name]
+                        hi[name] = v1 if name not in hi or v1 > hi[name] else hi[name]
+                    elif st is not None and st.null_count == rg.num_rows:
+                        pass  # all-null row group: contributes no bounds
+                    else:
+                        # a data-bearing row group without min/max (e.g.
+                        # a writer that omitted stats): no safe bound
+                        broken.add(name)
+                        lo.pop(name, None)
+                        hi.pop(name, None)
+            stats = {}
+            for c in stat_cols:
+                if c in broken or c not in seen:
+                    continue  # conservatively kept by file_matches
+                if c in lo:
+                    stats[c] = [_stat_value(lo[c]), _stat_value(hi[c])]
+                else:
+                    stats[c] = [None, None]  # all-null column, exact
+            out[s.getPath().getName()] = {"rows": md.num_rows, "stats": stats}
+        return out
 
     def _file_stats(self, src: DataFrame, want_bloom: list[str]) -> dict[str, dict]:
         """Per-file skip-index metadata for every parquet file behind

@@ -36,7 +36,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Session-hygiene contract (ADVICE r11): several operators register
+    tracked lazy persists at intra-query reuse points (graph iteration
+    frames, LM scan reuse, results cached below presentation sorts).
+    They are intentionally NOT released by the operator — the caller's
+    action decides when the cache has served its purpose. A long-lived
+    session that executes many keys should therefore call
+    ``novlake_spark.cache.release_tracked()`` after each consumed
+    action (bench.py, tools/verify_local.py and tools/plan_audit.py
+    all do), or executor storage accumulates one cached frame per
+    persisting key for the session's lifetime — harmless under LRU but
+    measured as a 55% run-to-run spread once eviction pressure builds.
+    """
     return novlake_spark.queries()
 
 

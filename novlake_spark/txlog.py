@@ -2136,9 +2136,37 @@ class TxTable:
                 .withColumn("_commit_version", F.lit(v))
             )
 
+        # Round 12 (guide §5 driver costs + §2 shuffle-breadth): two
+        # O(window) inefficiencies removed with identical output rows.
+        # (1) The prior-snapshot fold (a full checkpoint+tail replay) is
+        #     now computed ONLY for commits that remove/overwrite/DV —
+        #     it was built per version, making a pure-append window cost
+        #     O(window × log length) driver CPU for nothing.
+        # (2) Insert rows are planned as ONE multi-path scan per schema
+        #     epoch instead of one scan branch per commit: the
+        #     _commit_version tag rides a broadcast (file → version)
+        #     join on the scan's _metadata file name. A 1000-commit CDF
+        #     window is one scan + one broadcast hash join, not a
+        #     1000-branch union the driver must plan and schedule.
+        #     Entry add-actions never carry DVs (vectors arrive in later
+        #     set_dv actions and the delete side reports those), so the
+        #     plain-scan path is always valid for inserts; any add that
+        #     nonetheless carried one would fall back to the per-version
+        #     part, keeping semantics over speed.
+        ins_groups: dict[str | None, list[tuple[int, dict]]] = {}
+        cur_sj: str | None = self._meta_at(want[0])[0] if want else None
         for v in want:
             e = self._read_entry(v)
-            prior = {a["file"]: a for a in self.snapshot_adds(v - 1)} if v > 0 else {}
+            if v != want[0] and "schema" in e:
+                cur_sj = e["schema"]
+            need_prior = v > 0 and (
+                e["mode"] == "overwrite" or e.get("remove") or e.get("set_dv")
+            )
+            prior = (
+                {a["file"]: a for a in self.snapshot_adds(v - 1)}
+                if need_prior
+                else {}
+            )
             if e["mode"] == "overwrite":
                 _part(list(prior.values()), v - 1, "delete", v)
             else:
@@ -2152,7 +2180,59 @@ class TxTable:
                 )
                 if e.get("set_dv"):
                     _dv_part(e["set_dv"], prior, v)
-            _part(e.get("add", []), v, "insert", v)
+            for a in e.get("add", []):
+                if a.get("dv"):
+                    _part([a], v, "insert", v)  # defensive; see above
+                else:
+                    ins_groups.setdefault(cur_sj, []).append((v, a))
+        for sj, items in ins_groups.items():
+            versions = {v for v, _ in items}
+            if len(versions) == 1:
+                # single-commit group (the steady-state CDC tick): a
+                # literal tag, no broadcast map — byte-identical plan to
+                # the old per-version part
+                v0 = next(iter(versions))
+                adds = [a for _, a in items]
+                _check_exists(adds, v0)
+                schema = (
+                    None if sj is None else T.StructType.fromJson(json.loads(sj))
+                )
+                parts.append(
+                    self._read_adds(adds, schema)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v0))
+                )
+                continue
+            adds = [a for _, a in items]
+            _check_exists(adds, items[0][0])
+            schema = (
+                None if sj is None else T.StructType.fromJson(json.loads(sj))
+            )
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(_phys_schema(schema))
+            vmap = self.spark.createDataFrame(
+                [(a["file"], int(v)) for v, a in items], "__f string, __v int"
+            )
+            df = (
+                reader.parquet(*[self._data_path(a) for a in adds])
+                .withColumn(
+                    "__f",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                )
+                .join(F.broadcast(vmap), "__f")
+            )
+            if _is_mapped(schema):
+                cols = [F.col(_phys_name(f)).alias(f.name) for f in schema.fields]
+            else:
+                cols = [F.col(c) for c in df.columns if c not in ("__f", "__v")]
+            parts.append(
+                df.select(
+                    *cols,
+                    F.lit("insert").alias("_change_type"),
+                    F.col("__v").alias("_commit_version"),
+                )
+            )
         if not parts:
             schema = self.schema_at(upto)
             if schema is None:
